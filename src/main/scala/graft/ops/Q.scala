@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-contract query: a Spark DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle over the
+  * same parquet tables. Column names/aliases MUST match between the two —
+  * the driver sorts columns by name before hashing.
+  *
+  * Determinism rules applied throughout the suite (so the hash compare is
+  * stable across engines and across Spark's own partition/merge order):
+  *   - aggregates over double columns go through `cast(... as decimal)` at a
+  *     scale that holds the true value exactly (all testdata doubles are
+  *     2-decimal; products of two 2-decimal values are exact at scale 4) —
+  *     decimal addition is associative, so Spark's partial-agg merge order
+  *     and DuckDB's parallel sums agree bit-for-bit;
+  *   - averages are `CAST(decimal_sum AS DOUBLE) / count` in both engines
+  *     (one IEEE division of identical inputs);
+  *   - every result has a total ORDER BY on a unique key set.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  /** Non-SQL-expressible op: the driver records a weaker rows-only check;
+    * correctness is pinned by a ScalaTest spec instead. */
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

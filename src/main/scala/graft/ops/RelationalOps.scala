@@ -1,0 +1,264 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Standard relational operator coverage over the testdata star schema:
+  * group-by aggregation, joins (shuffle/broadcast/semi/anti/outer),
+  * distinct + approximate aggregates, cube/rollup, window functions,
+  * sort/top-k, set operations. The reference has no join/window/set-op
+  * engine of its own (SURVEY.md §2.3, §2.5, §2.7) — these are the Spark
+  * built-ins the driver contract expects, declared so Catalyst picks the
+  * physical strategy (broadcast hints only where a dimension table is
+  * provably small at any scale factor).
+  */
+object RelationalOps {
+  import Tables._
+
+  // decimal casts that hold every testdata double exactly (2-decimal data)
+  private val dec2 = "decimal(18,2)"
+  private val dec4 = "decimal(18,4)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- aggregation ----------------------------------------------------
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4))
+            .as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec2)).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    Q("q2_distinct_agg",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec2)).as("total"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    // rollup: Spark and DuckDB both emit NULL group fillers; total ORDER BY
+    // with NULLS FIRST matches Spark's default asc_nulls_first.
+    Q("q3_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+                   col("l_linestatus").asc_nulls_first)
+    },
+
+    Q("q4_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+                   col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- joins ----------------------------------------------------------
+    // TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, agg, top-k.
+    // customer is broadcast-able at every SF (15k rows at sf0.1).
+    Q("q5_join_agg_topk",
+      """SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec4)).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // multi-way star join through broadcast dims (nation/region are tiny).
+    Q("q6_star_join",
+      """SELECT n_name, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast(dec2)).as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // left semi: customers with at least one URGENT order (EXISTS)
+    Q("q7_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // left anti: customers with no URGENT order (NOT EXISTS)
+    Q("q8_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // left outer join with null-producing side aggregated
+    Q("q9_outer_join",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(sum(col("o_totalprice").cast(dec2)),
+                      lit(0).cast("decimal(28,2)")).as("spent"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- window functions ----------------------------------------------
+    Q("q10_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+        |    lag(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // running / frame-bounded aggregates (ROWS BETWEEN)
+    Q("q11_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / least(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec2)).over(run).as("running_spent"),
+          (sum(col("o_totalprice").cast(dec2)).over(mov).cast("double") /
+            least(count(lit(1)).over(mov), lit(3))).as("moving_avg"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- sort / top-k ---------------------------------------------------
+    // Catalyst plans orderBy().limit() as TakeOrderedAndProject — no full sort.
+    Q("q12_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ---- set operations -------------------------------------------------
+    Q("q13_set_ops",
+      """WITH urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     high   AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT DISTINCT k FROM (SELECT k FROM urgent UNION ALL SELECT k FROM high) u) t
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM urgent INTERSECT SELECT k FROM high) t
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM urgent EXCEPT SELECT k FROM high) t
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey").as("k"))
+      val mk = (op: String, df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      mk("union", urgent.union(high).distinct)
+        .union(mk("intersect", urgent.intersect(high)))
+        .union(mk("except", urgent.except(high)))
+        .orderBy(col("op"))
+    },
+  )
+}
