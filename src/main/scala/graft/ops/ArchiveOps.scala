@@ -1,0 +1,367 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plan.SplitPlanner
+
+/** The reference's archival operator surface (SURVEY.md §2), re-expressed over
+  * the parquet fixtures. Names carry the §2 operator IDs so coverage can be
+  * audited line-by-line.
+  *
+  * The partition-planning queries (min/max/count) run driver-side exactly as
+  * the reference's planning queries do (source/mysql.go:67-114) — they are
+  * O(1)-result scalar aggregates, the same role Spark's own JDBC bounds query
+  * plays. The synthesized predicates then become per-partition filters; on a
+  * real JDBC source the identical strings feed `spark.read.jdbc(url, table,
+  * predicates, props)` — one Spark input partition per predicate, which is
+  * how this scales to a 1000-executor cluster without the driver touching
+  * data.
+  */
+object ArchiveOps {
+  import Tables._
+
+  private def one(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+
+  /** Planning aggregate A3/A1: min/max/count of the split key under the user
+    * predicate — a single driver-side job with a 1-row result. */
+  private def keyStats(df: DataFrame, key: String): (BigInt, BigInt, BigInt) = {
+    val r = df.agg(min(col(key)), max(col(key)), count(lit(1))).head()
+    (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2)))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // S2/P2/P3/P4: key-split partition scan — predicates synthesized from
+    // min/max, each scan ANDs the user predicate, union of partitions must
+    // equal the plain filtered table (proves the tiling on real data).
+    Q("s2_partition_scan",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_orderkey AS DECIMAL(18,0))) AS key_sum
+        |FROM lineitem WHERE l_discount > 0.02
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val userPred = "l_discount > 0.02"
+      val (mn, mx, cnt) = keyStats(li.where(userPred), "l_orderkey")
+      val batch = SplitPlanner.adjustBatchSize(mn, mx, cnt, 2000)
+      val preds = SplitPlanner.keySplitPredicates("l_orderkey", batch, mn, mx, 8)
+      preds.map(p => li.where(p).where(userPred))
+        .reduce(_ union _)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+             sum(col("l_orderkey").cast("decimal(18,0)")).as("key_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // A1: filtered row count pushed into the scan
+    Q("a1_filtered_count",
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000") {
+      (s, d) =>
+        orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 1000)
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // A2: multi-table total count (per-table counts + reconciliation total)
+    Q("a2_multi_table_count",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, count(*) AS cnt FROM customer
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'TOTAL',
+        |    (SELECT count(*) FROM customer) + (SELECT count(*) FROM orders)
+        |      + (SELECT count(*) FROM lineitem)
+        |) t ORDER BY tbl""".stripMargin) { (s, d) =>
+      val parts = Seq(
+        "customer" -> customer(s, d), "orders" -> orders(s, d),
+        "lineitem" -> lineitem(s, d))
+      val counts = parts.map { case (n, df) =>
+        df.agg(count(lit(1)).as("cnt")).select(lit(n).as("tbl"), col("cnt"))
+      }.reduce(_ union _)
+      val total = counts.agg(sum(col("cnt")).cast("long").as("cnt"))
+        .select(lit("TOTAL").as("tbl"), col("cnt"))
+      counts.union(total).orderBy(col("tbl"))
+    },
+
+    // A3: key min/max planning aggregate under the user predicate
+    Q("a3_minmax_key",
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+          .agg(min(col("l_orderkey")).as("min_key"),
+               max(col("l_orderkey")).as("max_key"),
+               count(lit(1)).as("cnt"))
+    },
+
+    // A4: time min/max formatted to the reference's second-precision layout
+    Q("a4_minmax_time",
+      """SELECT strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |       strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+      events(s, d)
+        .where(col("event_type") === "purchase")
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+             date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+    },
+
+    // A6: key-density adaptive batch sizing (planning queries + pure heuristic)
+    Q("a6_adaptive_batch",
+      """SELECT min_key, max_key, cnt,
+        |  CAST(CASE
+        |    WHEN cnt <= 2000 THEN max_key - min_key + 1
+        |    WHEN (max_key - min_key + 1) / cnt >= 10 THEN 2000 * 5
+        |    ELSE 2000 END AS BIGINT) AS adjusted_batch
+        |FROM (SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |             count(*) AS cnt
+        |      FROM orders WHERE o_totalprice > 5000) t""".stripMargin) { (s, d) =>
+      val (mn, mx, cnt) =
+        keyStats(orders(s, d).where("o_totalprice > 5000"), "o_orderkey")
+      val adjusted = SplitPlanner.adjustBatchSize(mn, mx, cnt, 2000)
+      one(s, Seq(Row(mn.toLong, mx.toLong, cnt.toLong, adjusted.toLong)),
+        StructType(Seq(
+          StructField("min_key", LongType), StructField("max_key", LongType),
+          StructField("cnt", LongType), StructField("adjusted_batch", LongType))))
+    },
+
+    // P5: tumbling time-window predicate synthesis over the events range
+    // (2h 'hour' unit; final window closed at max — degenerate if overshoot)
+    Q("p5_time_windows",
+      """WITH mm AS (
+        |  SELECT date_trunc('second', CAST(min(ts) AS TIMESTAMP)) AS mn,
+        |         date_trunc('second', CAST(max(ts) AS TIMESTAMP)) AS mx
+        |  FROM events),
+        |opens AS (
+        |  SELECT s, s + INTERVAL 2 HOUR AS e FROM (
+        |    SELECT unnest(generate_series(mn, mx, INTERVAL 2 HOUR)) AS s, mx FROM mm) t
+        |  WHERE s < mx)
+        |SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       strftime(e, '%Y-%m-%d %H:%M:%S') AS win_end, '<' AS op
+        |FROM opens
+        |UNION ALL
+        |SELECT strftime(mn + (SELECT count(*) FROM opens) * INTERVAL 2 HOUR,
+        |                '%Y-%m-%d %H:%M:%S'),
+        |       strftime(mx, '%Y-%m-%d %H:%M:%S'), '<='
+        |FROM mm
+        |ORDER BY win_start""".stripMargin) { (s, d) =>
+      val r = events(s, d)
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss"),
+             date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")).head()
+      val bounds = SplitPlanner.timeWindowBounds("hour", r.getString(0), r.getString(1)).get
+      val rows = bounds.map { case (st, en, closed) =>
+        Row(st.format(SplitPlanner.TimeFormat), en.format(SplitPlanner.TimeFormat),
+          if (closed) "<=" else "<")
+      }
+      one(s, rows, StructType(Seq(
+        StructField("win_start", StringType), StructField("win_end", StringType),
+        StructField("op", StringType)))).orderBy(col("win_start"))
+    },
+
+    // P5/O4: per-window scan counts — union of window-predicate scans equals
+    // bucket arithmetic (proves the window tiling on real data, incl. empties)
+    Q("p5_window_rowcounts",
+      """WITH mm AS (
+        |  SELECT date_trunc('second', CAST(min(ts) AS TIMESTAMP)) AS mn,
+        |         date_trunc('second', CAST(max(ts) AS TIMESTAMP)) AS mx
+        |  FROM events),
+        |opens AS (
+        |  SELECT s, s + INTERVAL 24 HOUR AS e, '<' AS op FROM (
+        |    SELECT unnest(generate_series(mn, mx, INTERVAL 24 HOUR)) AS s, mx FROM mm) t
+        |  WHERE s < mx),
+        |wins AS (
+        |  SELECT s, e, op FROM opens
+        |  UNION ALL
+        |  SELECT mn + (SELECT count(*) FROM opens) * INTERVAL 24 HOUR, mx, '<=' FROM mm)
+        |SELECT strftime(w.s, '%Y-%m-%d %H:%M:%S') AS win_start, count(e.ts) AS n
+        |FROM wins w LEFT JOIN events e
+        |  ON CAST(e.ts AS TIMESTAMP) >= w.s
+        | AND (CASE WHEN w.op = '<' THEN CAST(e.ts AS TIMESTAMP) < w.e
+        |           ELSE CAST(e.ts AS TIMESTAMP) <= w.e END)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val r = ev.agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss"),
+                     date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")).head()
+      val preds = SplitPlanner.timeWindows("ts", "day", r.getString(0), r.getString(1)).get
+      val starts = SplitPlanner.timeWindowBounds("day", r.getString(0), r.getString(1)).get
+        .map(_._1.format(SplitPlanner.TimeFormat))
+      preds.zip(starts).map { case (p, st) =>
+        ev.where(p).agg(count(lit(1)).as("n")).select(lit(st).as("win_start"), col("n"))
+      }.reduce(_ union _).orderBy(col("win_start"))
+    },
+
+    // L1/L2: stable LIMIT/OFFSET pagination with an enforced total order
+    Q("l1_pagination",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey OFFSET 2000 LIMIT 1000""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(2000).limit(1000)
+    },
+
+    // F1/F2: NDJSON round-trip — to_json(struct(*)) then from_json back must
+    // be the identity; verified by aggregating the round-tripped frame and
+    // comparing to a direct aggregate of the source table.
+    Q("f1_ndjson_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val li = lineitem(s, d)
+        val schema = li.schema
+        li.select(to_json(struct(li.columns.map(col): _*)).as("line"))
+          .select(from_json(col("line"), schema).as("r"))
+          .select(col("r.*"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+               min(col("l_shipdate")).as("min_ship"),
+               max(col("l_shipdate")).as("max_ship"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    // F3/F4: lenient multi-layout timestamp parsing — format each ts into one
+    // of the reference's 4 layouts (by row), then recover it with a coalesce
+    // of format-specific parses; count recovered rows per layout.
+    Q("f3_lenient_timestamp",
+      """WITH base AS (
+        |  SELECT event_id % 4 AS layout, date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |formatted AS (
+        |  SELECT layout, CASE layout
+        |    WHEN 0 THEN strftime(t, '%Y-%m-%d %H:%M:%S')
+        |    WHEN 1 THEN strftime(t, '%Y-%m-%dT%H:%M:%S.000')
+        |    WHEN 2 THEN strftime(t, '%Y-%m-%dT%H:%M:%S')
+        |    ELSE strftime(t, '%Y-%m-%dT%H:%M:%S.000+00:00') END AS s, t
+        |  FROM base),
+        |parsed AS (
+        |  SELECT layout, t, coalesce(
+        |    try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(s, '%Y-%m-%dT%H:%M:%S.%g'),
+        |    try_strptime(s, '%Y-%m-%dT%H:%M:%S'),
+        |    CAST(try_strptime(s, '%Y-%m-%dT%H:%M:%S.%g%z') AS TIMESTAMP)) AS p
+        |  FROM formatted)
+        |SELECT layout, count(*) AS n, count(p) AS parsed_ok,
+        |  sum(CASE WHEN p = t THEN 1 ELSE 0 END) AS roundtrip_ok
+        |FROM parsed GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+      val base = events(s, d)
+        .select((col("event_id") % 4).as("layout"),
+                date_trunc("second", col("ts")).as("t"))
+      val formatted = base.select(col("layout"), col("t"),
+        when(col("layout") === 0, date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("layout") === 1, date_format(col("t"), "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+          .when(col("layout") === 2, date_format(col("t"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(date_format(col("t"), "yyyy-MM-dd'T'HH:mm:ss.SSSxxx")).as("s"))
+      // try_to_timestamp (not to_timestamp): ANSI mode throws on layout
+      // mismatch; the lenient parse wants null-and-try-next-layout.
+      formatted.select(col("layout"), col("t"),
+          coalesce(
+            try_to_timestamp(col("s"), lit("yyyy-MM-dd HH:mm:ss")),
+            try_to_timestamp(col("s"), lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+            try_to_timestamp(col("s"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+            try_to_timestamp(col("s"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSxxx"))).as("p"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n"), count(col("p")).as("parsed_ok"),
+             sum(when(col("p") === col("t"), 1).otherwise(0)).as("roundtrip_ok"))
+        .orderBy(col("layout"))
+    },
+
+    // F6: unsigned-int coercion (toUint64): accepts non-negative integers,
+    // numeric strings, and floats (truncated toward zero); rejects negatives.
+    Q("f6_uint_coercion",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_orderkey AS VARCHAR) AS k_str,
+        |    o_totalprice * (CASE WHEN o_orderkey % 5 = 0 THEN -1 ELSE 1 END) AS f
+        |  FROM orders),
+        |conv AS (
+        |  SELECT TRY_CAST(k_str AS DECIMAL(20,0)) AS from_str,
+        |    CASE WHEN f < 0 THEN NULL
+        |         ELSE CAST(floor(f) AS DECIMAL(20,0)) END AS from_float
+        |  FROM src)
+        |SELECT count(*) AS n, count(from_str) AS str_ok, count(from_float) AS float_ok,
+        |  sum(from_str) AS str_sum, sum(from_float) AS float_sum
+        |FROM conv""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey").cast("string").as("k_str"),
+          (col("o_totalprice") *
+            when(col("o_orderkey") % 5 === 0, -1).otherwise(1)).as("f"))
+        .select(
+          expr("try_cast(k_str AS DECIMAL(20,0))").as("from_str"),
+          when(col("f") < 0, lit(null))
+            .otherwise(floor(col("f")).cast("decimal(20,0)")).as("from_float"))
+        .agg(count(lit(1)).as("n"), count(col("from_str")).as("str_ok"),
+             count(col("from_float")).as("float_ok"),
+             sum(col("from_str")).as("str_sum"),
+             sum(col("from_float")).as("float_sum"))
+    },
+
+    // S6-S8: regex catalog discovery — `dbRegex@tableRegex` patterns expanded
+    // against a (db, table) catalog derived from the documents table
+    // (unanchored match like Go's regexp.MatchString / Spark's rlike).
+    Q("s8_catalog_expansion",
+      """WITH catalog AS (SELECT DISTINCT source AS db, lang AS tbl FROM documents)
+        |SELECT db, tbl, 'src[0-2]@(en|de)' AS pattern FROM catalog
+        |WHERE regexp_matches(db, 'src[0-2]') AND regexp_matches(tbl, '(en|de)')
+        |UNION ALL
+        |SELECT db, tbl, '.*4@.*' FROM catalog
+        |WHERE regexp_matches(db, '.*4') AND regexp_matches(tbl, '.*')
+        |ORDER BY pattern, db, tbl""".stripMargin) { (s, d) =>
+      val catalog = documents(s, d)
+        .select(col("source").as("db"), col("lang").as("tbl")).distinct()
+      val patterns = Seq("src[0-2]@(en|de)", ".*4@.*")
+      patterns.map { p =>
+        val Array(dbRe, tblRe) = p.split("@", 2)
+        catalog.where(col("db").rlike(dbRe) && col("tbl").rlike(tblRe))
+          .select(col("db"), col("tbl"), lit(p).as("pattern"))
+      }.reduce(_ union _).orderBy(col("pattern"), col("db"), col("tbl"))
+    },
+
+    // K2: COPY INTO alignment — missing_field_as=FIELD_DEFAULT: a frame
+    // missing sink columns is aligned by name, absent columns take defaults.
+    Q("k2_schema_align",
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |  min(filled_priority) AS fill_check
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |        'UNSPECIFIED' AS filled_priority FROM orders) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      // incoming batch lacks `filled_priority`; sink schema requires it
+      val incoming = orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+      val sinkCols = Seq("o_orderstatus", "o_totalprice", "filled_priority")
+      val defaults = Map("filled_priority" -> lit("UNSPECIFIED"))
+      val aligned = incoming.select(sinkCols.map(c =>
+        if (incoming.columns.contains(c)) col(c) else defaults(c).as(c)): _*)
+      aligned.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+             min(col("filled_priority")).as("fill_check"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // K5/K6: delete-after-sync observable effect — rows surviving a batched
+    // predicate delete are exactly the anti-filter of the predicate.
+    Q("k5_delete_back_effect",
+      """SELECT l_returnflag, count(*) AS remaining,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS remaining_value
+        |FROM lineitem
+        |WHERE NOT (l_shipdate < TIMESTAMP '1996-06-01 00:00:00')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .where(!(col("l_shipdate") < lit("1996-06-01").cast("timestamp")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("remaining"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).as("remaining_value"))
+        .orderBy(col("l_returnflag"))
+    },
+  )
+}
