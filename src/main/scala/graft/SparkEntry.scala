@@ -14,7 +14,7 @@ import graft.ops._
 object SparkEntry {
 
   private def suites: Seq[Q] =
-    RelationalOps.all ++ ArchiveOps.all
+    RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -199,11 +199,11 @@ object ArchiveOps {
     // L1/L2: stable LIMIT/OFFSET pagination with an enforced total order
     Q("l1_pagination",
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey OFFSET 2000 LIMIT 1000""".stripMargin) { (s, d) =>
+        |ORDER BY o_orderkey OFFSET 1000 LIMIT 400""".stripMargin) { (s, d) =>
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
-        .offset(2000).limit(1000)
+        .offset(1000).limit(400)
     },
 
     // F1/F2: NDJSON round-trip — to_json(struct(*)) then from_json back must

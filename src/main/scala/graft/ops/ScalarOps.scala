@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2.8) — string, date/time, math,
+  * JSON, array — plus approximate aggregates. All built-ins, all inside
+  * whole-stage codegen; the oracle mirrors each function with DuckDB's
+  * spelling.
+  *
+  * Math oracle restricts itself to IEEE-exact operations (abs/floor/ceil/
+  * sqrt/round/mod/x*x): ln/exp are not correctly-rounded in every libm, so
+  * cross-engine hash equality is not guaranteed for them — they are covered
+  * by the rows-only approx query instead.
+  */
+object ScalarOps {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+
+    Q("f_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  substr(p_name, 1, 8) AS name_pfx,
+        |  length(p_name) AS name_len,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+        |  trim('  pad  ') AS trimmed,
+        |  CASE WHEN p_name LIKE '%blue%' THEN 1 ELSE 0 END AS has_blue,
+        |  split_part(p_type, ' ', 1) AS type_first
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, d) =>
+      part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          concat(col("p_brand"), lit(":"), col("p_size").cast("string")).as("brand_size"),
+          trim(lit("  pad  ")).as("trimmed"),
+          when(col("p_name").like("%blue%"), 1).otherwise(0).as("has_blue"),
+          split(col("p_type"), " ").getItem(0).as("type_first"))
+        .orderBy(col("p_partkey")).limit(500)
+    },
+
+    Q("f_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, d) =>
+      orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),   // 1=Sunday in both after +1 on duck side
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy(col("o_orderkey")).limit(1000)
+    },
+
+    Q("f_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 30000) AS abs_v,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS floor_v,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_v,
+        |  round(l_extendedprice * 0.5, 1) AS round_v,
+        |  sqrt(l_quantity) AS sqrt_v,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS mod_v,
+        |  l_tax * l_tax AS sq_v,
+        |  greatest(l_tax, l_discount) AS gst,
+        |  least(l_tax, l_discount) AS lst,
+        |  CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS sgn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d).select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_extendedprice") - 30000).as("abs_v"),
+            floor(col("l_extendedprice") / 100).as("floor_v"),
+            ceil(col("l_discount") * 100).as("ceil_v"),
+            round(col("l_extendedprice") * 0.5, 1).as("round_v"),
+            sqrt(col("l_quantity")).as("sqrt_v"),
+            (col("l_orderkey") % 7).as("mod_v"),
+            (col("l_tax") * col("l_tax")).as("sq_v"),
+            greatest(col("l_tax"), col("l_discount")).as("gst"),
+            least(col("l_tax"), col("l_discount")).as("lst"),
+            signum(col("l_extendedprice") - 30000).as("sgn"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")).limit(2000)
+    },
+
+    Q("f_json_funcs",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  sum(CAST(props->>'$.k' AS INT)) AS k_sum,
+        |  min(CAST(props->>'$.k' AS INT)) AS k_min,
+        |  max(CAST(props->>'$.k' AS INT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+             min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    },
+
+    Q("f_array_funcs",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  embedding[1] AS first_el,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |              (a, b) -> a + b) AS el_sum,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |              (a, b) -> a + b) AS sq_sum,
+        |  embedding[1:4] AS head4
+        |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin) { (s, d) =>
+      // aggregate() is a left fold, as is DuckDB's list_reduce; folding in
+      // DOUBLE over float32 elements is deterministic and engine-identical
+      embeddings(s, d).select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_el"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("el_sum"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_sum"),
+          slice(col("embedding"), 1, 4).as("head4"))
+        .orderBy(col("vec_id")).limit(500)
+    },
+
+    // Approximate aggregates: HLL/quantile sketches are engine-specific, so
+    // no SQL oracle; ApproxSpec pins the error envelope against exact values.
+    Q.rowsOnly("f_approx_agg") { (s, d) =>
+      lineitem(s, d).agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+    },
+  )
+}
