@@ -14,7 +14,8 @@ import graft.ops._
 object SparkEntry {
 
   private def suites: Seq[Q] =
-    RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all
+    RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all ++
+      DedupOps.all ++ AnnOps.all ++ TextOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/** 64-bit SimHash over a token array as a native Catalyst expression.
+  *
+  * For each token a deterministic 64-bit hash is formed from two seeded
+  * 32-bit MurmurHash3 runs over the token's UTF-8 bytes; each of the 64 bit
+  * positions accumulates a ±1 vote across tokens; the signature bit is 1
+  * where the vote is positive. Near-duplicate texts differ in few tokens, so
+  * their signatures differ in few bits (compare via hamming distance).
+  *
+  * A Catalyst `Expression` (not a Scala UDF) so null handling, eval on
+  * `UTF8String` without row conversion, and filter pushdown around it stay
+  * native. CodegenFallback: the per-row cost is the hashing loop itself,
+  * which codegen would not meaningfully change.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        val lo = MurmurHash3.bytesHash(bytes, 0x9747b28c)
+        val hi = MurmurHash3.bytesHash(bytes, 0x85ebca6b)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column API: `simhash64(tokensCol)`. */
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * - `ann_bruteforce_topk` — exact cosine top-k for a query set: broadcast
+  *   the (small) query side against the full corpus, rank per query. This is
+  *   the correctness baseline and the pattern for "score 100 TB of corpus
+  *   against K probes": one scan, no corpus shuffle, TakeOrdered per query.
+  * - `ann_lsh_topk` — random-hyperplane LSH: 16-bit signatures from
+  *   deterministic hyperplanes, candidates = bucket collisions (multi-probe
+  *   via 4-bit bands), exact re-rank of candidates only. The scale path —
+  *   work ∝ bucket collision count, not corpus × queries. Recall vs the
+  *   brute-force baseline is pinned in AnnSpec.
+  */
+object AnnOps {
+  import Tables._
+
+  private val dims = 64
+
+  /** Deterministic ±1 hyperplane components, seeded driver-side: plane j is
+    * a 64-element literal array baked into the plan (tiny broadcast-free
+    * constant — same on every executor). */
+  private def hyperplane(j: Int): Column = {
+    val rnd = new scala.util.Random(1234 + j)
+    array((0 until dims).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
+  }
+
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
+    val na = sqrt(aggregate(a, lit(0.0), (p, x) => p + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (p, x) => p + x * x))
+    dot / (na * nb)
+  }
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  val all: Seq[Q] = Seq(
+
+    Q("ann_bruteforce_topk",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), (p, s) -> p + s)
+        |      / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (p, s) -> p + s))
+        |       * sqrt(list_reduce(list_transform(c.v, x -> x * x), (p, s) -> p + s))) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                cosine(col("qv"), col("v")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // LSH path: signature = 16 sign-bits of hyperplane projections; bucket
+    // join on 4-bit bands (multi-probe), exact cosine re-rank of candidates.
+    Q.rowsOnly("ann_lsh_topk") { (s, d) =>
+      val nPlanes = 16; val bandBits = 4
+      val e = vecs(s, d)
+      val projected = e.withColumn("sigbits", array((0 until nPlanes).map { j =>
+        (aggregate(zip_with(col("v"), hyperplane(j), (x, h) => x * h),
+          lit(0.0), (p, q) => p + q) >= 0).cast("int")
+      }: _*))
+      val withSig = projected.withColumn("sig",
+        expr("aggregate(sigbits, 0, (acc, b) -> acc * 2 + b)"))
+      val banded = withSig.select(col("vec_id"), col("v"), col("sig"),
+        posexplode(array((0 until nPlanes / bandBits).map(bd =>
+          shiftrightunsigned(col("sig"), bd * bandBits)
+            .bitwiseAND(lit((1 << bandBits) - 1))): _*)).as(Seq("band", "bkey")))
+      val q = banded.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+                col("band"), col("bkey"))
+      val cands = banded.join(broadcast(q),
+          Seq("band", "bkey")).where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                col("qv"), col("v")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      cands.withColumn("cos", cosine(col("qv"), col("v")))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+  )
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque binary
+  * columns with typed metadata, decoded/feature-extracted inside the
+  * executors via `mapPartitions` over a typed Dataset (the JVM analogue of
+  * `mapInPandas`: batch-shaped, partition-preserving, schema declared
+  * up-front).
+  *
+  * The codec itself is a clearly-marked STUB (no image/audio libraries in
+  * this container): `FakeCodec.decode` derives deterministic
+  * pseudo-metadata and features from the raw bytes. Everything around the
+  * stub — binary column handling, partitioning, the typed row shape, the
+  * downstream relational use of the extracted features — is real, which is
+  * what the DuckDB oracle checks (the fixtures are ASCII, so byte values
+  * equal character codes and the stub's arithmetic is SQL-replicable).
+  */
+object MultimodalOps {
+  import Tables._
+
+  /** STUB decoder: stands in for an image codec. Real integration point —
+    * swap `decode` for an actual library; the Spark plumbing (binary in,
+    * fixed-schema features out, executed per-partition) stays identical. */
+  object FakeCodec {
+    final case class Decoded(
+        doc_id: Long, width: Int, height: Int, channels: Int,
+        n_bytes: Long, head_sum: Long, mean_byte: Double, max_byte: Int)
+
+    def decode(docId: Long, payload: Array[Byte]): Decoded = {
+      val n = payload.length
+      // ??? real codec goes here — deterministic fake below
+      val head = payload.take(128)
+      val sum = head.foldLeft(0L)((a, b) => a + (b & 0xFF))
+      Decoded(
+        doc_id = docId,
+        width = 64 + n % 577,
+        height = 64 + (n * 7) % 479,
+        channels = 3,
+        n_bytes = n.toLong,
+        head_sum = sum,
+        mean_byte = if (head.isEmpty) 0.0 else sum.toDouble / head.length,
+        max_byte = if (head.isEmpty) 0 else head.map(_ & 0xFF).max)
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Binary ingest → per-partition decode → typed features → relational agg.
+    Q("mm_image_features",
+      """WITH dec AS (
+        |  SELECT doc_id, source,
+        |    64 + length(text) % 577 AS width,
+        |    64 + (length(text) * 7) % 479 AS height,
+        |    CAST(length(text) AS BIGINT) AS n_bytes,
+        |    list_reduce(list_transform(string_split_regex(substr(text, 1, 128), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS head_sum,
+        |    list_reduce(list_transform(string_split_regex(substr(text, 1, 128), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> greatest(a, b)) AS max_byte
+        |  FROM documents)
+        |SELECT source, count(*) AS n_images,
+        |  sum(width * height) AS total_pixels,
+        |  sum(head_sum * n_bytes) AS brightness_weight,
+        |  max(max_byte) AS peak_byte
+        |FROM dec GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val binary = documents(s, d)
+        .select(col("doc_id"), col("source"),
+                encode(col("text"), "UTF-8").as("payload"))
+      val decoded = binary
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => FakeCodec.decode(id, bytes) })
+        .toDF()
+      decoded
+        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+             sum(col("width").cast("long") * col("height")).as("total_pixels"),
+             sum(col("head_sum") * col("n_bytes")).as("brightness_weight"),
+             max(col("max_byte")).as("peak_byte"))
+        .orderBy(col("source"))
+    },
+
+    // Video-style frame sampling: metadata → sampled frame index expansion
+    // (sequence + explode — generation happens distributed, never on the
+    // driver), one row per sampled frame with its timestamp.
+    Q("mm_frame_sampling",
+      """WITH meta AS (
+        |  SELECT doc_id, 10 + doc_id % 110 AS duration_s, 30 AS fps
+        |  FROM documents WHERE doc_id < 200),
+        |frames AS (
+        |  SELECT doc_id, duration_s, CAST(unnest(range(0, duration_s * 30, 60)) AS BIGINT) AS frame_idx
+        |  FROM meta)
+        |SELECT doc_id, frame_idx,
+        |  CAST(frame_idx * 1000 / 30 AS BIGINT) AS ts_ms,
+        |  CAST(duration_s * 30 AS BIGINT) AS total_frames
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), (lit(10) + col("doc_id") % 110).as("duration_s"))
+        .withColumn("total_frames", (col("duration_s") * 30).cast("long"))
+        .select(col("doc_id"), col("total_frames"),
+          explode(expr("sequence(0, duration_s * 30 - 1, 60)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          (col("frame_idx").cast("long") * 1000 / 30).cast("long").as("ts_ms"),
+          col("total_frames"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Audio-style windowing: n_samples → 1024-sample frames with 512 hop;
+    // per-doc window count and coverage (pure integer arithmetic).
+    Q("mm_audio_windows",
+      """SELECT doc_id,
+        |  n_samples,
+        |  CAST(CASE WHEN n_samples < 1024 THEN 0
+        |       ELSE (n_samples - 1024) // 512 + 1 END AS BIGINT) AS n_windows,
+        |  CAST(CASE WHEN n_samples < 1024 THEN 0
+        |       ELSE ((n_samples - 1024) // 512) * 512 + 1024 END AS BIGINT) AS covered
+        |FROM (SELECT doc_id, CAST(16000 * (1 + doc_id % 30) AS BIGINT) AS n_samples
+        |      FROM documents WHERE doc_id < 500) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).where(col("doc_id") < 500)
+        .select(col("doc_id"),
+          (lit(16000) * (lit(1) + col("doc_id") % 30)).cast("long").as("n_samples"))
+        .withColumn("n_windows",
+          when(col("n_samples") < 1024, 0L)
+            .otherwise(expr("(n_samples - 1024) div 512 + 1")).cast("long"))
+        .withColumn("covered",
+          when(col("n_samples") < 1024, 0L)
+            .otherwise(expr("((n_samples - 1024) div 512) * 512 + 1024")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}

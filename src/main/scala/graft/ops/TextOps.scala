@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: quality scoring,
+  * language identification (marker-n-gram heuristic), token statistics, and
+  * rolling-hash document fingerprinting. All per-row arithmetic (integer
+  * counts, one IEEE division per ratio) so the DuckDB oracle matches
+  * bit-for-bit; everything stays inside whole-stage codegen.
+  */
+object TextOps {
+  import Tables._
+
+  /** occurrences of literal `m` in `s` via the length-difference trick —
+    * identical integer arithmetic in Spark and DuckDB. */
+  private def occSql(s: String, m: String): String =
+    s"CAST((length($s) - length(replace($s, '$m', ''))) / ${m.length} AS BIGINT)"
+
+  private val langMarkers = Seq(
+    "en" -> " the ", "de" -> " der ", "es" -> " el ",
+    "fr" -> " le ", "zh" -> " zh ")
+
+  val all: Seq[Q] = Seq(
+
+    Q("text_quality_score",
+      """SELECT doc_id,
+        |  length(text) AS n_char,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS tok_density,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CASE WHEN length(text) >= 100 AND length(text) <= 20000
+        |        AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |              / greatest(length(text), 1) < 0.1
+        |       THEN 1 ELSE 0 END AS quality_keep
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_char"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_tok"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast("long").as("n_punct"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')")))
+            .cast("long").as("n_space"))
+        .withColumn("tok_density",
+          col("n_tok").cast("double") / greatest(col("n_char"), lit(1)))
+        .withColumn("punct_ratio",
+          col("n_punct").cast("double") / greatest(col("n_char"), lit(1)))
+        .withColumn("quality_keep",
+          when(col("n_char").between(100, 20000) && col("punct_ratio") < 0.1, 1)
+            .otherwise(0))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language ID by marker-token counting with a fixed-preference argmax
+    // (CASE chain, ties resolve in declaration order) — the same chain in
+    // both engines, so the prediction is engine-identical even on ties.
+    Q("text_langid", {
+      val occs = langMarkers.map { case (l, m) =>
+        s"${occSql("concat(' ', lower(text), ' ')", m)} AS s_$l" }.mkString(",\n  ")
+      val maxExpr = langMarkers.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+      val caseChain = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $maxExpr THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $maxExpr = 0 THEN 'unk' $caseChain END AS pred_lang,
+         |  ${langMarkers.map(l => s"s_${l._1}").mkString(", ")}
+         |FROM (SELECT doc_id, lang, $occs FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val padded = "concat(' ', lower(text), ' ')"
+      val df = documents(s, d).select(col("doc_id") +: col("lang") +:
+        langMarkers.map { case (l, m) => expr(occSql(padded, m)).as(s"s_$l") }: _*)
+      val mx = greatest(langMarkers.map(l => col(s"s_${l._1}")): _*)
+      val pred = langMarkers.foldLeft(when(mx === 0, "unk")) {
+        case (acc, (l, _)) => acc.when(col(s"s_$l") === mx, l)
+      }
+      df.withColumn("pred_lang", pred)
+        .select(col("doc_id") +: col("lang") +: col("pred_lang") +:
+          langMarkers.map(l => col(s"s_${l._1}")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    Q("text_token_stats",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens,
+        |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS distinct_words,
+        |  length(text) AS n_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '\S+')), 1) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("bpeish_tokens"),
+          size(array_distinct(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+            .as("distinct_words"),
+          length(col("text")).as("n_chars"),
+          length(expr("replace(text, ' ', '')")).as("nosp_len"))
+        .withColumn("avg_tok_len",
+          col("nosp_len").cast("double") / greatest(col("ws_tokens"), lit(1)))
+        .drop("nosp_len")
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling polynomial fingerprint: left fold (acc*31 + byte) mod 1e9+7
+    // over the characters — identical fold in both engines; duplicate
+    // fingerprints would collapse to shared values (content addressing).
+    Q("text_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+          col("doc_id"),
+          expr("""aggregate(split(text, ''), cast(7 as bigint),
+                 |          (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+            .as("fp"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}
