@@ -28,12 +28,10 @@ object AnnOps {
     array((0 until dims).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
   }
 
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
-    val na = sqrt(aggregate(a, lit(0.0), (p, x) => p + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (p, x) => p + x * x))
-    dot / (na * nb)
-  }
+  import graft.functions.VectorOps.dot_d
+
+  private def cosine(a: Column, b: Column): Column =
+    dot_d(a, b) / (sqrt(dot_d(a, a)) * sqrt(dot_d(b, b)))
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
@@ -74,8 +72,7 @@ object AnnOps {
       val nPlanes = 16; val bandBits = 4
       val e = vecs(s, d)
       val projected = e.withColumn("sigbits", array((0 until nPlanes).map { j =>
-        (aggregate(zip_with(col("v"), hyperplane(j), (x, h) => x * h),
-          lit(0.0), (p, q) => p + q) >= 0).cast("int")
+        (dot_d(col("v"), hyperplane(j)) >= 0).cast("int")
       }: _*))
       val withSig = projected.withColumn("sig",
         expr("aggregate(sigbits, 0, (acc, b) -> acc * 2 + b)"))

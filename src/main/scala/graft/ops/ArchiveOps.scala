@@ -47,7 +47,11 @@ object ArchiveOps {
       val li = lineitem(s, d)
       val userPred = "l_discount > 0.02"
       val (mn, mx, cnt) = keyStats(li.where(userPred), "l_orderkey")
-      val batch = SplitPlanner.adjustBatchSize(mn, mx, cnt, 2000)
+      // batchSize 40000 = the reference's README example config; with
+      // maxThread 8 this plans a handful of coarse partitions (each scan
+      // below is one parquet pass — on a JDBC source each predicate is one
+      // remote cursor, so predicate count = partition count, not scan cost)
+      val batch = SplitPlanner.adjustBatchSize(mn, mx, cnt, 40000)
       val preds = SplitPlanner.keySplitPredicates("l_orderkey", batch, mn, mx, 8)
       preds.map(p => li.where(p).where(userPred))
         .reduce(_ union _)

@@ -19,12 +19,11 @@ import graft.functions.SimHash64
 object DedupOps {
   import Tables._
 
-  /** Word 5-gram shingles as a deduped array column (regexp tokenization
-    * mirrors the DuckDB oracle exactly). */
+  /** Word 5-gram shingles as a deduped array column (native single-pass
+    * expression; contents mirror the DuckDB oracle's DISTINCT grams). */
   private def wordShingles(textCol: String): Column =
-    array_distinct(expr(
-      s"""transform(sequence(1, greatest(size(regexp_extract_all($textCol, '\\\\S+', 0)) - 4, 1)),
-         |          u -> array_join(slice(regexp_extract_all($textCol, '\\\\S+', 0), u, 5), ' '))""".stripMargin))
+    graft.functions.VectorOps.word_ngrams(
+      expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"), 5)
 
   val all: Seq[Q] = Seq(
 
@@ -70,17 +69,19 @@ object DedupOps {
         |JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // shuffle 8-byte gram hashes, not gram strings (xxhash64 collisions
+      // are ~2⁻⁶⁵·n² — immaterial); each doc's shingle-set size rides along
+      // with the exploded rows, so no separate sizes relation or extra join
       val g = documents(s, d)
-        .select(col("doc_id"), explode(wordShingles("text")).as("gram"))
-      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .select(col("doc_id"), wordShingles("text").as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"),
+                explode(col("sh")).as("gram"))
+        .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
       val a = g.as("a"); val b = g.as("b")
-      val pairs = a.join(b,
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+                 col("a.sz").as("sz1"), col("b.sz").as("sz2"))
         .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
         .withColumn("jac",
           col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
         .where(col("jac") >= 0.5)
@@ -95,11 +96,12 @@ object DedupOps {
     // against the exact-Jaccard op.
     Q.rowsOnly("dedup_minhash_lsh") { (s, d) =>
       val nHash = 32; val bands = 8; val rows = nHash / bands
+      // fully-native signature: tokenize → per-token hash → rolling 5-gram
+      // mix → Kirsch–Mitzenmacher minhash, one pass, no shingle strings
       val withSig = documents(s, d)
-        .select(col("doc_id"), wordShingles("text").as("sh"))
-        .withColumn("sig", array((0 until nHash).map(j =>
-          expr(s"array_min(transform(sh, t -> xxhash64(t, $j)))")): _*))
-        .select(col("doc_id"), col("sig"))
+        .select(col("doc_id"),
+          graft.functions.VectorOps.minhash_shingled(
+            expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
       val banded = withSig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until bands).map(bd =>
           xxhash64(concat_ws(",",
@@ -144,7 +146,9 @@ object DedupOps {
     },
 
     // Embedding-cosine near-dup (baseline all-pairs; LSH scale path in
-    // AnnOps). Dot/norms are left folds in double → engine-identical.
+    // AnnOps). Dot/norms are left folds in double → engine-identical; the
+    // pair scoring runs through the native dot_d expression, norms are
+    // precomputed once per vector.
     Q("dedup_embedding_cosine",
       """WITH e AS (
         |  SELECT vec_id,
@@ -159,15 +163,14 @@ object DedupOps {
         |WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
         |              (p, q) -> p + q) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.dot_d
       val e = embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(v, cast(0.0 as double), (p, x) -> p + x * x)")))
+        .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (p, q) -> p + q)")
-            / (col("a.nrm") * col("b.nrm"))).as("cos"))
+          (dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= 0.4)
         .orderBy(col("v1"), col("v2"))
     },
