@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.ArchiverConfig
+import graft.dml.DeleteBack
+import graft.metrics.MetricsRecorder
+import graft.plan.{ArchivePlanner, EmptyTablePlan, KeySplitPlan, TimeSplitPlan}
+import graft.sink.{Retry, StagedLoader}
+import graft.source.TableSource
+import graft.verify.Reconciler
+
+/** The worker/driver orchestration (SURVEY.md §3): discovery → idempotency
+  * gate → per-table plan/scan/stage/load → reconciliation → optional
+  * delete-back.
+  *
+  * Execution shape vs the reference (worker/worker.go):
+  *  - key-split: the whole predicate array goes into ONE partitioned scan —
+  *    Spark's scheduler replaces the goroutine fan-out and bounds
+  *    parallelism by executor cores (flagged upgrade, SURVEY §7.5). The
+  *    ingest is a single distributed stage→load, retried as a unit.
+  *  - time-split: sequential loop over window predicates, one staged load
+  *    per window with `batchMaxInterval` pacing — the reference's
+  *    single-threaded-by-design path, preserved.
+  */
+final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
+    src: TableSource, loader: StagedLoader,
+    stagingRoot: String, pacingSleep: Long => Unit = Thread.sleep,
+    deleteBackFn: (String, String, String) => Long = (_, _, _) => 0L) {
+
+  final case class TableReport(db: String, table: String, rowsLoaded: Long)
+  final case class RunReport(tables: Seq[TableReport],
+      reconciliation: Reconciler.Result,
+      deletedBack: Long, metrics: MetricsRecorder.Snapshot)
+
+  /** Resolve the (db, table) work list: explicit config pair plus
+    * `db@table` regex expansion (cmd/main.go:54-71). */
+  def discoverTables(): Seq[(String, String)] = {
+    val explicit =
+      if (cfg.sourceDB.nonEmpty && cfg.sourceTable.nonEmpty)
+        Seq(cfg.sourceDB -> cfg.sourceTable)
+      else Seq.empty
+    val expanded = src.expandDbTables(cfg.sourceDbTables)
+      .toSeq.flatMap { case (db, ts) => ts.map(db -> _) }
+    (explicit ++ expanded).distinct
+  }
+
+  def run(): RunReport = {
+    val rec = MetricsRecorder.attach(spark)
+    try {
+      // idempotency gate (cmd/main.go:74-82)
+      val pre = loader.syncedCount(cfg.sourceWhereCondition)
+      require(pre == 0,
+        s"target already has $pre rows matching the predicate; refusing to run")
+
+      val tables = discoverTables()
+      require(tables.nonEmpty, "no tables resolved from config")
+
+      val reports = tables.map { case (db, t) => archiveTable(db, t) }
+
+      val sourceTotal = tables.map { case (db, t) =>
+        src.count(db, t, cfg.sourceWhereCondition)
+      }.sum
+      val targetTotal = loader.targetCount(cfg.sourceWhereCondition)
+      val rc = Reconciler.reconcile(sourceTotal, targetTotal)
+
+      val deleted =
+        if (rc.correct && cfg.deleteAfterSync)
+          tables.map { case (db, t) =>
+            deleteBackFn(db, t, cfg.sourceWhereCondition)
+          }.sum
+        else 0L
+
+      RunReport(reports, rc, deleted, rec.snapshot)
+    } finally MetricsRecorder.detach(spark, rec)
+  }
+
+  private def archiveTable(db: String, table: String): TableReport = {
+    val plan = ArchivePlanner.plan(src, cfg, db, table)
+    val loaded = plan match {
+      case EmptyTablePlan => 0L
+      case KeySplitPlan(preds, _, _, _) =>
+        val batch = src.scan(db, table, preds, cfg.sourceWhereCondition)
+        Retry.withRetry(maxAttempts = 5, initialDelayMs = 100, sleep = pacingSleep) {
+          loader.ingest(batch, s"$stagingRoot/$db.$table")
+        }
+      case TimeSplitPlan(windows) =>
+        // sequential by design (worker/worker.go:140-143)
+        windows.zipWithIndex.map { case (w, i) =>
+          val batch = src.scan(db, table, Seq(w), cfg.sourceWhereCondition)
+          val n = Retry.withRetry(maxAttempts = 5, initialDelayMs = 100, sleep = pacingSleep) {
+            loader.ingest(batch, s"$stagingRoot/$db.$table.w$i")
+          }
+          if (cfg.batchMaxInterval > 0 && i < windows.size - 1)
+            pacingSleep(cfg.batchMaxInterval * 1000L)
+          n
+        }.sum
+    }
+    TableReport(db, table, loaded)
+  }
+}
+
+object Archiver {
+  /** Sandbox wiring: parquet fixtures as the source, a parquet dir as the
+    * warehouse target. Delete-back rewrites the source table (K5/K6) —
+    * note it mutates `sourceDir`, so tests copy fixtures first. */
+  def parquet(spark: SparkSession, cfg: ArchiverConfig,
+      sourceDir: String, targetDir: String, stagingRoot: String,
+      sinkSchema: org.apache.spark.sql.types.StructType,
+      pacingSleep: Long => Unit = Thread.sleep): Archiver = {
+    val src = new graft.source.ParquetTableSource(spark, sourceDir)
+    val loader = new StagedLoader(spark, targetDir, sinkSchema)
+    new Archiver(spark, cfg, src, loader, stagingRoot, pacingSleep,
+      deleteBackFn = (db, table, where) =>
+        DeleteBack.deleteFromParquet(spark, s"$sourceDir/$table.parquet", where))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.ArchiverConfig
+
+/** CLI entry point (cmd/main.go equivalent): load + validate config, run
+  * the archive pipeline against a parquet source/target (the sandbox
+  * deployment; a JDBC deployment swaps the TableSource/loader wiring),
+  * print reconciliation and wall-clock.
+  *
+  * Usage: runMain graft.Main <conf.json> <sourceDir> <targetDir>
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    val Array(confPath, sourceDir, targetDir) = args.take(3)
+    val cfg = ArchiverConfig.fromJson(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(confPath)))
+      .fold(e => sys.error(s"config: $e"), identity)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-archiver")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      // sink schema = source table schema (pre-existing warehouse table)
+      val sinkSchema = spark.read
+        .parquet(s"$sourceDir/${cfg.sourceTable}.parquet").schema
+      val archiver = Archiver.parquet(spark, cfg, sourceDir, targetDir,
+        staging(targetDir), sinkSchema)
+      val report = archiver.run()
+      report.tables.foreach(t =>
+        println(s"[archive] ${t.db}.${t.table}: ${t.rowsLoaded} rows"))
+      val rc = report.reconciliation
+      println(s"[reconcile] source=${rc.sourceRows} target=${rc.targetRows} " +
+        s"correct=${rc.correct} deletedBack=${report.deletedBack}")
+      val m = report.metrics
+      println(f"[metrics] read=${m.rowsRead} rows (${m.readRowsPerSec}%.0f rows/s) " +
+        s"written=${m.bytesWritten} bytes")
+      println(f"[done] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (!rc.correct) sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def staging(targetDir: String): String = s"$targetDir.staging"
+}

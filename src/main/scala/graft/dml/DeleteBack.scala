@@ -1,0 +1,60 @@
+package graft.dml
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Delete-after-sync (SURVEY.md §2 K5-K7). On MySQL the reference deletes
+  * in rate-limited batches of `LIMIT min(batch, remaining)` with
+  * `batchMaxInterval`-second sleeps (source/mysql.go:134-172); other
+  * dialects issue one unbatched DELETE (postgres.go:174-187 etc).
+  *
+  * Two faces here:
+  *  - [[batchPlan]] — the pure batching/pacing schedule (unit-testable,
+  *    and what a JDBC executor would run statement-by-statement);
+  *  - [[deleteFromParquet]] — the sandbox execution: a table rewrite
+  *    keeping only the anti-predicate rows (what DELETE means for an
+  *    immutable-file table; a real table format makes this transactional).
+  */
+object DeleteBack {
+
+  final case class DeleteBatch(limit: Long, sleepSecondsAfter: Int)
+
+  /** The mysql-path schedule: total rows under the predicate, deleted in
+    * `min(batch, remaining)` chunks, pacing sleep between chunks. */
+  def batchPlan(totalRows: Long, batchSize: Long, pacingSeconds: Int): Seq[DeleteBatch] = {
+    val out = Seq.newBuilder[DeleteBatch]
+    var remaining = totalRows
+    while (remaining > 0) {
+      val n = math.min(batchSize, remaining)
+      remaining -= n
+      out += DeleteBatch(n, if (remaining > 0) pacingSeconds else 0)
+    }
+    out.result()
+  }
+
+  /** Batched delete statements for a JDBC executor (dialect-generic). */
+  def deleteSql(db: String, table: String, where: String, limit: Option[Long]): String =
+    limit match {
+      case Some(n) => s"DELETE FROM $db.$table WHERE $where LIMIT $n"
+      case None    => s"DELETE FROM $db.$table WHERE $where"
+    }
+
+  /** Sandbox execution over a parquet "table": rewrite with the predicate's
+    * complement. Returns rows deleted. */
+  def deleteFromParquet(spark: SparkSession, path: String, where: String): Long = {
+    val df = spark.read.parquet(path)
+    val keep = df.where(s"NOT ($where)")
+    val deleted = df.count() - keep.count()
+    val tmp = path + ".rewrite"
+    keep.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    delete(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      sys.error(s"rewrite rename failed for $path")
+    deleted
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete(): Unit
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The sink side of the pipeline (SURVEY.md §2 K1-K4): NDJSON staging,
+  * schema-aligned bulk append, classified retry, and the idempotency gate.
+  *
+  * Staging + load mirrors the reference's stage-upload + COPY INTO
+  * (ingester/ingest_databend.go:106-195): the batch is written as NDJSON to
+  * a staging directory, then loaded into the target with column alignment
+  * by name — absent columns take defaults (`missing_field_as =
+  * FIELD_DEFAULT`), unknown columns are dropped. `purge` deletes the
+  * staging files after a successful load (COPY ... PURGE = true).
+  *
+  * Scale note: both hops are distributed writes/reads; the driver never
+  * holds data. On a cluster the staging dir is object storage and the
+  * target is a table format's append — the commit is the only
+  * serialization point.
+  */
+final class StagedLoader(spark: SparkSession, targetDir: String,
+    sinkSchema: StructType, defaults: Map[String, Any] = Map.empty,
+    purge: Boolean = true) {
+
+  /** Idempotency pre-check (cmd/main.go:74-82): refuse to start when the
+    * target already holds rows matching the predicate. */
+  def syncedCount(where: String): Long =
+    if (!new java.io.File(targetDir).exists()) 0L
+    else spark.read.schema(sinkSchema).parquet(targetDir).where(where).count()
+
+  /** Stage one batch as NDJSON and load it, returning rows loaded. */
+  def ingest(batch: DataFrame, stagingDir: String): Long = {
+    if (batch.isEmpty) return 0L // empty-batch no-op (ingest_databend.go:78-80)
+    batch.write.mode(SaveMode.Overwrite).json(stagingDir) // K1: df.write.json = NDJSON
+    val loaded = copyInto(stagingDir)
+    if (purge) deleteRecursively(new java.io.File(stagingDir))
+    loaded
+  }
+
+  /** K2: NDJSON staging → aligned append into the target. */
+  private def copyInto(stagingDir: String): Long = {
+    val raw = spark.read.schema(stagingSchema).json(stagingDir)
+    val aligned = align(raw)
+    aligned.write.mode(SaveMode.Append).parquet(targetDir)
+    raw.count()
+  }
+
+  /** Read NDJSON with the sink's types but tolerate missing fields. */
+  private def stagingSchema: StructType =
+    StructType(sinkSchema.fields.map(_.copy(nullable = true)))
+
+  /** FIELD_DEFAULT alignment: select sink columns by name; a column absent
+    * from the batch takes its configured default (else null). */
+  def align(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    df.select(sinkSchema.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(defaults.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  def targetCount(where: String = "true"): Long = syncedCount(where)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
+
+object Retry {
+  /** Error classification (ingest_databend.go:25-29,206-241): only
+    * staged-load failures retry; everything else propagates. Backoff
+    * doubles from 1s up to maxDelay, at most maxAttempts tries. */
+  final case class RetryableIngestError(stage: String, cause: Throwable)
+      extends RuntimeException(s"retryable $stage failure: ${cause.getMessage}", cause)
+
+  def withRetry[A](maxAttempts: Int = 500,
+      initialDelayMs: Long = 1000,
+      maxDelayMs: Long = 60 * 60 * 1000,
+      sleep: Long => Unit = Thread.sleep)(body: => A): A = {
+    var attempt = 0
+    var delay = initialDelayMs
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: RetryableIngestError if attempt < maxAttempts =>
+          sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+        case e: RetryableIngestError => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.source
+
+/** Per-DBMS dialect profiles (SURVEY.md §2 S1-S8): how to build the JDBC
+  * url, quote identifiers, discover catalogs, and push the planning
+  * aggregates. Pure data + string builders — the network side is owned by
+  * `spark.read.jdbc`, so each profile is testable without a live server.
+  *
+  * Reference behavior being reproduced (citations into /root/reference):
+  *  - factory dispatch, default mysql  — source/source.go:31-46
+  *  - database/table discovery SQL     — source/mysql.go:298-351,
+  *    postgres.go:307-364, sql_server.go:398-499, oracle.go:312-369
+  *  - count/min-max planning SQL       — source/mysql.go:67-114 et al.
+  *  - NOLOCK/dirty-read hint           — source/sql_server.go:231,291
+  */
+sealed trait JdbcDialect {
+  def name: String
+  def driverUrl(host: String, port: Int, user: String, pass: String, db: String): String
+  def quote(ident: String): String = ident
+  def qualify(db: String, table: String): String = s"$db.$table"
+  /** SQL listing databases (regex filtering happens client-side, like the
+    * reference's regexp.MatchString over the result). */
+  def listDatabasesSql: String
+  def listTablesSql(db: String): String
+  def countSql(db: String, table: String, where: String): String =
+    s"SELECT count(*) FROM ${qualify(db, table)} WHERE $where"
+  def minMaxSql(key: String, db: String, table: String, where: String): String =
+    s"SELECT MIN($key), MAX($key) FROM ${qualify(db, table)} WHERE $where"
+  def minMaxTimeSql(key: String, db: String, table: String, where: String): String =
+    s"SELECT MIN($key), MAX($key) FROM ${qualify(db, table)} WHERE $where"
+  /** Extra options for spark.read.jdbc (isolation, fetchsize). */
+  def scanOptions: Map[String, String] = Map("fetchsize" -> "10000")
+}
+
+case object MySqlDialect extends JdbcDialect {
+  val name = "mysql"
+  def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
+    s"jdbc:mysql://$h:$p/$db?user=$u&password=${java.net.URLEncoder.encode(pw, "UTF-8")}"
+  val listDatabasesSql = "SHOW DATABASES"
+  def listTablesSql(db: String) = s"SHOW TABLES FROM $db"
+}
+
+case object PostgresDialect extends JdbcDialect {
+  val name = "pg"
+  def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
+    s"jdbc:postgresql://$h:$p/$db?user=$u&password=${java.net.URLEncoder.encode(pw, "UTF-8")}"
+  val listDatabasesSql =
+    "SELECT datname FROM pg_database WHERE datistemplate = false"
+  def listTablesSql(db: String) =
+    "SELECT tablename FROM pg_tables WHERE schemaname NOT IN ('pg_catalog', 'information_schema')"
+  override def minMaxSql(key: String, db: String, table: String, where: String) =
+    s"SELECT COALESCE(MIN($key), 0), COALESCE(MAX($key), 0) FROM ${qualify(db, table)} WHERE $where"
+}
+
+case object SqlServerDialect extends JdbcDialect {
+  val name = "mssql"
+  def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
+    s"jdbc:sqlserver://$h:$p;databaseName=$db;user=$u;password=$pw"
+  override def quote(ident: String) = s"[$ident]"
+  override def qualify(db: String, table: String) =
+    if (table.contains(".")) s"[$db].$table" else s"[$db].dbo.[$table]"
+  val listDatabasesSql =
+    """SELECT name FROM sys.databases
+      |WHERE state = 0 AND HAS_DBACCESS(name) = 1
+      |  AND name NOT IN ('master', 'tempdb', 'model', 'msdb')""".stripMargin
+  def listTablesSql(db: String) =
+    s"SELECT SCHEMA_NAME(schema_id) + '.' + name FROM [$db].sys.tables"
+  /** Dirty-read scan (reference WITH (NOLOCK)). */
+  override def scanOptions: Map[String, String] =
+    Map("fetchsize" -> "10000", "isolationLevel" -> "READ_UNCOMMITTED")
+}
+
+case object OracleDialect extends JdbcDialect {
+  val name = "oracle"
+  def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
+    s"jdbc:oracle:thin:$u/$pw@$h:$p/$db"
+  val listDatabasesSql = "SELECT username FROM all_users"
+  def listTablesSql(db: String) =
+    s"SELECT table_name FROM all_tables WHERE owner = '${db.toUpperCase}'"
+  override def minMaxSql(key: String, db: String, table: String, where: String) =
+    s"SELECT COALESCE(MIN($key), 0), COALESCE(MAX($key), 0) FROM ${qualify(db, table)} WHERE $where"
+}
+
+object JdbcDialect {
+  /** Factory dispatch — tidb shares the mysql profile; unknown → mysql
+    * (reference default, source/source.go:31-46). */
+  def forType(databaseType: String): JdbcDialect = databaseType match {
+    case "pg"     => PostgresDialect
+    case "mssql"  => SqlServerDialect
+    case "oracle" => OracleDialect
+    case _        => MySqlDialect // mysql, tidb, default
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.config.ArchiverConfig
+import graft.dml.DeleteBack
+import graft.sink.{Retry, StagedLoader}
+
+/** End-to-end pipeline tests in the spirit of the reference's workflow
+  * tests (cmd/main_test.go): seed a source, run the archiver, golden-check
+  * the target count, then the delete-back effect. */
+class ArchiveE2ESpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-e2e").toString
+
+  private def copyFixture(table: String, destDir: String): Unit = {
+    spark.read.parquet(s"$sf/$table.parquet")
+      .write.mode("overwrite").parquet(s"$destDir/$table.parquet")
+  }
+
+  test("key-split archive: orders → target, counts reconcile") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    copyFixture("orders", srcDir)
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "orders",
+      sourceWhereCondition = "o_totalprice > 1000",
+      sourceSplitKey = "o_orderkey", batchSize = 200, maxThread = 4)
+    val schema = spark.read.parquet(s"$srcDir/orders.parquet").schema
+    val archiver = Archiver.parquet(spark, cfg, srcDir, tgt, tgt + ".stg",
+      schema, pacingSleep = _ => ())
+    val report = archiver.run()
+
+    val expected = spark.read.parquet(s"$srcDir/orders.parquet")
+      .where("o_totalprice > 1000").count()
+    assert(report.reconciliation.correct, report.reconciliation)
+    assert(report.reconciliation.targetRows == expected)
+    assert(report.tables.head.rowsLoaded == expected)
+    assert(report.metrics.rowsRead > 0)
+  }
+
+  test("time-split archive: events windows load sequentially and reconcile") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    // events.ts needs the µs conversion — write a converted copy
+    graft.ops.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "events",
+      sourceWhereCondition =
+        "ts >= '2024-01-02 00:00:00' and ts < '2024-01-05 00:00:00'",
+      sourceSplitTimeKey = "ts", timeSplitUnit = "day", batchSize = 1000)
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val archiver = Archiver.parquet(spark, cfg, srcDir, tgt, tgt + ".stg",
+      schema, pacingSleep = _ => ())
+    val report = archiver.run()
+
+    val expected = spark.read.parquet(s"$srcDir/events.parquet")
+      .where("ts >= '2024-01-02 00:00:00' and ts < '2024-01-05 00:00:00'").count()
+    assert(expected > 0)
+    assert(report.reconciliation.correct, report.reconciliation)
+    assert(report.reconciliation.targetRows == expected)
+  }
+
+  test("idempotency gate refuses a second run into a non-empty target") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    copyFixture("nation", srcDir)
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "nation",
+      sourceWhereCondition = "n_nationkey >= 0",
+      sourceSplitKey = "n_nationkey", batchSize = 10)
+    val schema = spark.read.parquet(s"$srcDir/nation.parquet").schema
+    def mk() = Archiver.parquet(spark, cfg, srcDir, tgt, tgt + ".stg",
+      schema, pacingSleep = _ => ())
+    assert(mk().run().reconciliation.correct)
+    val e = intercept[IllegalArgumentException] { mk().run() }
+    assert(e.getMessage.contains("refusing"))
+  }
+
+  test("multi-table regex expansion archives into one shared target") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    copyFixture("region", srcDir); copyFixture("nation", srcDir)
+    val db = new java.io.File(srcDir).getName
+    val cfg = ArchiverConfig(
+      sourceDbTables = Seq(s"$db@^(region|nation)$$"),
+      sourceWhereCondition = "1 = 1",
+      sourceSplitKey = "key", batchSize = 10)
+    // shared sink schema: the union shape (reference loads heterogeneous
+    // tables into one pre-created table; here both keyed tables align)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val src = new graft.source.ParquetTableSource(spark, srcDir) {
+      override def scan(dbx: String, t: String, preds: Seq[String], userPred: String) = {
+        val base = t match {
+          case "region" => spark.read.parquet(s"$srcDir/region.parquet")
+            .selectExpr("r_regionkey as key", "r_name as name")
+          case "nation" => spark.read.parquet(s"$srcDir/nation.parquet")
+            .selectExpr("n_nationkey as key", "n_name as name")
+        }
+        val withUser = base.where(if (userPred.isEmpty) "true" else userPred)
+        if (preds.isEmpty) withUser
+        else withUser.where(preds.map(p => s"($p)").mkString(" OR "))
+      }
+      override def count(dbx: String, t: String, where: String): Long =
+        scan(dbx, t, Seq.empty, where).count()
+      override def minMaxKey(dbx: String, t: String, key: String, where: String) = {
+        val r = scan(dbx, t, Seq.empty, where)
+          .agg(org.apache.spark.sql.functions.min(key),
+               org.apache.spark.sql.functions.max(key)).head()
+        (BigInt(r.getInt(0)), BigInt(r.getInt(1)))
+      }
+    }
+    val loader = new StagedLoader(spark, tgt, schema)
+    val archiver = new Archiver(spark, cfg, src, loader, tgt + ".stg",
+      pacingSleep = _ => ())
+    val report = archiver.run()
+    assert(report.tables.map(_.table).sorted == Seq("nation", "region"))
+    assert(report.reconciliation.correct)
+    assert(report.reconciliation.targetRows == 30) // 25 nations + 5 regions
+  }
+
+  test("delete-back removes archived rows from the source") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    copyFixture("supplier", srcDir)
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "supplier",
+      sourceWhereCondition = "s_suppkey <= 5",
+      sourceSplitKey = "s_suppkey", batchSize = 2,
+      deleteAfterSync = true)
+    val schema = spark.read.parquet(s"$srcDir/supplier.parquet").schema
+    val before = spark.read.parquet(s"$srcDir/supplier.parquet").count()
+    val report = Archiver.parquet(spark, cfg, srcDir, tgt, tgt + ".stg",
+      schema, pacingSleep = _ => ()).run()
+    assert(report.reconciliation.correct)
+    assert(report.deletedBack == report.reconciliation.targetRows)
+    val after = spark.read.parquet(s"$srcDir/supplier.parquet").count()
+    assert(after == before - report.deletedBack)
+    assert(spark.read.parquet(s"$srcDir/supplier.parquet")
+      .where("s_suppkey <= 5").count() == 0)
+  }
+
+  test("retry: only classified ingest errors retry, with doubling backoff") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Retry.withRetry(maxAttempts = 5, initialDelayMs = 100,
+        sleep = sleeps.append(_)) {
+      calls += 1
+      if (calls < 3) throw Retry.RetryableIngestError("upload", new RuntimeException("boom"))
+      42
+    }
+    assert(out == 42 && calls == 3)
+    assert(sleeps.toSeq == Seq(100L, 200L))
+    // non-retryable propagates immediately
+    intercept[RuntimeException] {
+      Retry.withRetry(maxAttempts = 5, sleep = _ => ())(
+        throw new RuntimeException("fatal"))
+    }
+  }
+
+  test("delete-back batch plan: min(batch, remaining) with pacing between") {
+    val plan = DeleteBack.batchPlan(totalRows = 25, batchSize = 10, pacingSeconds = 3)
+    assert(plan.map(_.limit) == Seq(10L, 10L, 5L))
+    assert(plan.map(_.sleepSecondsAfter) == Seq(3, 3, 0))
+    assert(DeleteBack.deleteSql("db", "t", "id < 5", Some(10)) ==
+      "DELETE FROM db.t WHERE id < 5 LIMIT 10")
+  }
+}
