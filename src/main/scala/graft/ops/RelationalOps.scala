@@ -260,5 +260,95 @@ object RelationalOps {
         .union(mk("except", urgent.except(high)))
         .orderBy(col("op"))
     },
+
+    Q("q14_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+                Seq(col("o_orderstatus")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(dec2)).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+                   col("o_orderpriority").asc_nulls_first)
+    },
+
+    // pivot: priorities to columns (fixed value list in both engines)
+    Q("q15_pivot",
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS urgent,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .pivot(col("o_orderpriority"), Seq("1-URGENT", "5-LOW"))
+          .agg(sum(col("o_totalprice").cast(dec2)))
+          .withColumnRenamed("1-URGENT", "urgent")
+          .withColumnRenamed("5-LOW", "low")
+          .orderBy(col("o_orderstatus"))
+    },
+
+    // uncorrelated scalar subquery: orders above the global average price
+    Q("q16_scalar_subquery",
+      """SELECT o_orderstatus, count(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val avgDf = o.agg(
+        (sum(col("o_totalprice").cast(dec2)).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .where(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // unionByName across differently-ordered projections
+    Q("q17_union_by_name",
+      """SELECT k, count(*) AS n, sum(CAST(v AS DECIMAL(18,2))) AS total FROM (
+        |  SELECT o_orderstatus AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1
+        |) t GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val evens = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderstatus").as("k"), col("o_totalprice").as("v"))
+      val odds = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_totalprice").as("v"), col("o_orderstatus").as("k")) // reversed
+      evens.unionByName(odds)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec2)).as("total"))
+        .orderBy(col("k"))
+    },
+
+    // full outer join of two per-nation aggregates
+    Q("q18_full_outer",
+      """SELECT coalesce(s.k, c.k) AS nationkey,
+        |  coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+        |FROM (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |FULL OUTER JOIN (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |ON s.k = c.k
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val su = supplier(s, d).groupBy(col("s_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_supp"))
+      val cu = customer(s, d).groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      su.as("s").join(cu.as("c"), col("s.k") === col("c.k"), "full_outer")
+        .select(coalesce(col("s.k"), col("c.k")).as("nationkey"),
+                coalesce(col("n_supp"), lit(0)).as("n_supp"),
+                coalesce(col("n_cust"), lit(0)).as("n_cust"))
+        .orderBy(col("nationkey"))
+    },
   )
 }
