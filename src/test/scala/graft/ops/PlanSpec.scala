@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan quality gates: the properties that make these operators
+  * survive a 100× scale-up must be visible in the plan, not assumed —
+  * pushdown reaching the parquet scan, column pruning, broadcast joins for
+  * dimension tables, TakeOrdered for top-k, partial aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: filter pushed to parquet, columns pruned, partial agg before shuffle") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned:\n" + p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q6_star_join: dimension tables broadcast, no shuffle join") {
+    val p = planOf("q6_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q5_join_agg_topk: customer side broadcast; fact tables filtered at scan") {
+    val p = planOf("q5_join_agg_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem date filter must reach the scan:\n" + p)
+  }
+
+  test("q12_topk: TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s2_partition_scan: planner range predicates reach the parquet scan") {
+    val p = planOf("s2_partition_scan")
+    assert(p.contains("GreaterThanOrEqual(l_orderkey"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q7_semi_join / q8_anti_join plan as semi/anti joins") {
+    assert(planOf("q7_semi_join").contains("LeftSemi"), planOf("q7_semi_join"))
+    assert(planOf("q8_anti_join").contains("LeftAnti"), planOf("q8_anti_join"))
+  }
+
+  test("whole-stage codegen is active in the scalar pipeline") {
+    val df = SparkEntry.queries("text_quality_score")(spark, sf)
+    df.collect() // materialize THIS plan so AQE finalizes it (count() would build its own)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), "no WholeStageCodegen spans in:\n" + p)
+  }
+}
