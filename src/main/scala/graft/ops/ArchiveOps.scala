@@ -352,6 +352,33 @@ object ArchiveOps {
         .orderBy(col("o_orderstatus"))
     },
 
+    // O2-adjacent scale technique: salted join for skewed keys. The salt
+    // spreads one hot key over N shuffle partitions (fact side: derived
+    // deterministic salt; dim side: exploded ×N) — result-identical to the
+    // plain join, which is exactly what the oracle checks. At 100 TB this
+    // (or AQE skew-join) is what keeps one executor from owning the hot key.
+    Q("o2_salted_join",
+      """SELECT e.user_id, count(*) AS n_events,
+        |  sum(CAST(e.value AS DECIMAL(18,2))) AS total_value,
+        |  min(d.first_type) AS first_type
+        |FROM events e
+        |JOIN (SELECT user_id, min(event_type) AS first_type FROM events GROUP BY user_id) d
+        |  ON e.user_id = d.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val salts = 8
+      val dim = ev.groupBy(col("user_id"))
+        .agg(min(col("event_type")).as("first_type"))
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      val fact = ev.withColumn("salt", (col("event_id") % salts).cast("int"))
+      fact.join(dim, Seq("user_id", "salt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).as("total_value"),
+             min(col("first_type")).as("first_type"))
+        .orderBy(col("user_id"))
+    },
+
     // K5/K6: delete-after-sync observable effect — rows surviving a batched
     // predicate delete are exactly the anti-filter of the predicate.
     Q("k5_delete_back_effect",

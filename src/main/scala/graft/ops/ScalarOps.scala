@@ -136,6 +136,27 @@ object ScalarOps {
         .orderBy(col("vec_id")).limit(500)
     },
 
+    // Map functions: build → lookup → keys/size. Final columns are scalar so
+    // the oracle compares plain values (DuckDB's map type differs in
+    // representation; the lookups are what matters).
+    Q("f_map_funcs",
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 AS VARCHAR) AS a_val,
+        |  CAST(doc_id % 3 AS VARCHAR) AS b_val,
+        |  2 AS n_keys,
+        |  'a,b' AS keys_joined
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("m", expr(
+          "str_to_map(concat('a:', doc_id % 5, ',b:', doc_id % 3), ',', ':')"))
+        .select(col("doc_id"),
+          element_at(col("m"), "a").as("a_val"),
+          element_at(col("m"), "b").as("b_val"),
+          size(col("m")).as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys_joined"))
+        .orderBy(col("doc_id")).limit(500)
+    },
+
     // Approximate aggregates: HLL/quantile sketches are engine-specific, so
     // no SQL oracle; ApproxSpec pins the error envelope against exact values.
     Q.rowsOnly("f_approx_agg") { (s, d) =>

@@ -112,6 +112,27 @@ class PlannerSpec extends AnyFunSuite {
     assert(!useThreadSlicing(0, 1000, 100, 10))
   }
 
+  // ---- unsigned 64-bit edge (SURVEY §7.4: NullUint64 has no JVM
+  // primitive; BigInt carries the top half of the uint64 range) ------------
+  test("planners handle keys above Long.MaxValue up to uint64 max") {
+    val uMax = BigInt("18446744073709551615") // 2^64 - 1
+    val lo = uMax - 25
+    val conds = splitCondition("id", 10, lo, uMax)
+    assert(conds.head == s"(id >= $lo and id < ${lo + 10})")
+    // 3 open ranges cover [lo, lo+30); the trailing closed range is
+    // degenerate (start > max) — reference loop shape, preserved
+    assert(conds == Seq(
+      s"(id >= $lo and id < ${lo + 10})",
+      s"(id >= ${lo + 10} and id < ${lo + 20})",
+      s"(id >= ${lo + 20} and id < ${lo + 30})",
+      s"(id >= ${lo + 30} and id <= $uMax)"))
+    val slices = slimRanges(4, lo, uMax)
+    assert(slices.length == 4 && slices.last._2 == uMax)
+    val lazyConds = splitConditionLazy("id", 10, lo, uMax, uMax).toSeq
+    assert(lazyConds.last.endsWith(s"<= $uMax)"))
+    assert(adjustBatchSize(lo, uMax, 2, 1000) == BigInt(26)) // whole tiny range
+  }
+
   // ---- properties: tiling correctness ------------------------------------
   private case class Range(lo: BigInt, hi: BigInt, closedHi: Boolean) {
     def contains(k: BigInt): Boolean =
