@@ -34,7 +34,7 @@ object AnnOps {
     dot_d(a, b) / (sqrt(dot_d(a, a)) * sqrt(dot_d(b, b)))
 
   private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), col("label"),
+    Tables.fan(s, embeddings(s, d)).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
 
   val all: Seq[Q] = Seq(

@@ -219,7 +219,7 @@ object ArchiveOps {
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, d) =>
-        val li = lineitem(s, d)
+        val li = Tables.fan(s, lineitem(s, d))
         val schema = li.schema
         li.select(to_json(struct(li.columns.map(col): _*)).as("line"))
           .select(from_json(col("line"), schema).as("r"))

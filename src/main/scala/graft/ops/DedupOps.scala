@@ -72,7 +72,7 @@ object DedupOps {
       // shuffle 8-byte gram hashes, not gram strings (xxhash64 collisions
       // are ~2⁻⁶⁵·n² — immaterial); each doc's shingle-set size rides along
       // with the exploded rows, so no separate sizes relation or extra join
-      val g = documents(s, d)
+      val g = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), wordShingles("text").as("sh"))
         .select(col("doc_id"), size(col("sh")).as("sz"),
                 explode(col("sh")).as("gram"))
@@ -98,7 +98,7 @@ object DedupOps {
       val nHash = 32; val bands = 8; val rows = nHash / bands
       // fully-native signature: tokenize → per-token hash → rolling 5-gram
       // mix → Kirsch–Mitzenmacher minhash, one pass, no shingle strings
-      val withSig = documents(s, d)
+      val withSig = Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
           graft.functions.VectorOps.minhash_shingled(
             expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
@@ -126,7 +126,7 @@ object DedupOps {
     // collisions (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), kept when
     // hamming distance ≤ 6.
     Q.rowsOnly("dedup_simhash") { (s, d) =>
-      val sigs = documents(s, d)
+      val sigs = Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
           SimHash64.simhash64(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("sig"))
       val chunked = sigs.select(col("doc_id"), col("sig"),
@@ -164,7 +164,7 @@ object DedupOps {
         |              (p, q) -> p + q) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       import graft.functions.VectorOps.dot_d
-      val e = embeddings(s, d).select(col("vec_id"),
+      val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
       val a = e.as("a"); val b = e.as("b")

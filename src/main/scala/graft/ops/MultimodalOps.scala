@@ -65,7 +65,7 @@ object MultimodalOps {
         |  max(max_byte) AS peak_byte
         |FROM dec GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       import s.implicits._
-      val binary = documents(s, d)
+      val binary = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"),
                 encode(col("text"), "UTF-8").as("payload"))
       val decoded = binary

@@ -18,6 +18,15 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across the session's parallelism. The fixtures are
+    * single-row-group parquet files, so Spark cannot split them — every
+    * scan is one partition, and CPU-heavy per-row work (JSON codec,
+    * hashing, decode) would run on one core. A real deployment's files
+    * split at row-group boundaries; this round-robin repartition stands in
+    * for that so the compute after it uses the whole machine. */
+  def fan(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "8").toInt)
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
