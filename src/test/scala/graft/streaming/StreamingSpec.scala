@@ -37,6 +37,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions on the inactivity gap") {
+    import spark.implicits._
+    val events = spark.readStream.schema(schema).parquet(eventsDir)
+      .select("user_id", "ts", "event_type")
+      .as[StreamingArchiver.Event]
+    val gapMs = 30 * 60 * 1000L // 30 min inactivity closes a session
+    val q = StreamingArchiver.sessionize(events, gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .as[StreamingArchiver.UserSession].collect()
+      assert(sessions.nonEmpty)
+      // sessions are internally consistent and respect the gap
+      sessions.foreach { s =>
+        assert(!s.session_end.before(s.session_start))
+        assert(s.n_events >= 1)
+      }
+      // batch cross-check for one user: gaps between consecutive events
+      // imply the session count (closed sessions = gaps; the final open
+      // session stays in state and is not emitted)
+      val u = sessions.groupBy(_.user_id).maxBy(_._2.length)._1
+      val times = spark.read.parquet(eventsDir)
+        .where(s"user_id = $u").select("ts")
+        .collect().map(_.getTimestamp(0).getTime).sorted
+      val expectedClosed = times.sliding(2)
+        .count { case Array(a, b) => b - a > gapMs; case _ => false }
+      assert(sessions.count(_.user_id == u) == expectedClosed,
+        s"user $u: ${sessions.count(_.user_id == u)} emitted vs $expectedClosed gaps")
+    } finally q.stop()
+  }
+
   test("foreachBatch staged-load archive drains the stream into the target") {
     val tgt = Files.createTempDirectory("graft-stream-tgt").toString + "/t"
     val loader = new StagedLoader(spark, tgt, schema)
