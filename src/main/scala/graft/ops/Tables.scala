@@ -15,8 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, path): repeated spark.read.parquet calls re-list
+  // files and re-read footers (~50-100 ms each); the suite reads the same
+  // ten tables hundreds of times. DataFrames are immutable plans — reuse is
+  // safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** Spread a scan across the session's parallelism. The fixtures are
     * single-row-group parquet files, so Spark cannot split them — every
