@@ -20,11 +20,11 @@ import scala.util.hashing.MurmurHash3
   *
   * A Catalyst `Expression` (not a Scala UDF) so null handling, eval on
   * `UTF8String` without row conversion, and filter pushdown around it stay
-  * native. CodegenFallback: the per-row cost is the hashing loop itself,
-  * which codegen would not meaningfully change.
+  * native; `doGenCode` emits a static-kernel call so surrounding
+  * projections stay inside one whole-stage-codegen stage.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -36,8 +36,24 @@ case class SimHash64(child: Expression)
         s"simhash64 requires array<string>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64.kernel($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  def kernel(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -63,14 +79,6 @@ case class SimHash64(child: Expression)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-  override def prettyName: String = "simhash64"
-}
-
-object SimHash64 {
-  import org.apache.spark.sql.graftshim.ColumnShim
 
   /** Column API: `simhash64(tokensCol)`. */
   def simhash64(tokens: Column): Column =

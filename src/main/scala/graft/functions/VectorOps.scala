@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -15,15 +14,31 @@ import scala.util.hashing.MurmurHash3
   * These replace `aggregate`/`zip_with` higher-order-function chains in the
   * pair-scoring hot path: HOFs evaluate a lambda per element per row
   * (interpreted), which at millions of candidate pairs × 64 dims dominates
-  * the query. A tight eval loop over `ArrayData` is ~20× faster and keeps
+  * the query. A tight kernel loop over `ArrayData` is ~20× faster and keeps
   * the exact same left-to-right double accumulation, so results (and the
   * DuckDB oracle hashes) are bit-identical.
+  *
+  * Each expression participates in whole-stage codegen via `doGenCode`
+  * emitting a call to its static kernel (the JIT inlines it) — no
+  * CodegenFallback, so surrounding projections stay in one generated
+  * stage.
   */
 object VectorOps {
 
-  /** Left-to-right Σ aᵢ·bᵢ over two double arrays (null if lengths differ). */
+  /** Static kernel: left-to-right Σ aᵢ·bᵢ. Mismatched lengths reject loudly
+    * (the similarity ops always compare equal-dim vectors). */
+  def dotKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"dot_d dims differ: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Left-to-right Σ aᵢ·bᵢ over two double arrays. */
   case class DotProductD(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
@@ -32,16 +47,13 @@ object VectorOps {
         case other =>
           TypeCheckResult.TypeCheckFailure(s"dot_d requires array<double> args, got $other")
       }
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      if (n != b.numElements()) return null
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-      s
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      dotKernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorOps.dotKernel($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def prettyName: String = "dot_d"
@@ -52,40 +64,47 @@ object VectorOps {
     * h1 + j·h2 (Kirsch–Mitzenmacher construction) — vs. nHash independent
     * hash passes, same LSH properties. */
   case class MinHashSig(child: Expression, nHash: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got $other")
     }
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(nHash)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val bytes = arr.getUTF8String(i).getBytes
-          val h1raw = MurmurHash3.bytesHash(bytes, 0x2545F491)
-          val h2raw = MurmurHash3.bytesHash(bytes, 0x27220A95)
-          val h1 = (h1raw.toLong << 32) | (MurmurHash3.bytesHash(bytes, 0x9E3779B9).toLong & 0xFFFFFFFFL)
-          val h2 = (h2raw.toLong << 32) | (MurmurHash3.bytesHash(bytes, 0x85EBCA77).toLong & 0xFFFFFFFFL)
-          var j = 0
-          var hj = h1
-          while (j < nHash) {
-            if (hj < mins(j)) mins(j) = hj
-            hj += h2
-            j += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minHashSigKernel(input.asInstanceOf[ArrayData], nHash)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.minHashSigKernel($a, $nHash);")
     override protected def withNewChildInternal(newChild: Expression): MinHashSig =
       copy(child = newChild)
     override def prettyName: String = "minhash_sig"
+  }
+
+  def minHashSigKernel(arr: ArrayData, nHash: Int): GenericArrayData = {
+    val mins = Array.fill(nHash)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        val h1 = (MurmurHash3.bytesHash(bytes, 0x2545F491).toLong << 32) |
+          (MurmurHash3.bytesHash(bytes, 0x9E3779B9).toLong & 0xFFFFFFFFL)
+        val h2 = (MurmurHash3.bytesHash(bytes, 0x27220A95).toLong << 32) |
+          (MurmurHash3.bytesHash(bytes, 0x85EBCA77).toLong & 0xFFFFFFFFL)
+        var j = 0
+        var hj = h1
+        while (j < nHash) {
+          if (hj < mins(j)) mins(j) = hj
+          hj += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
   }
 
   /** MinHash signature over token n-gram shingles in one native pass:
@@ -94,15 +113,27 @@ object VectorOps {
     * extends to nHash values. Duplicate shingles are harmless (min is
     * idempotent), so no distinct pass is needed. */
   case class MinHashShingled(child: Expression, gram: Int, nHash: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(s"minhash_shingled requires array<string>, got $other")
     }
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any =
+      minHashShingledKernel(input.asInstanceOf[ArrayData], gram, nHash)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.minHashShingledKernel($a, $gram, $nHash);")
+    override protected def withNewChildInternal(newChild: Expression): MinHashShingled =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_shingled"
+  }
+
+  def minHashShingledKernel(arr: ArrayData, gram: Int, nHash: Int): GenericArrayData = {
+    {
       val n = arr.numElements()
       val th = new Array[Long](n)
       var i = 0
@@ -138,24 +169,33 @@ object VectorOps {
       }
       new GenericArrayData(mins)
     }
-    override protected def withNewChildInternal(newChild: Expression): MinHashShingled =
-      copy(child = newChild)
-    override def prettyName: String = "minhash_shingled"
   }
 
   /** Distinct space-joined word n-grams as a native expression — replaces a
     * transform(sequence)+slice+array_join HOF chain (one interpreted lambda
     * per gram) with a single pass and a dedup set. */
   case class WordNGrams(child: Expression, gram: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(s"word_ngrams requires array<string>, got $other")
     }
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override def nullSafeEval(input: Any): Any =
+      wordNGramsKernel(input.asInstanceOf[ArrayData], gram)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.wordNGramsKernel($a, $gram);")
+    override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+      copy(child = newChild)
+    override def prettyName: String = "word_ngrams"
+  }
+
+  def wordNGramsKernel(arr: ArrayData, gram: Int): GenericArrayData = {
+    {
       val n = arr.numElements()
       val toks = new Array[String](n)
       var i = 0
@@ -188,9 +228,6 @@ object VectorOps {
       }
       new GenericArrayData(out)
     }
-    override protected def withNewChildInternal(newChild: Expression): WordNGrams =
-      copy(child = newChild)
-    override def prettyName: String = "word_ngrams"
   }
 
   def word_ngrams(tokens: Column, gram: Int): Column =
