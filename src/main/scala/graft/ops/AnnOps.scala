@@ -95,5 +95,43 @@ object AnnOps {
         .where(col("rk") <= 10)
         .orderBy(col("query_id"), col("rk"))
     },
+
+    // IVF (inverted-file) path: a coarse quantizer of 16 deterministic
+    // centroids (corpus vectors 5..20 — quality of the quantizer is
+    // irrelevant to the operator shape; at scale these come from a sampled
+    // k-means). Centroids are collected driver-side (16×64 doubles) and
+    // baked into the plan as literals, so cell assignment is a pure
+    // projection — one corpus scan, no join, no shuffle. Queries probe
+    // their nprobe=4 nearest cells; candidates = corpus vectors in those
+    // cells; exact cosine re-rank of candidates only. Work ∝ corpus/16 ×
+    // nprobe instead of corpus × queries; the cell column is the natural
+    // partitioning key for a 100 TB corpus (each cell's postings co-located
+    // and pruned by the probe list). Recall vs brute force pinned in AnnSpec.
+    Q.rowsOnly("ann_ivf_topk") { (s, d) =>
+      val nprobe = 4
+      val e = vecs(s, d)
+      val cents: Array[(Long, Array[Double])] =
+        e.where(col("vec_id") >= 5 && col("vec_id") < 21)
+          .select(col("vec_id"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def cellScores(v: Column): Column = array(cents.map { case (cid, w) =>
+        struct(cosine(v, typedLit(w)).as("c"), lit(cid).as("cid"))
+      }: _*)
+      val assigned = e.withColumn("cell", array_max(cellScores(col("v"))).getField("cid"))
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(transform(
+            slice(sort_array(cellScores(col("v")), asc = false), 1, nprobe),
+            _.getField("cid"))).as("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
   )
 }

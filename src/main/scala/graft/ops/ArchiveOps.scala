@@ -210,8 +210,14 @@ object ArchiveOps {
         StructField("op", StringType)))).orderBy(col("win_start"))
     },
 
-    // P5/O4: per-window scan counts — union of window-predicate scans equals
-    // bucket arithmetic (proves the window tiling on real data, incl. empties)
+    // P5/O4: per-window scan counts. The reference loops one scan per
+    // window (worker/worker.go:138-174); N scans of the fact table dies at
+    // 100 TB, so this computes the identical result in ONE scan: each row's
+    // window index is bucket arithmetic on the planner's (min, width, N),
+    // counted per index, then left-joined to the planner's window list so
+    // empty windows still appear with n=0. The planner's half-open tiling
+    // (final window closed at max) is exactly floor-index + clamp-to-last +
+    // the <= max filter.
     Q("p5_window_rowcounts",
       """WITH mm AS (
         |  SELECT date_trunc('second', CAST(min(ts) AS TIMESTAMP)) AS mn,
@@ -234,12 +240,31 @@ object ArchiveOps {
       val ev = events(s, d)
       val r = ev.agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss"),
                      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")).head()
-      val preds = SplitPlanner.timeWindows("ts", "day", r.getString(0), r.getString(1)).get
       val starts = SplitPlanner.timeWindowBounds("day", r.getString(0), r.getString(1)).get
         .map(_._1.format(SplitPlanner.TimeFormat))
-      preds.zip(starts).map { case (p, st) =>
-        ev.where(p).agg(count(lit(1)).as("n")).select(lit(st).as("win_start"), col("n"))
-      }.reduce(_ union _).orderBy(col("win_start"))
+      val mnEpoch = java.time.LocalDateTime
+        .parse(r.getString(0), SplitPlanner.TimeFormat)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      val widthSec = 86400L
+      val nW = starts.length
+      import s.implicits._
+      val wins = starts.zipWithIndex
+        .map { case (st, i) => (i.toLong, st) }.toDF("widx", "win_start")
+      // Open windows are half-open at second-precision boundaries, so
+      // floor-indexing truncated-epoch seconds is exact for them. Only the
+      // FINAL window is closed at the second-truncated max: a sub-second
+      // tail past it (ts > mxTrunc, same floor index) is excluded there —
+      // exactly the reference's `<=` string predicate.
+      val mxTs = to_timestamp(lit(r.getString(1)), "yyyy-MM-dd HH:mm:ss")
+      val counts = ev
+        .select(least(
+          floor((col("ts").cast("long") - mnEpoch) / widthSec),
+          lit(nW - 1L)).cast("long").as("widx"), col("ts"))
+        .where(!(col("widx") === lit(nW - 1L) && col("ts") > mxTs))
+        .groupBy(col("widx")).agg(count(lit(1)).as("n"))
+      wins.join(counts, Seq("widx"), "left")
+        .select(col("win_start"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("win_start"))
     },
 
     // L1/L2: stable LIMIT/OFFSET pagination with an enforced total order
