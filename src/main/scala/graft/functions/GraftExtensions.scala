@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the native expressions: register with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic, or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *
+  * after which `spark.sql("SELECT simhash64(tokens), dot_d(a, b), ...")`
+  * works anywhere the DataFrame helpers do. Registration is
+  * FunctionRegistry injection only — no parser/optimizer changes — so the
+  * expressions stay ordinary codegen'd Catalyst nodes in the plan.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string> of tokens"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      info("dot_d", "dot_d(a, b) - dot product of two array<double> vectors"),
+      (args: Seq[Expression]) => VectorOps.DotProductD(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, nHash) - MinHash signature of array<string>"),
+      (args: Seq[Expression]) =>
+        VectorOps.MinHashSig(args(0), intArg(args(1), "nHash"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_shingled"),
+      info("minhash_shingled",
+        "minhash_shingled(tokens, gram, nHash) - MinHash over word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        VectorOps.MinHashShingled(args(0),
+          intArg(args(1), "gram"), intArg(args(2), "nHash"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(tokens, gram) - space-joined word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        VectorOps.WordNGrams(args(0), intArg(args(1), "gram"))))
+  }
+}

@@ -51,6 +51,39 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q8_anti_join").contains("LeftAnti"), planOf("q8_anti_join"))
   }
 
+  test("range_join_events: bucketed equi-join, never a nested-loop join") {
+    val p = planOf("range_join_events")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join must not degenerate to a nested loop:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("bucket"), p)
+  }
+
+  test("asof_join_events: one window sort, no join operator at all") {
+    val p = planOf("asof_join_events")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "as-of must be union+window, not a join:\n" + p)
+    // both sides' filters reach the parquet scan
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("ann_ivf_topk: cell assignment is a projection (no join before the probe join)") {
+    val p = planOf("ann_ivf_topk")
+    // exactly one join: candidates = corpus ⋈ broadcast(probes) on cell.
+    // Formatted plans list each node twice (tree + details) — count tree
+    // entries, which carry the trailing "(id)".
+    val joins = """HashJoin \w+ Build\w+ \(\d+\)""".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly one hash join, got $joins:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "probe side must broadcast:\n" + p)
+  }
+
+  test("p5_window_rowcounts: single scan of events, no per-window union of scans") {
+    val p = planOf("p5_window_rowcounts")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, got $scans:\n" + p)
+  }
+
   test("whole-stage codegen is active in the scalar pipeline") {
     val df = SparkEntry.queries("text_quality_score")(spark, sf)
     df.collect() // materialize THIS plan so AQE finalizes it (count() would build its own)
