@@ -1,12 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Temporal joins over the events stream — pipeline extensions beyond the
   * reference (which has no joins at all, SURVEY.md §2.3): the two join
   * shapes a training-data/event pipeline always needs and Spark has no
-  * built-in operator for.
+  * built-in operator for. Both queries are thin wrappers over the reusable
+  * library operators in `graft.operators.TemporalJoins`.
   *
   * - `asof_join_events` — for every purchase, the most recent click by the
   *   same user at-or-before the purchase. NOT implemented as a per-row
@@ -49,27 +49,18 @@ object TemporalJoinOps {
         |SELECT event_id, user_id, ts_us, last_click_id, last_click_us
         |FROM w WHERE is_p = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
       val ev = events(s, d)
-      // Clicks sort before purchases at equal ts (is_p 0 < 1): a click at
-      // exactly the purchase instant counts as "at or before"; ties among
-      // clicks resolve to the highest event_id — same order in the oracle.
-      val p = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"),
-                lit(null).cast("long").as("click_id"),
-                lit(null).cast("timestamp").as("click_ts"))
-      val c = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"),
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
                 col("event_id").as("click_id"), col("ts").as("click_ts"))
-      val win = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("is_p"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      p.unionByName(c)
-        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(win))
-        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(win))
-        .where(col("is_p") === 1)
+      graft.operators.TemporalJoins
+        .asof(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
+              valueCols = Seq("click_id", "click_ts"), tiebreak = "event_id")
         .select(col("event_id"), col("user_id"),
                 unix_micros(col("ts")).as("ts_us"),
-                col("last_click_id"),
-                unix_micros(col("last_click_ts")).as("last_click_us"))
+                col("asof_click_id").as("last_click_id"),
+                unix_micros(col("asof_click_ts")).as("last_click_us"))
         .orderBy(col("event_id"))
     },
 
@@ -81,21 +72,12 @@ object TemporalJoinOps {
         | AND e.event_id <> p.event_id
         |WHERE p.event_type = 'purchase'
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin) { (s, d) =>
-      val hourUs = 3600L * 1000000L
-      val ev = events(s, d).select(col("event_id"), col("ts"))
-      // Each purchase's 1h-forward window spans at most 2 hour-buckets:
-      // probe buckets b0 and b0+1, equi-join on bucket, exact filter after.
-      val probes = events(s, d).where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"),
-                expr(s"unix_micros(ts) div $hourUs").as("b0"))
-        .select(col("purchase_id"), col("p_ts"),
-                explode(array(col("b0"), col("b0") + 1)).as("bucket"))
-      val probed = ev.select(col("event_id"), col("ts"),
-        expr(s"unix_micros(ts) div $hourUs").as("bucket"))
-      probes.join(probed, Seq("bucket"))
-        .where(col("ts") >= col("p_ts") &&
-               col("ts") < col("p_ts") + expr("INTERVAL 1 HOUR") &&
-               col("event_id") =!= col("purchase_id"))
+      val purchases = events(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      graft.operators.TemporalJoins
+        .rangeForward(purchases, events(s, d).select(col("event_id"), col("ts")),
+          leftTs = "p_ts", rightTs = "ts", widthUs = 3600L * 1000000L,
+          extraCond = col("event_id") =!= col("purchase_id"))
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_following"))
         .orderBy(col("purchase_id"))
