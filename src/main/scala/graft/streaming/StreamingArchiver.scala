@@ -63,6 +63,17 @@ object StreamingArchiver {
       }
   }
 
+  /** Streaming exact dedup: drops events whose key was already seen within
+    * the watermark horizon — the streaming flavor of the pipeline's exact
+    * dedup, with state bounded by the watermark (Spark evicts seen-keys
+    * older than it) instead of growing with the stream. The at-scale knob
+    * is the watermark: it is exactly the dedup window the pipeline
+    * guarantees, and state is O(distinct keys within it). */
+  def dedupStream(stream: DataFrame, timeCol: String, keys: Seq[String],
+      watermark: String): DataFrame =
+    stream.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Micro-batch archive: every trigger interval, stage the new batch as
     * NDJSON and append it through the same loader the batch path uses
     * (foreachBatch = the COPY-INTO loop with Spark managing offsets). */

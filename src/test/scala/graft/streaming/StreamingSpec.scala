@@ -80,4 +80,23 @@ class StreamingSpec extends SparkSpec {
     val loaded = spark.read.schema(schema).parquet(tgt).count()
     assert(loaded == spark.read.parquet(eventsDir).count())
   }
+
+  test("streaming dedup within watermark drops replayed keys") {
+    // duplicate the whole source once (a replayed feed): every user_id+ts
+    // key appears twice; within-watermark dedup must emit each exactly once
+    val dupDir = Files.createTempDirectory("graft-stream-dup").toString
+    val src = spark.read.parquet(eventsDir)
+    src.union(src).write.mode("overwrite").parquet(dupDir)
+    val stream = spark.readStream.schema(schema).parquet(dupDir)
+    val q = StreamingArchiver.dedupStream(stream, "ts",
+        Seq("user_id", "ts"), "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("deduped").count()
+      val distinct = src.select("user_id", "ts").distinct().count()
+      assert(n == distinct, s"emitted $n vs $distinct distinct keys")
+    } finally q.stop()
+  }
 }
