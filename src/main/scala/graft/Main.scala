@@ -19,16 +19,17 @@ object Main {
         java.nio.file.Files.readString(java.nio.file.Paths.get(confPath)))
       .fold(e => sys.error(s"config: $e"), identity)
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
-      .appName("graft-archiver")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = {
+      val s = GraftSession.configure(SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+          .appName("graft-archiver")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+          .config("spark.ui.enabled", "false"))
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
     try {
       // sink schema = source table schema (pre-existing warehouse table)
