@@ -31,24 +31,33 @@ object Main {
       s
     }
 
-    try {
-      // sink schema = source table schema (pre-existing warehouse table)
-      val sinkSchema = spark.read
-        .parquet(s"$sourceDir/${cfg.sourceTable}.parquet").schema
-      val archiver = Archiver.parquet(spark, cfg, sourceDir, targetDir,
-        staging(targetDir), sinkSchema)
-      val report = archiver.run()
-      report.tables.foreach(t =>
-        println(s"[archive] ${t.db}.${t.table}: ${t.rowsLoaded} rows"))
-      val rc = report.reconciliation
-      println(s"[reconcile] source=${rc.sourceRows} target=${rc.targetRows} " +
-        s"correct=${rc.correct} deletedBack=${report.deletedBack}")
-      val m = report.metrics
-      println(f"[metrics] read=${m.rowsRead} rows (${m.readRowsPerSec}%.0f rows/s) " +
-        s"written=${m.bytesWritten} bytes")
-      println(f"[done] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      if (!rc.correct) sys.exit(2)
-    } finally spark.stop()
+    val correct =
+      try run(spark, cfg, sourceDir, targetDir, t0)
+      finally spark.stop()
+    if (!correct) sys.exit(2)
+  }
+
+  /** The CLI body minus session/process lifecycle (testable directly):
+    * returns whether reconciliation passed. */
+  def run(spark: SparkSession, cfg: ArchiverConfig,
+      sourceDir: String, targetDir: String,
+      t0: Long = System.nanoTime()): Boolean = {
+    // sink schema = source table schema (pre-existing warehouse table)
+    val sinkSchema = spark.read
+      .parquet(s"$sourceDir/${cfg.sourceTable}.parquet").schema
+    val archiver = Archiver.parquet(spark, cfg, sourceDir, targetDir,
+      staging(targetDir), sinkSchema)
+    val report = archiver.run()
+    report.tables.foreach(t =>
+      println(s"[archive] ${t.db}.${t.table}: ${t.rowsLoaded} rows"))
+    val rc = report.reconciliation
+    println(s"[reconcile] source=${rc.sourceRows} target=${rc.targetRows} " +
+      s"correct=${rc.correct} deletedBack=${report.deletedBack}")
+    val m = report.metrics
+    println(f"[metrics] read=${m.rowsRead} rows (${m.readRowsPerSec}%.0f rows/s) " +
+      s"written=${m.bytesWritten} bytes")
+    println(f"[done] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    rc.correct
   }
 
   private def staging(targetDir: String): String = s"$targetDir.staging"
