@@ -25,6 +25,47 @@ object DedupOps {
     graft.functions.VectorOps.word_ngrams(
       expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"), 5)
 
+  /** Exact-Jaccard near-dup pairs (d1 < d2, jac ≥ 0.5) via inverted-index
+    * self-join on word 5-grams. Shuffles 8-byte gram hashes, not gram
+    * strings (xxhash64 collisions are ~2⁻⁶⁵·n² — immaterial); each doc's
+    * shingle-set size rides along with the exploded rows, so no separate
+    * sizes relation or extra join. Work ∝ Σ df(gram)², never all-pairs. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.fan(s, documents(s, d))
+      .select(col("doc_id"), wordShingles("text").as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+              explode(col("sh")).as("gram"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
+    val a = g.as("a"); val b = g.as("b")
+    a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+               col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("inter"), col("jac"))
+  }
+
+  /** The pair CTEs of the jaccard oracle, shared by two queries' SQL. */
+  private val jaccardPairsSql: String =
+    """  g AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
+      |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 2))) AS u
+      |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |rawpairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT d1, d2, inter,
+      |    CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
+      |  FROM rawpairs
+      |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: group on content, keep the smallest doc_id per group.
@@ -53,40 +94,38 @@ object DedupOps {
     // 5-grams: work ∝ Σ df(gram)² (237k distinct grams over 5k docs at
     // sf0.1 → trivial), not all-pairs.
     Q("dedup_ngram_jaccard",
-      """WITH g AS (
-        |  SELECT DISTINCT doc_id,
-        |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
-        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 2))) AS u
-        |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, inter,
-        |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
-        |FROM pairs
-        |JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
-        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // shuffle 8-byte gram hashes, not gram strings (xxhash64 collisions
-      // are ~2⁻⁶⁵·n² — immaterial); each doc's shingle-set size rides along
-      // with the exploded rows, so no separate sizes relation or extra join
-      val g = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), wordShingles("text").as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("sz"),
-                explode(col("sh")).as("gram"))
-        .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
-      val a = g.as("a"); val b = g.as("b")
-      a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-                 col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jac",
-          col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
-        .where(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), col("inter"), col("jac"))
-        .orderBy(col("d1"), col("d2"))
+      s"""WITH
+         |$jaccardPairsSql
+         |SELECT d1, d2, inter, jac FROM jpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      jaccardPairs(s, d).orderBy(col("d1"), col("d2"))
+    },
+
+    // Dedup clustering: near-dup pairs are only half the operator a real
+    // pipeline needs — documents then have to be grouped into clusters and
+    // one canonical representative kept. Connected components over the
+    // jaccard pair graph (graft.operators.DedupClustering: driver-side
+    // union-find for small graphs, distributed min-label propagation
+    // beyond the threshold). Canonical = min doc_id of the component.
+    Q("dedup_cluster_canonical",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM jpairs
+         |  UNION ALL SELECT d2, d1 FROM jpairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         |comps AS (SELECT id, min(comp) AS canonical FROM walk GROUP BY id)
+         |SELECT canonical AS canonical_id,
+         |  count(*) AS n_members,
+         |  CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      graft.operators.DedupClustering.connectedComponents(pairs)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"))
+        .orderBy(col("canonical_id"))
     },
 
     // MinHash + LSH banding: 32 minhash signatures over word shingles,
