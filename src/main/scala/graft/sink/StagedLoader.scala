@@ -19,9 +19,14 @@ import org.apache.spark.sql.types.StructType
   * target is a table format's append — the commit is the only
   * serialization point.
   */
+/** @param compression staging codec (`COMPRESSION = AUTO` analogue,
+  *   ingester/ingest_databend.go:183-185): any Spark JSON codec name —
+  *   "gzip" cuts staging I/O 3-5× on text-heavy rows; "none" matches the
+  *   reference's uncompressed temp files. The read side auto-detects by
+  *   file extension either way (that is the AUTO). */
 final class StagedLoader(spark: SparkSession, targetDir: String,
     sinkSchema: StructType, defaults: Map[String, Any] = Map.empty,
-    purge: Boolean = true) {
+    purge: Boolean = true, compression: String = "gzip") {
 
   /** Idempotency pre-check (cmd/main.go:74-82): refuse to start when the
     * target already holds rows matching the predicate. */
@@ -32,7 +37,9 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
   /** Stage one batch as NDJSON and load it, returning rows loaded. */
   def ingest(batch: DataFrame, stagingDir: String): Long = {
     if (batch.isEmpty) return 0L // empty-batch no-op (ingest_databend.go:78-80)
-    batch.write.mode(SaveMode.Overwrite).json(stagingDir) // K1: df.write.json = NDJSON
+    batch.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .json(stagingDir) // K1: df.write.json = NDJSON
     val loaded = copyInto(stagingDir)
     if (purge) deleteRecursively(new java.io.File(stagingDir))
     loaded

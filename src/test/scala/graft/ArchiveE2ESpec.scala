@@ -164,4 +164,22 @@ class ArchiveE2ESpec extends SparkSpec {
     assert(DeleteBack.deleteSql("db", "t", "id < 5", Some(10)) ==
       "DELETE FROM db.t WHERE id < 5 LIMIT 10")
   }
+
+  test("staging compresses by default (COMPRESSION AUTO analogue) and round-trips") {
+    val tgt = tmpDir() + "/t"; val stg = tgt + ".stg"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema, purge = false)
+    assert(loader.ingest(src, stg) == src.count())
+    val staged = new java.io.File(stg).listFiles().filter(_.getName.startsWith("part-"))
+    assert(staged.nonEmpty && staged.forall(_.getName.endsWith(".json.gz")),
+      staged.map(_.getName).mkString(","))
+    assert(spark.read.parquet(tgt).count() == src.count())
+    // "none" reproduces the reference's plain NDJSON temp files
+    val tgt2 = tmpDir() + "/t2"; val stg2 = tgt2 + ".stg"
+    val plain = new StagedLoader(spark, tgt2, src.schema, purge = false,
+      compression = "none")
+    plain.ingest(src, stg2): Unit
+    val staged2 = new java.io.File(stg2).listFiles().filter(_.getName.startsWith("part-"))
+    assert(staged2.nonEmpty && staged2.forall(_.getName.endsWith(".json")))
+  }
 }
