@@ -350,5 +350,27 @@ object RelationalOps {
                 coalesce(col("n_cust"), lit(0)).as("n_cust"))
         .orderBy(col("nationkey"))
     },
+
+    // conditional (FILTER-clause) aggregates: several differently-filtered
+    // measures in ONE pass over the fact table — the alternative (one scan
+    // per measure unioned) multiplies I/O by the measure count at scale
+    Q("q19_filtered_agg",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS qty_taxed,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25) AS supp_bulk
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+               sum(when(col("l_tax") > 0.04, col("l_quantity").cast(dec2)))
+                 .as("qty_taxed"),
+               countDistinct(when(col("l_quantity") >= 25, col("l_suppkey")))
+                 .as("supp_bulk"))
+          .orderBy(col("l_returnflag"))
+    },
   )
 }
