@@ -40,8 +40,8 @@ object ArchiveOps {
     Q("s2_partition_scan",
       """SELECT l_returnflag,
         |  count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_orderkey AS DECIMAL(18,0))) AS key_sum
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
         |FROM lineitem WHERE l_discount > 0.02
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val li = lineitem(s, d)
@@ -57,8 +57,8 @@ object ArchiveOps {
         .reduce(_ union _)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-             sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-             sum(col("l_orderkey").cast("decimal(18,0)")).as("key_sum"))
+             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+             sum(col("l_orderkey")).as("key_sum"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -282,7 +282,7 @@ object ArchiveOps {
     // comparing to a direct aggregate of the source table.
     Q("f1_ndjson_roundtrip",
       """SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, d) =>
@@ -293,7 +293,7 @@ object ArchiveOps {
           .select(col("r.*"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-               sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+               sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
                min(col("l_shipdate")).as("min_ship"),
                max(col("l_shipdate")).as("max_ship"))
           .orderBy(col("l_returnflag"))
@@ -321,7 +321,7 @@ object ArchiveOps {
         |    CAST(try_strptime(s, '%Y-%m-%dT%H:%M:%S.%g%z') AS TIMESTAMP)) AS p
         |  FROM formatted)
         |SELECT layout, count(*) AS n, count(p) AS parsed_ok,
-        |  sum(CASE WHEN p = t THEN 1 ELSE 0 END) AS roundtrip_ok
+        |  CAST(sum(CASE WHEN p = t THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_ok
         |FROM parsed GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
       val base = events(s, d)
         .select((col("event_id") % 4).as("layout"),
@@ -359,7 +359,8 @@ object ArchiveOps {
         |         ELSE CAST(floor(f) AS DECIMAL(20,0)) END AS from_float
         |  FROM src)
         |SELECT count(*) AS n, count(from_str) AS str_ok, count(from_float) AS float_ok,
-        |  sum(from_str) AS str_sum, sum(from_float) AS float_sum
+        |  CAST(sum(from_str) AS BIGINT) AS str_sum,
+        |  CAST(sum(from_float) AS BIGINT) AS float_sum
         |FROM conv""".stripMargin) { (s, d) =>
       orders(s, d)
         .select(col("o_orderkey").cast("string").as("k_str"),
@@ -371,8 +372,8 @@ object ArchiveOps {
             .otherwise(floor(col("f")).cast("decimal(20,0)")).as("from_float"))
         .agg(count(lit(1)).as("n"), count(col("from_str")).as("str_ok"),
              count(col("from_float")).as("float_ok"),
-             sum(col("from_str")).as("str_sum"),
-             sum(col("from_float")).as("float_sum"))
+             sum(col("from_str")).cast("long").as("str_sum"),
+             sum(col("from_float")).cast("long").as("float_sum"))
     },
 
     // S6-S8: regex catalog discovery — `dbRegex@tableRegex` patterns expanded
@@ -401,7 +402,7 @@ object ArchiveOps {
     Q("k2_schema_align",
       """SELECT o_orderstatus,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  min(filled_priority) AS fill_check
         |FROM (SELECT o_orderstatus, o_totalprice,
         |        'UNSPECIFIED' AS filled_priority FROM orders) t
@@ -414,7 +415,7 @@ object ArchiveOps {
         if (incoming.columns.contains(c)) col(c) else defaults(c).as(c)): _*)
       aligned.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-             sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
              min(col("filled_priority")).as("fill_check"))
         .orderBy(col("o_orderstatus"))
     },
@@ -426,7 +427,7 @@ object ArchiveOps {
     // (or AQE skew-join) is what keeps one executor from owning the hot key.
     Q("o2_salted_join",
       """SELECT e.user_id, count(*) AS n_events,
-        |  sum(CAST(e.value AS DECIMAL(18,2))) AS total_value,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  min(d.first_type) AS first_type
         |FROM events e
         |JOIN (SELECT user_id, min(event_type) AS first_type FROM events GROUP BY user_id) d
@@ -441,7 +442,7 @@ object ArchiveOps {
       fact.join(dim, Seq("user_id", "salt"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-             sum(col("value").cast("decimal(18,2)")).as("total_value"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
              min(col("first_type")).as("first_type"))
         .orderBy(col("user_id"))
     },
@@ -450,7 +451,7 @@ object ArchiveOps {
     // predicate delete are exactly the anti-filter of the predicate.
     Q("k5_delete_back_effect",
       """SELECT l_returnflag, count(*) AS remaining,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS remaining_value
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS remaining_value
         |FROM lineitem
         |WHERE NOT (l_shipdate < TIMESTAMP '1996-06-01 00:00:00')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -458,7 +459,7 @@ object ArchiveOps {
         .where(!(col("l_shipdate") < lit("1996-06-01").cast("timestamp")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("remaining"),
-             sum(col("l_extendedprice").cast("decimal(18,2)")).as("remaining_value"))
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("remaining_value"))
         .orderBy(col("l_returnflag"))
     },
   )

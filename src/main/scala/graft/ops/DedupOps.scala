@@ -73,7 +73,7 @@ object DedupOps {
     // the keep-first policy (sum of kept ids is the checksum).
     Q("dedup_exact",
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
-        |  sum(keep_id) AS kept_id_sum
+        |  CAST(sum(keep_id) AS BIGINT) AS kept_id_sum
         |FROM (SELECT source, text, min(doc_id) AS keep_id
         |      FROM documents GROUP BY source, text) t
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>

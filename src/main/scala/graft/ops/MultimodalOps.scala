@@ -60,8 +60,8 @@ object MultimodalOps {
         |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> greatest(a, b)) AS max_byte
         |  FROM documents)
         |SELECT source, count(*) AS n_images,
-        |  sum(width * height) AS total_pixels,
-        |  sum(head_sum * n_bytes) AS brightness_weight,
+        |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
+        |  CAST(sum(head_sum * n_bytes) AS BIGINT) AS brightness_weight,
         |  max(max_byte) AS peak_byte
         |FROM dec GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       import s.implicits._

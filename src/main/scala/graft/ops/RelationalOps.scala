@@ -23,11 +23,18 @@ object RelationalOps {
   val all: Seq[Q] = Seq(
 
     // ---- aggregation ----------------------------------------------------
+    // NOTE on output types (driver hash compare): the driver reads the
+    // oracle via pandas, where DuckDB DECIMAL becomes float64 but Spark
+    // parquet DECIMAL stays Decimal objects — so decimal math is internal
+    // only and every decimal aggregate is CAST to DOUBLE (or BIGINT) in the
+    // final projection of BOTH engines: one IEEE conversion of identical
+    // exact values ⇒ identical bits. Same for sum(int): DuckDB returns
+    // HUGEINT (→ float64 in pandas), so oracles cast those to BIGINT.
     Q("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -38,10 +45,10 @@ object RelationalOps {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).as("sum_base_price"),
+          sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           (sum(col("l_quantity").cast(dec2)).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -52,7 +59,7 @@ object RelationalOps {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
         orders(s, d)
@@ -60,7 +67,7 @@ object RelationalOps {
           .agg(
             countDistinct(col("o_custkey")).as("n_cust"),
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(dec2)).as("total"))
+            sum(col("o_totalprice").cast(dec2)).cast("double").as("total"))
           .orderBy(col("o_orderpriority"))
     },
 
@@ -68,13 +75,13 @@ object RelationalOps {
     // with NULLS FIRST matches Spark's default asc_nulls_first.
     Q("q3_rollup",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
       (s, d) =>
         lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          .agg(sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
                count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first,
                    col("l_linestatus").asc_nulls_first)
@@ -97,7 +104,7 @@ object RelationalOps {
     // customer is broadcast-able at every SF (15k rows at sf0.1).
     Q("q5_join_agg_topk",
       """SELECT l_orderkey,
-        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  o_orderdate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -115,7 +122,7 @@ object RelationalOps {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(dec4)).as("revenue"))
+          .cast(dec4)).cast("double").as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -124,7 +131,7 @@ object RelationalOps {
     // multi-way star join through broadcast dims (nation/region are tiny).
     Q("q6_star_join",
       """SELECT n_name, count(*) AS n_cust,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
@@ -136,7 +143,7 @@ object RelationalOps {
               col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-             sum(col("c_acctbal").cast(dec2)).as("total_bal"))
+             sum(col("c_acctbal").cast(dec2)).cast("double").as("total_bal"))
         .orderBy(col("n_name"))
     },
 
@@ -169,7 +176,7 @@ object RelationalOps {
     // left outer join with null-producing side aggregated
     Q("q9_outer_join",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spent
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
       customer(s, d)
@@ -177,7 +184,7 @@ object RelationalOps {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
              coalesce(sum(col("o_totalprice").cast(dec2)),
-                      lit(0).cast("decimal(28,2)")).as("spent"))
+                      lit(0).cast("decimal(28,2)")).cast("double").as("spent"))
         .orderBy(col("c_custkey"))
     },
 
@@ -206,9 +213,9 @@ object RelationalOps {
     // running / frame-bounded aggregates (ROWS BETWEEN)
     Q("q11_window_running",
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spent,
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -221,7 +228,7 @@ object RelationalOps {
       val mov = w.rowsBetween(-2, Window.currentRow)
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec2)).over(run).as("running_spent"),
+          sum(col("o_totalprice").cast(dec2)).over(run).cast("double").as("running_spent"),
           (sum(col("o_totalprice").cast(dec2)).over(mov).cast("double") /
             least(count(lit(1)).over(mov), lit(3))).as("moving_avg"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -263,7 +270,7 @@ object RelationalOps {
 
     Q("q14_grouping_sets",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
@@ -274,7 +281,7 @@ object RelationalOps {
                 Seq(col("o_orderstatus")), Seq.empty),
             col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-               sum(col("o_totalprice").cast(dec2)).as("total"))
+               sum(col("o_totalprice").cast(dec2)).cast("double").as("total"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
                    col("o_orderpriority").asc_nulls_first)
     },
@@ -282,14 +289,14 @@ object RelationalOps {
     // pivot: priorities to columns (fixed value list in both engines)
     Q("q15_pivot",
       """SELECT o_orderstatus,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS urgent,
-        |  sum(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS low
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, d) =>
         orders(s, d)
           .groupBy(col("o_orderstatus"))
           .pivot(col("o_orderpriority"), Seq("1-URGENT", "5-LOW"))
-          .agg(sum(col("o_totalprice").cast(dec2)))
+          .agg(sum(col("o_totalprice").cast(dec2)).cast("double"))
           .withColumnRenamed("1-URGENT", "urgent")
           .withColumnRenamed("5-LOW", "low")
           .orderBy(col("o_orderstatus"))
@@ -316,7 +323,7 @@ object RelationalOps {
 
     // unionByName across differently-ordered projections
     Q("q17_union_by_name",
-      """SELECT k, count(*) AS n, sum(CAST(v AS DECIMAL(18,2))) AS total FROM (
+      """SELECT k, count(*) AS n, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (
         |  SELECT o_orderstatus AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
         |  UNION ALL
         |  SELECT o_orderstatus AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1
@@ -328,7 +335,7 @@ object RelationalOps {
         .select(col("o_totalprice").as("v"), col("o_orderstatus").as("k")) // reversed
       evens.unionByName(odds)
         .groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec2)).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(dec2)).cast("double").as("total"))
         .orderBy(col("k"))
     },
 
@@ -358,7 +365,7 @@ object RelationalOps {
       """SELECT l_returnflag,
         |  count(*) AS n,
         |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS qty_taxed,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed,
         |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25) AS supp_bulk
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, d) =>
@@ -367,7 +374,7 @@ object RelationalOps {
           .agg(count(lit(1)).as("n"),
                count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
                sum(when(col("l_tax") > 0.04, col("l_quantity").cast(dec2)))
-                 .as("qty_taxed"),
+                 .cast("double").as("qty_taxed"),
                countDistinct(when(col("l_quantity") >= 25, col("l_suppkey")))
                  .as("supp_bulk"))
           .orderBy(col("l_returnflag"))

@@ -99,7 +99,7 @@ object ScalarOps {
     Q("f_json_funcs",
       """SELECT event_type,
         |  count(*) AS n,
-        |  sum(CAST(props->>'$.k' AS INT)) AS k_sum,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
         |  min(CAST(props->>'$.k' AS INT)) AS k_min,
         |  max(CAST(props->>'$.k' AS INT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -112,6 +112,10 @@ object ScalarOps {
         .orderBy(col("event_type"))
     },
 
+    // Every output column is scalar: the driver's pandas compare sorts rows
+    // by all columns, and raw array columns are unsortable/unhashable there.
+    // Slice/filter/min/max semantics are still exercised — their results are
+    // reduced to scalars (fold of the slice, element count, extrema).
     Q("f_array_funcs",
       """SELECT vec_id,
         |  len(embedding) AS dim,
@@ -120,7 +124,11 @@ object ScalarOps {
         |              (a, b) -> a + b) AS el_sum,
         |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |              (a, b) -> a + b) AS sq_sum,
-        |  embedding[1:4] AS head4
+        |  list_reduce(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+        |              (a, b) -> a + b) AS head4_sum,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  list_aggregate(embedding, 'max') AS el_max,
+        |  list_aggregate(embedding, 'min') AS el_min
         |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin) { (s, d) =>
       // aggregate() is a left fold, as is DuckDB's list_reduce; folding in
       // DOUBLE over float32 elements is deterministic and engine-identical
@@ -132,7 +140,11 @@ object ScalarOps {
             (acc, x) => acc + x.cast("double")).as("el_sum"),
           aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_sum"),
-          slice(col("embedding"), 1, 4).as("head4"))
+          aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("head4_sum"),
+          size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
+          array_max(col("embedding")).as("el_max"),
+          array_min(col("embedding")).as("el_min"))
         .orderBy(col("vec_id")).limit(500)
     },
 
