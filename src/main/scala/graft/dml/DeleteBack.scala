@@ -1,6 +1,7 @@
 package graft.dml
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
 
 /** Delete-after-sync (SURVEY.md §2 K5-K7). On MySQL the reference deletes
   * in rate-limited batches of `LIMIT min(batch, remaining)` with
@@ -38,11 +39,15 @@ object DeleteBack {
       case None    => s"DELETE FROM $db.$table WHERE $where"
     }
 
-  /** Sandbox execution over a parquet "table": rewrite with the predicate's
-    * complement. Returns rows deleted. */
+  /** Sandbox execution over a parquet "table": rewrite keeping every row
+    * where the predicate is NOT TRUE. SQL DELETE removes only rows where
+    * the predicate evaluates to TRUE — a NULL predicate (e.g. a NULL key
+    * column) must KEEP the row, so the complement is
+    * `NOT coalesce(pred, false)`, not `NOT pred` (NOT NULL = NULL would
+    * silently drop those rows). Returns rows deleted. */
   def deleteFromParquet(spark: SparkSession, path: String, where: String): Long = {
     val df = spark.read.parquet(path)
-    val keep = df.where(s"NOT ($where)")
+    val keep = df.where(not(coalesce(expr(where), lit(false))))
     val deleted = df.count() - keep.count()
     val tmp = path + ".rewrite"
     keep.write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -34,22 +34,77 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
     if (!new java.io.File(targetDir).exists()) 0L
     else spark.read.schema(sinkSchema).parquet(targetDir).where(where).count()
 
-  /** Stage one batch as NDJSON and load it, returning rows loaded. */
+  /** Test failpoint: invoked after the load commit, before purge — still
+    * inside the retry-classified region, so specs can force a post-commit
+    * failure and assert the retry does not duplicate rows. */
+  private[graft] var postLoadFailpoint: () => Unit = () => ()
+
+  /** Stage one batch as NDJSON and load it, returning rows loaded.
+    *
+    * Stage/load failures are classified [[Retry.RetryableIngestError]]
+    * (the reference retries staged-load errors only,
+    * ingest_databend.go:206-241) and the whole call is retry-idempotent:
+    * the stage write is an Overwrite, and the load commits files under a
+    * deterministic per-ingest prefix that a retry cleans up first — a
+    * partial or even completed prior attempt never duplicates rows. */
   def ingest(batch: DataFrame, stagingDir: String): Long = {
     if (batch.isEmpty) return 0L // empty-batch no-op (ingest_databend.go:78-80)
-    batch.write.mode(SaveMode.Overwrite)
-      .option("compression", compression)
-      .json(stagingDir) // K1: df.write.json = NDJSON
-    val loaded = copyInto(stagingDir)
+    try {
+      batch.write.mode(SaveMode.Overwrite)
+        .option("compression", compression)
+        .json(stagingDir) // K1: df.write.json = NDJSON
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw Retry.RetryableIngestError("stage", e)
+    }
+    val loaded =
+      try {
+        val n = copyInto(stagingDir)
+        postLoadFailpoint()
+        n
+      } catch {
+        case e: Retry.RetryableIngestError => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw Retry.RetryableIngestError("load", e)
+      }
     if (purge) deleteRecursively(new java.io.File(stagingDir))
     loaded
   }
 
-  /** K2: NDJSON staging → aligned append into the target. */
+  /** Deterministic ingest identity — stable across retries of the same
+    * batch, distinct across batches (the staging dir is per-batch). */
+  private def ingestId(stagingDir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      new java.io.File(stagingDir).getName.getBytes("UTF-8")).toString.take(13)
+
+  /** K2: NDJSON staging → aligned append into the target.
+    *
+    * Idempotent commit: (1) remove any `ingest-<id>-*` files a failed or
+    * replayed prior attempt left in the target, (2) write the aligned
+    * batch to a private temp dir, (3) rename the parts into the target
+    * under the `ingest-<id>-` prefix. The renames are the only mutation of
+    * the target, and a retry redoes 1-3 from scratch — the COPY-INTO
+    * staged-file dedup of the reference, expressed as files. */
   private def copyInto(stagingDir: String): Long = {
+    val id = ingestId(stagingDir)
+    val target = new java.io.File(targetDir)
+    if (target.isDirectory)
+      target.listFiles().filter(_.getName.startsWith(s"ingest-$id-"))
+        .foreach(deleteRecursively)
     val raw = spark.read.schema(stagingSchema).json(stagingDir)
     val aligned = align(raw)
-    aligned.write.mode(SaveMode.Append).parquet(targetDir)
+    val tmp = new java.io.File(targetDir.stripSuffix("/") + s".load-$id")
+    aligned.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    target.mkdirs()
+    val parts = tmp.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dest = new java.io.File(target, f"ingest-$id-$i%05d.parquet")
+      if (!f.renameTo(dest))
+        sys.error(s"commit rename failed: ${f.getPath} -> ${dest.getPath}")
+    }
+    deleteRecursively(tmp)
     raw.count()
   }
 

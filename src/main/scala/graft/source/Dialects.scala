@@ -29,12 +29,15 @@ sealed trait JdbcDialect {
     s"SELECT MIN($key), MAX($key) FROM ${qualify(db, table)} WHERE $where"
   /** Extra options for spark.read.jdbc (isolation, fetchsize). */
   def scanOptions: Map[String, String] = Map("fetchsize" -> "10000")
+  /** Credentials that must NOT ride in the URL (dialects whose URL syntax
+    * has no safe quoting) — merged into the jdbc reader options. */
+  def credentialOptions(user: String, pass: String): Map[String, String] = Map.empty
 }
 
 case object MySqlDialect extends JdbcDialect {
   val name = "mysql"
   def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
-    s"jdbc:mysql://$h:$p/$db?user=$u&password=${java.net.URLEncoder.encode(pw, "UTF-8")}"
+    s"jdbc:mysql://$h:$p/$db?user=${JdbcDialect.enc(u)}&password=${JdbcDialect.enc(pw)}"
   val listDatabasesSql = "SHOW DATABASES"
   def listTablesSql(db: String) = s"SHOW TABLES FROM $db"
 }
@@ -42,7 +45,7 @@ case object MySqlDialect extends JdbcDialect {
 case object PostgresDialect extends JdbcDialect {
   val name = "pg"
   def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
-    s"jdbc:postgresql://$h:$p/$db?user=$u&password=${java.net.URLEncoder.encode(pw, "UTF-8")}"
+    s"jdbc:postgresql://$h:$p/$db?user=${JdbcDialect.enc(u)}&password=${JdbcDialect.enc(pw)}"
   val listDatabasesSql =
     "SELECT datname FROM pg_database WHERE datistemplate = false"
   def listTablesSql(db: String) =
@@ -54,7 +57,7 @@ case object PostgresDialect extends JdbcDialect {
 case object SqlServerDialect extends JdbcDialect {
   val name = "mssql"
   def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
-    s"jdbc:sqlserver://$h:$p;databaseName=$db;user=$u;password=$pw"
+    s"jdbc:sqlserver://$h:$p;databaseName=$db;user=${JdbcDialect.brace(u)};password=${JdbcDialect.brace(pw)}"
   override def quote(ident: String) = s"[$ident]"
   override def qualify(db: String, table: String) =
     if (table.contains(".")) s"[$db].$table" else s"[$db].dbo.[$table]"
@@ -64,15 +67,25 @@ case object SqlServerDialect extends JdbcDialect {
       |  AND name NOT IN ('master', 'tempdb', 'model', 'msdb')""".stripMargin
   def listTablesSql(db: String) =
     s"SELECT SCHEMA_NAME(schema_id) + '.' + name FROM [$db].sys.tables"
-  /** Dirty-read scan (reference WITH (NOLOCK)). */
+  /** Dirty-read scan (reference WITH (NOLOCK), sql_server.go:231,291).
+    * Spark's JDBC `isolationLevel` option applies only to the WRITE path —
+    * for reads the session itself must be switched, which
+    * `sessionInitStatement` runs on every scan connection. */
   override def scanOptions: Map[String, String] =
-    Map("fetchsize" -> "10000", "isolationLevel" -> "READ_UNCOMMITTED")
+    Map("fetchsize" -> "10000",
+        "sessionInitStatement" -> "SET TRANSACTION ISOLATION LEVEL READ UNCOMMITTED")
 }
 
 case object OracleDialect extends JdbcDialect {
   val name = "oracle"
+  /** Thin URL without embedded credentials — `user`/`pass` with reserved
+    * characters (`/`, `@`) would corrupt the locator; they travel as
+    * connection properties instead (spark.read.jdbc user/password
+    * options, populated by [[credentialOptions]]). */
   def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
-    s"jdbc:oracle:thin:$u/$pw@$h:$p/$db"
+    s"jdbc:oracle:thin:@//$h:$p/$db"
+  override def credentialOptions(u: String, pw: String): Map[String, String] =
+    Map("user" -> u, "password" -> pw)
   val listDatabasesSql = "SELECT username FROM all_users"
   def listTablesSql(db: String) =
     s"SELECT table_name FROM all_tables WHERE owner = '${db.toUpperCase}'"
@@ -81,6 +94,18 @@ case object OracleDialect extends JdbcDialect {
 }
 
 object JdbcDialect {
+  /** URL-query-component encoding for credentials in `?user=&password=`
+    * style URLs (mysql/pg) — reserved characters survive intact. */
+  private[source] def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** sqlserver `;key=value` escaping: values containing `;` `{` `}` or `=`
+    * ride inside braces, with `}` doubled (JDBC connection-string rule). */
+  private[source] def brace(s: String): String =
+    if (s.exists(c => c == ';' || c == '{' || c == '}' || c == '='))
+      "{" + s.replace("}", "}}") + "}"
+    else s
+
   /** Factory dispatch — tidb shares the mysql profile; unknown → mysql
     * (reference default, source/source.go:31-46). */
   def forType(databaseType: String): JdbcDialect = databaseType match {

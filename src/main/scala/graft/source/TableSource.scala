@@ -96,6 +96,7 @@ final class JdbcTableSource(spark: SparkSession, dialect: JdbcDialect,
   private def props: java.util.Properties = {
     val p = new java.util.Properties()
     dialect.scanOptions.foreach { case (k, v) => p.setProperty(k, v) }
+    dialect.credentialOptions(user, pass).foreach { case (k, v) => p.setProperty(k, v) }
     p
   }
   private def url: String = dialect.driverUrl(host, port, user, pass, defaultDb)

@@ -76,7 +76,14 @@ object StreamingArchiver {
 
   /** Micro-batch archive: every trigger interval, stage the new batch as
     * NDJSON and append it through the same loader the batch path uses
-    * (foreachBatch = the COPY-INTO loop with Spark managing offsets). */
+    * (foreachBatch = the COPY-INTO loop with Spark managing offsets).
+    *
+    * foreachBatch is at-least-once: after a failure/restart Spark replays
+    * the same batchId. Exactly-once lands in two layers: the loader's
+    * commit is idempotent per staging dir (a replayed `batch-<id>` cleans
+    * its own prior files before committing — the reference's COPY INTO
+    * staged-file dedup), and a per-batch marker under the checkpoint skips
+    * already-committed ids entirely so a replay does no work at all. */
   def archiveStream(stream: DataFrame, loader: StagedLoader,
       stagingRoot: String, checkpoint: String,
       triggerInterval: Option[String] = None): StreamingQuery = {
@@ -84,7 +91,12 @@ object StreamingArchiver {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        loader.ingest(batch, s"$stagingRoot/batch-$id"): Unit
+        val marker = new java.io.File(s"$checkpoint/graft-committed/batch-$id")
+        if (!marker.exists()) {
+          loader.ingest(batch, s"$stagingRoot/batch-$id")
+          marker.getParentFile.mkdirs()
+          marker.createNewFile(): Unit
+        }
       }
     triggerInterval
       .fold(writer.trigger(Trigger.AvailableNow()))(

@@ -139,6 +139,43 @@ class ArchiveE2ESpec extends SparkSpec {
       .where("s_suppkey <= 5").count() == 0)
   }
 
+  test("delete-back keeps rows where the predicate is NULL (SQL DELETE semantics)") {
+    val srcDir = tmpDir()
+    // fixture with a NULL key row: DELETE WHERE k <= 5 must not touch it
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'a'), (5, 'b'), (CAST(NULL AS INT), 'nullkey'), (9, 'c')
+        |AS t(k, v)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+    val deleted = DeleteBack.deleteFromParquet(spark, s"$srcDir/t.parquet", "k <= 5")
+    assert(deleted == 2)
+    val rest = spark.read.parquet(s"$srcDir/t.parquet")
+    assert(rest.count() == 2)
+    assert(rest.where("v = 'nullkey'").count() == 1, "NULL-predicate row was destroyed")
+  }
+
+  test("ingest failures are classified retryable and the retry never duplicates rows") {
+    val tgt = tmpDir() + "/t"; val stg = tmpDir() + "/stg"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema)
+    // worst case: the failure lands AFTER the load committed — the retry
+    // must supersede the prior attempt's files, not append next to them
+    var failures = 1
+    loader.postLoadFailpoint = () =>
+      if (failures > 0) { failures -= 1; sys.error("post-commit crash") }
+    val n = Retry.withRetry(maxAttempts = 3, initialDelayMs = 1, sleep = _ => ()) {
+      loader.ingest(src, stg)
+    }
+    assert(n == src.count())
+    assert(spark.read.parquet(tgt).count() == src.count(), "retry duplicated the batch")
+    // at-least-once replay of the SAME batch (same staging dir) is also a
+    // no-op-equivalent: the commit supersedes itself instead of appending
+    loader.ingest(src, stg): Unit
+    assert(spark.read.parquet(tgt).count() == src.count(), "replay duplicated the batch")
+    // and the classification: a stage-write failure surfaces as retryable
+    val bad = new StagedLoader(spark, tgt, src.schema, compression = "no-such-codec")
+    intercept[Retry.RetryableIngestError] { bad.ingest(src, tmpDir() + "/stg2") }
+  }
+
   test("retry: only classified ingest errors retry, with doubling backoff") {
     var calls = 0
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
