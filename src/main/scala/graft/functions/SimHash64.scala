@@ -8,15 +8,21 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.util.hashing.MurmurHash3
-
 /** 64-bit SimHash over a token array as a native Catalyst expression.
   *
-  * For each token a deterministic 64-bit hash is formed from two seeded
-  * 32-bit MurmurHash3 runs over the token's UTF-8 bytes; each of the 64 bit
-  * positions accumulates a ±1 vote across tokens; the signature bit is 1
-  * where the vote is positive. Near-duplicate texts differ in few tokens, so
-  * their signatures differ in few bits (compare via hamming distance).
+  * For each token a deterministic 64-bit hash is formed by a poly-31 fold
+  * over the token's code points finished with the splitmix64 mixer; each of
+  * the 64 bit positions accumulates a ±1 vote across tokens; the signature
+  * bit is 1 where the vote is positive. Near-duplicate texts differ in few
+  * tokens, so their signatures differ in few bits (compare via hamming
+  * distance).
+  *
+  * The token hash is deliberately engine-portable — poly31 + splitmix64 is
+  * expressible in plain SQL with 128-bit integer arithmetic (see the
+  * dedup_simhash DuckDB oracle, which reproduces these signatures
+  * bit-for-bit), so the whole operator is cross-engine verifiable rather
+  * than pinned only by specs. splitmix64's avalanche keeps the bit votes
+  * uniform despite the weak base hash.
   *
   * A Catalyst `Expression` (not a Scala UDF) so null handling, eval on
   * `UTF8String` without row conversion, and filter pushdown around it stay
@@ -53,16 +59,29 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   import org.apache.spark.sql.graftshim.ColumnShim
 
+  /** poly31 over code points + splitmix64 — wrapping Long arithmetic is
+    * mod-2^64, matching the oracle's HUGEINT formulation exactly. */
+  def tokenHash(s: String): Long = {
+    var h = 0L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h = h * 31L + cp
+      j += Character.charCount(cp)
+    }
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   def kernel(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val bytes = arr.getUTF8String(i).getBytes
-        val lo = MurmurHash3.bytesHash(bytes, 0x9747b28c)
-        val hi = MurmurHash3.bytesHash(bytes, 0x85ebca6b)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+        val h = tokenHash(arr.getUTF8String(i).toString)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

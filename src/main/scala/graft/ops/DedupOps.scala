@@ -30,6 +30,9 @@ object DedupOps {
     * strings (xxhash64 collisions are ~2⁻⁶⁵·n² — immaterial); each doc's
     * shingle-set size rides along with the exploded rows, so no separate
     * sizes relation or extra join. Work ∝ Σ df(gram)², never all-pairs. */
+  private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d)
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val g = Tables.fan(s, documents(s, d))
       .select(col("doc_id"), wordShingles("text").as("sh"))
@@ -46,6 +49,127 @@ object DedupOps {
       .where(col("jac") >= 0.5)
       .select(col("d1"), col("d2"), col("inter"), col("jac"))
   }
+
+  /** MinHash-LSH candidate pairs (d1 < d2) with their signature-estimated
+    * Jaccard: 32 minhash values over word 5-gram shingles (fully-native
+    * single pass: tokenize → per-token hash → rolling shingle mix →
+    * Kirsch–Mitzenmacher minhash — no shingle strings materialized),
+    * banded 8 × 4; a pair is a candidate when any band's rows all agree. */
+  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val nHash = 32; val bands = 8; val rows = nHash / bands
+    val withSig = Tables.fan(s, documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.minhash_shingled(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(bd =>
+        xxhash64(concat_ws(",",
+          (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+      .withColumn("est_jac",
+        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($nHash as double)"))
+      .select(col("d1"), col("d2"), col("est_jac"))
+  }
+
+  /** SimHash candidate pairs (d1 < d2) with hamming distance: 64-bit
+    * bit-vote signatures, candidates from 16-bit chunk collisions. */
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.fan(s, documents(s, d))
+      .select(col("doc_id"),
+        SimHash64.simhash64(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+            col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set: join each side to
+    * its (deduped) shingle array, intersect, keep jac ≥ 0.5. Candidates are
+    * a vanishing fraction of the corpus, so the shingle join is candidate-
+    * bounded — this is the step that makes an approximate candidate
+    * generator exact, and the reason the ops can share the exact oracle. */
+  private def verifyCandidates(s: SparkSession, d: String,
+      cands: DataFrame): DataFrame = {
+    val sh = Tables.fan(s, documents(s, d))
+      .select(col("doc_id"), wordShingles("text").as("sh"))
+    val c = cands.select(col("d1"), col("d2"))
+    c.join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        size(col("sh1")).as("sz1"), size(col("sh2")).as("sz2"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("jac"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** DuckDB replication of the whole simhash operator. Mirrors
+    * [[graft.functions.SimHash64]] bit-for-bit: poly31 over code points
+    * (list_reduce with no seed equals seed-0 since 0*31+c = c), splitmix64
+    * in the unsigned-64 domain simulated with HUGEINT mod 2^64 — the two
+    * wrapping multiplications are split 32/32 so no intermediate exceeds
+    * 128 bits — then per-bit ±1 votes, chunked candidate join, hamming ≤ 6. */
+  private val simhashOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(string_split_regex(tok, ''), c -> CAST(ord(c) AS HUGEINT)),
+      |                (h, c) -> (h * 31 + c) % 18446744073709551616) AS h0
+      |  FROM toks),
+      |s1 AS (SELECT doc_id, (h0 + 11400714819323198485) % 18446744073709551616 AS z FROM ph),
+      |s2 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z // 1073741824 AS UBIGINT)) AS HUGEINT) AS z FROM s1),
+      |s3 AS (SELECT doc_id, ((z % 4294967296) * 13787848793156543929
+      |        + ((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296)
+      |        % 18446744073709551616 AS z FROM s2),
+      |s4 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z // 134217728 AS UBIGINT)) AS HUGEINT) AS z FROM s3),
+      |s5 AS (SELECT doc_id, ((z % 4294967296) * 10723151780598845931
+      |        + ((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296)
+      |        % 18446744073709551616 AS z FROM s4),
+      |th AS (SELECT doc_id, xor(CAST(z AS UBIGINT), CAST(z // 2147483648 AS UBIGINT)) AS h FROM s5),
+      |votes AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY doc_id, b),
+      |usig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) AS u
+      |  FROM votes GROUP BY doc_id),
+      |ssig AS (
+      |  SELECT doc_id, u,
+      |    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sig
+      |  FROM usig),
+      |chunks AS (
+      |  SELECT doc_id, sig, c,
+      |    CAST((u // (CASE c WHEN 0 THEN 1 WHEN 1 THEN 65536
+      |                       WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
+      |         % 65536 AS BIGINT) AS ckey
+      |  FROM ssig CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sg1, b.sig AS sg2
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, bit_count(xor(sg1, sg2)) AS hamming
+      |FROM cand WHERE bit_count(xor(sg1, sg2)) <= 6
+      |ORDER BY d1, d2""".stripMargin
 
   /** The pair CTEs of the jaccard oracle, shared by two queries' SQL. */
   private val jaccardPairsSql: String =
@@ -128,59 +252,31 @@ object DedupOps {
         .orderBy(col("canonical_id"))
     },
 
-    // MinHash + LSH banding: 32 minhash signatures over word shingles,
-    // 8 bands × 4 rows; candidate pairs from band-bucket collisions; kept
-    // when estimated Jaccard (signature agreement) ≥ 0.5. Engine-specific
-    // hashing (xxhash64) → rows-only; DedupSpec pins precision/recall
-    // against the exact-Jaccard op.
-    Q.rowsOnly("dedup_minhash_lsh") { (s, d) =>
-      val nHash = 32; val bands = 8; val rows = nHash / bands
-      // fully-native signature: tokenize → per-token hash → rolling 5-gram
-      // mix → Kirsch–Mitzenmacher minhash, one pass, no shingle strings
-      val withSig = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"),
-          graft.functions.VectorOps.minhash_shingled(
-            expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
-      val banded = withSig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until bands).map(bd =>
-          xxhash64(concat_ws(",",
-            (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*))): _*))
-          .as(Seq("band", "bucket")))
-      val a = banded.as("a"); val b = banded.as("b")
-      a.join(b, col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-                col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-        .distinct()
-        .withColumn("est_jac",
-          expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($nHash as double)"))
-        .where(col("est_jac") >= 0.5)
-        .select(col("d1"), col("d2"), col("est_jac"))
-        .orderBy(col("d1"), col("d2"))
+    // MinHash + LSH banding, production shape: candidates from band-bucket
+    // collisions, then EXACT Jaccard verification of candidates only —
+    // work ∝ colliding pairs, results exact. That makes the op
+    // oracle-checkable against the exact-pair SQL: the planted near-dups
+    // sit at jac ≥ 0.87, where 8 bands × 4 rows has ~1e-3 miss probability
+    // per pair and (deterministic hashing) recall is exactly 1.0 on the
+    // fixtures. DedupSpec additionally pins candidate precision/recall.
+    Q("dedup_minhash_lsh",
+      s"""WITH
+         |$jaccardPairsSql
+         |SELECT d1, d2, jac FROM jpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      verifyCandidates(s, d, minhashCandidates(s, d))
     },
 
-    // SimHash near-dup: 64-bit signature via a custom Catalyst expression
-    // (bit-vote over murmur-hashed tokens), candidates from 16-bit chunk
-    // collisions (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), kept when
-    // hamming distance ≤ 6.
-    Q.rowsOnly("dedup_simhash") { (s, d) =>
-      val sigs = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"),
-          SimHash64.simhash64(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("sig"))
-      val chunked = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("chunk", "ckey")))
-      val a = chunked.as("a"); val b = chunked.as("b")
-      a.join(b, col("a.chunk") === col("b.chunk") &&
-              col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-                col("a.sig").as("s1"), col("b.sig").as("s2"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+    // SimHash near-dup: 64-bit bit-vote signature via a custom Catalyst
+    // expression, candidates from 16-bit chunk collisions (pigeonhole:
+    // hamming ≤ 3 ⇒ some chunk equal; higher distances collide
+    // probabilistically), kept when hamming ≤ 6. The token hash is
+    // poly31+splitmix64 precisely so the ORACLE can recompute the entire
+    // operator — signatures, chunk candidates, hamming filter — in plain
+    // SQL with HUGEINT mod-2^64 arithmetic, making this hash-defined op
+    // exactly cross-engine-checked instead of rows-only.
+    Q("dedup_simhash", simhashOracleSql) { (s, d) =>
+      simhashCandidates(s, d)
         .where(col("hamming") <= 6)
-        .select(col("d1"), col("d2"), col("hamming"))
         .orderBy(col("d1"), col("d2"))
     },
 

@@ -3,29 +3,31 @@ package graft.ops
 import graft.SparkSpec
 import graft.SparkEntry
 
-/** Quality gates for the hash-based dedup ops that have no SQL oracle:
-  * MinHash-LSH candidates must track exact n-gram Jaccard, SimHash must
-  * find the planted near-duplicates, signatures must be deterministic. */
+/** Quality gates for the hash-based dedup ops. The contract queries are
+  * candidate→exact-verify (oracle-checked); these specs pin the signature
+  * level underneath: candidate recall/precision vs exact n-gram Jaccard,
+  * determinism, and that verification makes the output exactly the
+  * exact-Jaccard pair set. */
 class DedupSpec extends SparkSpec {
 
-  private def pairs(name: String): Set[(Long, Long)] =
-    SparkEntry.queries(name)(spark, sf)
-      .select("d1", "d2").collect()
+  private def toPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("minhash-lsh recall: finds ≥80% of exact-jaccard≥0.5 pairs") {
+  private def pairs(name: String): Set[(Long, Long)] =
+    toPairs(SparkEntry.queries(name)(spark, sf))
+
+  test("minhash-lsh candidate recall: finds ≥80% of exact-jaccard≥0.5 pairs") {
     val exact = pairs("dedup_ngram_jaccard")
-    val lsh = pairs("dedup_minhash_lsh")
+    val lsh = toPairs(DedupOps.minhashCandidates(spark, sf))
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
   test("minhash-lsh precision: high-confidence candidates are real near-dups") {
-    val confident = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
-      .where("est_jac >= 0.7")
-      .select("d1", "d2").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val confident = toPairs(
+      DedupOps.minhashCandidates(spark, sf).where("est_jac >= 0.7"))
     val exact = pairs("dedup_ngram_jaccard") // true jaccard ≥ 0.5
     if (confident.nonEmpty) {
       val hit = confident.count(exact.contains).toDouble / confident.size
@@ -33,17 +35,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("simhash finds near-dup pairs and is deterministic across runs") {
-    val a = SparkEntry.queries("dedup_simhash")(spark, sf).collect().toSeq
-    val b = SparkEntry.queries("dedup_simhash")(spark, sf).collect().toSeq
+  test("simhash candidates are deterministic across runs and non-empty") {
+    val a = DedupOps.simhashCandidates(spark, sf).orderBy("d1", "d2").collect().toSeq
+    val b = DedupOps.simhashCandidates(spark, sf).orderBy("d1", "d2").collect().toSeq
     assert(a == b, "simhash signatures must be deterministic")
     assert(a.nonEmpty, "planted near-dups should collide in some 16-bit chunk")
   }
 
-  test("simhash near-dup pairs overlap exact near-dup pairs") {
-    val sim = pairs("dedup_simhash")
+  test("simhash candidate pairs overlap exact near-dup pairs") {
+    val sim = toPairs(DedupOps.simhashCandidates(spark, sf))
     val exact = pairs("dedup_ngram_jaccard")
     assert((sim intersect exact).nonEmpty,
       s"no overlap between simhash (${sim.size}) and exact (${exact.size}) pairs")
+  }
+
+  test("verified minhash query reproduces the exact-Jaccard pair set") {
+    val exact = pairs("dedup_ngram_jaccard")
+    assert(pairs("dedup_minhash_lsh") == exact,
+      "minhash candidates + exact verify must equal the exact pair set")
   }
 }
