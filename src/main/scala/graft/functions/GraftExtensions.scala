@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(args(1), "gram"), intArg(args(2), "nHash"))))
 
     ext.injectFunction((
+      FunctionIdentifier("splitmix64"),
+      info("splitmix64", "splitmix64(key) - splitmix64 mix of a bigint key (dataset routing)"),
+      (args: Seq[Expression]) => SplitMix64(args.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(tokens, gram) - space-joined word n-gram shingles"),
       (args: Seq[Expression]) =>

@@ -69,10 +69,7 @@ object SimHash64 {
       h = h * 31L + cp
       j += Character.charCount(cp)
     }
-    var z = h + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
+    SplitMix64.kernel(h)
   }
 
   def kernel(arr: ArrayData): Long = {

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SplitMix64.splitmix64
+import graft.functions.VectorOps.word_ngrams
+
+/** Training-data pipeline operators beyond the dedup/ANN/text families:
+  * PII redaction, repetition-based quality filtering (the Gopher rules),
+  * deterministic hash-routed dataset splits, and token-budget sequence
+  * packing. All four are exactly oracle-checked — the split op leans on
+  * the portable splitmix64 mixer (reproduced in DuckDB with HUGEINT
+  * mod-2^64 arithmetic, like the simhash oracle).
+  *
+  * Scale notes per op are inline; none of them shuffles more than once,
+  * and the only wide operations key on (doc) or (source) — the natural
+  * partitioning of a 100 TB corpus.
+  */
+object PipelineOps {
+  import Tables._
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The splitmix64 chain in DuckDB SQL: CTE steps `<p>1..<p>5` over an
+    * input relation exposing `(… , z)`; the final step yields the mixed
+    * value as unsigned HUGEINT in column `z`. Wrapping 64-bit multiplies
+    * are split 32/32 so no intermediate exceeds 128 bits (see the
+    * dedup_simhash oracle, which inlines the same formulation). */
+  private def smixCtes(p: String, src: String, carry: String): String =
+    s"""${p}1 AS (SELECT $carry, (z + 11400714819323198485) % 18446744073709551616 AS z FROM $src),
+       |${p}2 AS (SELECT $carry, CAST(xor(CAST(z AS UBIGINT), CAST(z // 1073741824 AS UBIGINT)) AS HUGEINT) AS z FROM ${p}1),
+       |${p}3 AS (SELECT $carry, ((z % 4294967296) * 13787848793156543929
+       |        + ((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS z FROM ${p}2),
+       |${p}4 AS (SELECT $carry, CAST(xor(CAST(z AS UBIGINT), CAST(z // 134217728 AS UBIGINT)) AS HUGEINT) AS z FROM ${p}3),
+       |${p}5 AS (SELECT $carry, ((z % 4294967296) * 10723151780598845931
+       |        + ((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296)
+       |        % 18446744073709551616 AS z FROM ${p}4),
+       |${p}6 AS (SELECT $carry, CAST(xor(CAST(z AS UBIGINT), CAST(z // 2147483648 AS UBIGINT)) AS HUGEINT) AS z FROM ${p}5)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // PII redaction: synthesize deterministic PII into each document (the
+    // fixtures carry none), then strip emails and IPv4s. The md5 of the
+    // redacted text pins the FULL output string cross-engine, not just the
+    // counts. Pure per-row projection — embarrassingly parallel, stays in
+    // one codegen stage at the scan.
+    Q("text_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) || '.1' AS t
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g') AS r
+         |  FROM aug)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailRe')) AS n_email,
+         |  len(regexp_extract_all(t, '$IpRe')) AS n_ip,
+         |  md5(r) AS redacted_md5
+         |FROM red ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact"), col("doc_id"), lit("@example.com ip 10.0."),
+                 col("doc_id") % 256, lit(".1")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).as("n_ip"),
+          md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+                             IpRe, "<IP>")).as("redacted_md5"))
+        .orderBy(col("doc_id")).limit(500)
+    },
+
+    // Repetition-based quality signals (Gopher-style): top-word fraction,
+    // distinct-word fraction, duplicate-bigram fraction. Word counts are a
+    // (doc_id, word) partial-aggregated explode — the one shuffle — and
+    // bigram stats are array expressions at the scan (word_ngrams dedups,
+    // so duplicate fraction is 1 - distinct/total).
+    Q("text_repetition",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS wd FROM documents),
+        |wc AS (SELECT doc_id, wd, count(*) AS c FROM w GROUP BY doc_id, wd),
+        |ws AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS topc,
+        |    CAST(sum(c) AS BIGINT) AS total, count(*) AS n_distinct
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, len(w) AS nw, count(DISTINCT gram) AS n_bg FROM (
+        |    SELECT doc_id, w,
+        |      list_aggregate(w[CAST(u AS INT):CAST(u+1 AS INT)], 'string_agg', ' ') AS gram
+        |    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w), 2))) AS u
+        |          FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0))
+        |  GROUP BY doc_id, len(w))
+        |SELECT ws.doc_id,
+        |  ws.total AS n_words,
+        |  ws.topc / ws.total AS top_word_frac,
+        |  ws.n_distinct / ws.total AS distinct_frac,
+        |  CASE WHEN bg.nw < 2 THEN 0.0 ELSE 1.0 - bg.n_bg / (bg.nw - 1) END AS dup_bigram_frac
+        |FROM ws JOIN bg ON ws.doc_id = bg.doc_id
+        |ORDER BY ws.doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      val docs = Tables.fan(s, documents(s, d))
+      val ws = docs
+        .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("wd"))
+        .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("topc"), sum(col("c")).as("total"),
+             count(lit(1)).as("n_distinct"))
+      val bg = docs
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("nw"),
+          size(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 2)).as("n_bg"))
+      ws.join(bg, "doc_id")
+        .select(col("doc_id"), col("total").as("n_words"),
+          (col("topc") / col("total")).as("top_word_frac"),
+          (col("n_distinct") / col("total")).as("distinct_frac"),
+          when(col("nw") < 2, lit(0.0))
+            .otherwise(lit(1.0) - col("n_bg") / (col("nw") - 1)).as("dup_bigram_frac"))
+        .orderBy(col("doc_id")).limit(500)
+    },
+
+    // Deterministic hash-routed train/val/test split: bucket =
+    // splitmix64(doc_id) mod 100 (sign bit dropped), 90/5/5. Stable across
+    // runs, engines, and cluster sizes; uncorrelated with id order —
+    // the properties `pmod(id, 100)` and rand() each lack. Routing is a
+    // projection; the only shuffle is the audit aggregate.
+    Q("split_assign",
+      s"""WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents),
+         |${smixCtes("s", "s0", "doc_id, source")},
+         |b AS (
+         |  SELECT source,
+         |    CASE WHEN (z % 9223372036854775808) % 100 < 90 THEN 'train'
+         |         WHEN (z % 9223372036854775808) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    doc_id
+         |  FROM s6)
+         |SELECT source, split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, d) =>
+      val bucket = (splitmix64(col("doc_id"))
+        .bitwiseAND(lit(Long.MaxValue)) % 100)
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"), col("split"))
+    },
+
+    // Token-budget sequence packing: within each source, documents in
+    // doc_id order fill 4096-token bins (bin = floor(tokens-before /
+    // budget) — the streaming-friendly first-fit-in-order packing). The
+    // window is partitioned by source, so at 100 TB each source packs
+    // independently after one shuffle; bins then aggregate map-side.
+    Q("pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("source"),
+          expr("(cum - toks) div 4096").as("bin"), col("toks"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    },
+  )
+}

@@ -16,7 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     and DuckDB's parallel sums agree bit-for-bit;
   *   - averages are `CAST(decimal_sum AS DOUBLE) / count` in both engines
   *     (one IEEE division of identical inputs);
-  *   - every result has a total ORDER BY on a unique key set.
+  *   - every result has a total ORDER BY on a unique key set;
+  *   - FINAL output columns are never DECIMAL and never a bare `sum(int)`:
+  *     the driver compares through pandas, where DuckDB DECIMAL and
+  *     HUGEINT surface as float64 while Spark parquet DECIMAL stays
+  *     Decimal objects — so every decimal aggregate is cast to DOUBLE and
+  *     every integer sum to BIGINT in the final projection of BOTH
+  *     engines (one exact conversion of identical values = identical
+  *     bits). Array/map columns are likewise reduced to scalars or
+  *     strings before output (pandas cannot sort list cells).
   */
 final case class Q(
     name: String,

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Semantic invariants for the pipeline ops (the oracle pins exact values;
+  * these pin the properties that make the ops fit for purpose). */
+class PipelineSpec extends SparkSpec {
+
+  test("split_assign partitions the corpus 90/5/5 and is deterministic") {
+    val out = SparkEntry.queries("split_assign")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n")).sum
+    val docs = Tables.documents(spark, sf).count()
+    assert(total == docs, "splits must partition the corpus exactly")
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    assert(bySplit.contains("val") && bySplit.contains("test"))
+    val again = SparkEntry.queries("split_assign")(spark, sf).collect()
+    assert(out.toSeq == again.toSeq, "hash routing must be run-stable")
+  }
+
+  test("splitmix64 routing is uncorrelated with id order (unlike id mod 100)") {
+    import graft.functions.SplitMix64
+    // consecutive ids land in the same bucket at ~1/100, not always
+    val sameAsNext = (0L until 1000L).count(i =>
+      (SplitMix64.kernel(i) & Long.MaxValue) % 100 ==
+      (SplitMix64.kernel(i + 1) & Long.MaxValue) % 100)
+    assert(sameAsNext < 50, s"$sameAsNext/1000 consecutive-id collisions")
+  }
+
+  test("pack_sequences: bins are contiguous and near the token budget") {
+    val out = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L, s"$src: first bin must be 0")
+      assert(bins.toSeq == (0L until bins.length).toSeq, s"$src: bins must be contiguous")
+      // every bin except the last was closed because it crossed the budget
+      val toks = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("bin_tokens"))
+      toks.dropRight(1).foreach(t => assert(t >= 4096, s"$src: underfull closed bin $t"))
+    }
+  }
+
+  test("pii redaction finds and strips the synthesized identifiers") {
+    val out = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_email") >= 1, "synthesized email must be found")
+      assert(r.getAs[Int]("n_ip") >= 1, "synthesized IP must be found")
+    }
+    // direct check of the redacted text on a crafted row
+    import spark.implicits._
+    val red = Seq("write bob@corp.io from 192.168.0.1 now").toDF("t")
+      .selectExpr(
+        "regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', '<EMAIL>'), '\\\\b\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\b', '<IP>') AS r")
+      .head().getString(0)
+    assert(red == "write <EMAIL> from <IP> now", red)
+  }
+
+  test("repetition fractions are well-formed quality signals") {
+    val out = SparkEntry.queries("text_repetition")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      val top = r.getAs[Double]("top_word_frac")
+      val dis = r.getAs[Double]("distinct_frac")
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      assert(n > 0)
+      assert(top >= 1.0 / n && top <= 1.0, s"top_word_frac $top")
+      assert(dis > 0.0 && dis <= 1.0, s"distinct_frac $dis")
+      assert(dup >= 0.0 && dup <= 1.0, s"dup_bigram_frac $dup")
+    }
+  }
+}
