@@ -73,10 +73,14 @@ object PipelineOps {
     },
 
     // Repetition-based quality signals (Gopher-style): top-word fraction,
-    // distinct-word fraction, duplicate-bigram fraction. Word counts are a
-    // (doc_id, word) partial-aggregated explode — the one shuffle — and
-    // bigram stats are array expressions at the scan (word_ngrams dedups,
-    // so duplicate fraction is 1 - distinct/total).
+    // distinct-word fraction, duplicate-bigram fraction. ONE scan and ONE
+    // shuffle: the per-doc array stats (word count, distinct-bigram count
+    // via the deduping word_ngrams expression) are computed at the scan
+    // and ride the explode as extra grouping keys — constants per doc, so
+    // they add two ints per shuffle row instead of a second corpus-sized
+    // aggregate joined back on doc_id (two shuffles + a sort-merge join
+    // at 100 TB). Map-side combine collapses the explode to distinct
+    // words per doc before the wire.
     Q("text_repetition",
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS wd FROM documents),
@@ -99,18 +103,16 @@ object PipelineOps {
         |  CASE WHEN bg.nw < 2 THEN 0.0 ELSE 1.0 - bg.n_bg / (bg.nw - 1) END AS dup_bigram_frac
         |FROM ws JOIN bg ON ws.doc_id = bg.doc_id
         |ORDER BY ws.doc_id LIMIT 500""".stripMargin) { (s, d) =>
-      val docs = Tables.fan(s, documents(s, d))
-      val ws = docs
-        .select(col("doc_id"), explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("wd"))
-        .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+        .select(col("doc_id"), size(col("w")).as("nw"),
+          size(word_ngrams(col("w"), 2)).as("n_bg"), explode(col("w")).as("wd"))
+        .groupBy(col("doc_id"), col("nw"), col("n_bg"), col("wd"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("nw"), col("n_bg"))
         .agg(max(col("c")).as("topc"), sum(col("c")).as("total"),
              count(lit(1)).as("n_distinct"))
-      val bg = docs
-        .select(col("doc_id"),
-          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("nw"),
-          size(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 2)).as("n_bg"))
-      ws.join(bg, "doc_id")
         .select(col("doc_id"), col("total").as("n_words"),
           (col("topc") / col("total")).as("top_word_frac"),
           (col("n_distinct") / col("total")).as("distinct_frac"),

@@ -90,4 +90,30 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), "no WholeStageCodegen spans in:\n" + p)
   }
+
+  test("split_assign: routing is a pruned-scan projection, partial agg before one shuffle") {
+    val p = planOf("split_assign")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "text column must be pruned from the routing scan:\n" + p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("text_repetition: single documents scan, no self-join of aggregates") {
+    val p = planOf("text_repetition")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).size
+    assert(scans == 1, s"expected one documents scan, got $scans:\n" + p)
+    assert(!p.contains("Join"), "per-doc stats must ride the explode, not join back:\n" + p)
+  }
+
+  test("pack_sequences: one window pass; the bin aggregate reuses its partitioning") {
+    val p = planOf("pack_sequences")
+    val windows = """Window\s+\(\d+\)""".r.findAllIn(p).size
+    assert(windows == 1, s"expected one window, got $windows:\n" + p)
+    // two exchanges only: hash(source) feeding the window, range for the
+    // final ORDER BY — groupBy(source, bin) must reuse the window's
+    // partitioning instead of shuffling a third time
+    val exchanges = """Exchange\s+\(\d+\)""".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" + p)
+  }
 }
