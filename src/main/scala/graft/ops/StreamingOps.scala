@@ -1,0 +1,118 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingArchiver
+
+/** Structured Streaming, oracle-verified: each query here drives a REAL
+  * streaming query (file source → streaming transform → memory sink,
+  * `processAllAvailable` over the bounded fixture) and returns its final
+  * result — which DuckDB then recomputes relationally. That pins the
+  * streaming engine's semantics (epoch-aligned tumbling windows,
+  * watermarked dedup state, flatMapGroupsWithState sessionization) to
+  * exact batch definitions, not just to specs.
+  *
+  * Scale: these run identically against a live source — the fixture is a
+  * bounded replay. Windowed counts and dedup state are bounded by the
+  * watermark horizon; session state is one record per active key.
+  */
+object StreamingOps {
+
+  private val runId = new AtomicLong(0)
+
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bounded streaming read of the events fixture. The file source wants a
+    * DIRECTORY, so the µs-converted events are materialized once per
+    * fixture into a temp dir (memoized per process) — the stand-in for
+    * the landing directory a live deployment tails. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val dir = streamDirs.computeIfAbsent(d, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-events").toString
+      Tables.events(s, d).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+  }
+
+  /** Run a streaming frame to completion into a uniquely-named memory
+    * sink and return the materialized result. */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val table = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(table)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling 2h windows via the streaming engine; epoch-aligned starts
+    // (Spark's window() origin) recomputed arithmetically in the oracle.
+    Q("stream_window_counts",
+      """SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000 * 7200000000 AS BIGINT) AS win_start_us,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000 * 7200000000 + 7200000000 AS BIGINT) AS win_end_us,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      val counts = StreamingArchiver.windowedCounts(eventStream(s, d), "ts", "2 hours")
+      runToMemory(counts, "complete")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+                unix_micros(col("win_end")).as("win_end_us"), col("n"))
+        .orderBy(col("win_start_us"))
+    },
+
+    // A replayed feed (the stream unioned with itself) deduped on the
+    // unique key within the watermark horizon, then counted — the
+    // streaming exact-dedup contract: state holds keys inside the
+    // watermark, and the horizon is sized to the replay window (here:
+    // wider than the fixture, so dedup is total).
+    Q("stream_dedup_counts",
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val st = eventStream(s, d)
+      val replayed = st.union(eventStream(s, d))
+      val deduped = StreamingArchiver.dedupStream(
+        replayed, "ts", Seq("event_id"), "960 hours")
+      val counts = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      runToMemory(counts, "complete").orderBy(col("event_type"))
+    },
+
+    // flatMapGroupsWithState sessionization (30 min inactivity gap). The
+    // streaming contract emits CLOSED sessions only — each user's final
+    // session stays open in state — so the oracle's gaps-and-islands
+    // rebuild excludes the last session per user.
+    Q("stream_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, t,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |agg AS (SELECT user_id, sid,
+        |  CAST(min(t) AS BIGINT) AS session_start_us,
+        |  CAST(max(t) AS BIGINT) AS session_end_us,
+        |  count(*) AS n_events FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS maxsid FROM agg)
+        |SELECT user_id, session_start_us, session_end_us, n_events
+        |FROM mx WHERE sid < maxsid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val events = eventStream(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[StreamingArchiver.Event]
+      val sessions = StreamingArchiver.sessionize(events, 30 * 60 * 1000L).toDF()
+      runToMemory(sessions, "append")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+  )
+}

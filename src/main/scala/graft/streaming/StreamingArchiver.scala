@@ -32,29 +32,43 @@ object StreamingArchiver {
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
 
+  /** java.sql.Timestamp ↔ epoch microseconds (getTime alone is
+    * millisecond-truncated; the nanos field carries the full fraction —
+    * session gaps must compare at the data's µs precision or boundary
+    * events classify differently than an exact engine). */
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  private[streaming] def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
   /** Custom stateful operator: event-time sessionization with an
     * inactivity gap, via `flatMapGroupsWithState` — the pattern for state
     * Spark's built-in windows can't express. State is per-key and bounded
-    * (one open session per user); emitted sessions close either on a gap
-    * or at timeout. Works identically over a bounded stream (AvailableNow)
-    * and a live one. */
+    * (one open session per user); emitted sessions close on a gap — the
+    * final open session per user stays in state (NoTimeout), exactly the
+    * streaming contract. Works identically over a bounded stream
+    * (AvailableNow) and a live one. Gap comparison is µs-exact. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val sorted = it.toSeq.sortBy(e => micros(e.ts))
           val out = Seq.newBuilder[UserSession]
           var st = state.getOption.orNull
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             st = st match {
               case null => SessionState(t, t, 1)
-              case s if t - s.last <= gapMs => s.copy(last = t, n = s.n + 1)
+              case s if t - s.last <= gapUs => s.copy(last = t, n = s.n + 1)
               case s =>
-                out += UserSession(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.last), s.n)
+                out += UserSession(userId, fromMicros(s.start),
+                  fromMicros(s.last), s.n)
                 SessionState(t, t, 1)
             }
           }
