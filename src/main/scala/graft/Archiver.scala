@@ -28,10 +28,7 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
     stagingRoot: String, pacingSleep: Long => Unit = Thread.sleep,
     deleteBackFn: (String, String, String) => Long = (_, _, _) => 0L) {
 
-  final case class TableReport(db: String, table: String, rowsLoaded: Long)
-  final case class RunReport(tables: Seq[TableReport],
-      reconciliation: Reconciler.Result,
-      deletedBack: Long, metrics: MetricsRecorder.Snapshot)
+  import Archiver.{RunReport, TableReport}
 
   /** Resolve the (db, table) work list: explicit config pair plus
     * `db@table` regex expansion (cmd/main.go:54-71). */
@@ -75,6 +72,38 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
     } finally MetricsRecorder.detach(spark, rec)
   }
 
+  /** High-watermark incremental sync (flagged upgrade — the reference is
+    * one-shot with an empty-target gate). Resumes from max(splitKey)
+    * already in the target and archives only rows beyond it; rows at or
+    * below the watermark are assumed immutable (the same assumption the
+    * reference's time path documents). Reconciliation still compares the
+    * FULL predicate on both sides, so a mutated history fails loudly.
+    * Staging dirs carry the watermark so a delta run's idempotent commit
+    * never supersedes an earlier run's committed files. */
+  def runIncremental(): RunReport = {
+    val rec = MetricsRecorder.attach(spark)
+    try {
+      val key = cfg.sourceSplitKey
+      require(key.nonEmpty, "incremental sync requires sourceSplitKey")
+      val wm = loader.maxKey(key)
+      val (deltaWhere, runTag) = wm match {
+        case Some(w) => (s"(${cfg.sourceWhereCondition}) AND $key > $w", s"delta-gt-$w")
+        case None    => (cfg.sourceWhereCondition, "delta-initial")
+      }
+      val inner = new Archiver(spark, cfg.copy(sourceWhereCondition = deltaWhere),
+        src, loader, s"$stagingRoot/$runTag", pacingSleep, deleteBackFn)
+      val tables = inner.discoverTables()
+      require(tables.nonEmpty, "no tables resolved from config")
+      val reports = tables.map { case (db, t) => inner.archiveTable(db, t) }
+      val sourceTotal = tables.map { case (db, t) =>
+        src.count(db, t, cfg.sourceWhereCondition)
+      }.sum
+      val rc = Reconciler.reconcile(sourceTotal,
+        loader.targetCount(cfg.sourceWhereCondition))
+      RunReport(reports, rc, 0L, rec.snapshot)
+    } finally MetricsRecorder.detach(spark, rec)
+  }
+
   private def archiveTable(db: String, table: String): TableReport = {
     val plan = ArchivePlanner.plan(src, cfg, db, table)
     val loaded = plan match {
@@ -101,6 +130,11 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
 }
 
 object Archiver {
+  final case class TableReport(db: String, table: String, rowsLoaded: Long)
+  final case class RunReport(tables: Seq[TableReport],
+      reconciliation: Reconciler.Result,
+      deletedBack: Long, metrics: MetricsRecorder.Snapshot)
+
   /** Sandbox wiring: parquet fixtures as the source, a parquet dir as the
     * warehouse target. Delete-back rewrites the source table (K5/K6) —
     * note it mutates `sourceDir`, so tests copy fixtures first. */

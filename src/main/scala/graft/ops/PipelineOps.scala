@@ -149,6 +149,57 @@ object PipelineOps {
         .orderBy(col("source"), col("split"))
     },
 
+    // The composed corpus-cleaning decision a training pipeline actually
+    // ships: length gate ∧ repetition gates ∧ exact-dup canonicalization,
+    // as ONE mask. Everything except the canonical check is a per-row
+    // expression at the scan; the canonical id is a min-window over
+    // (source, text) — a single shuffle for the whole chain. The audit
+    // aggregate reports per-source keep counts and an id checksum.
+    Q("corpus_keep_mask",
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(text, '\S+') AS wa
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, source, text, len(wa) AS nw,
+        |    CASE WHEN len(wa) = 0 THEN 0.0
+        |         ELSE len(list_distinct(wa)) / len(wa) END AS dfrac,
+        |    CASE WHEN len(wa) < 2 THEN 0.0
+        |         ELSE 1.0 - len(list_distinct(
+        |                list_transform(range(1, len(wa)), u -> wa[u] || ' ' || wa[u+1])))
+        |              / (len(wa) - 1) END AS bfrac
+        |  FROM w),
+        |canon AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY source, text) AS canon_id FROM st),
+        |mask AS (
+        |  SELECT source, doc_id,
+        |    (nw >= 10 AND dfrac >= 0.5 AND bfrac <= 0.3 AND doc_id = canon_id) AS keep
+        |  FROM canon)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+        |  CAST(coalesce(sum(doc_id) FILTER (WHERE keep), 0) AS BIGINT) AS keep_id_sum
+        |FROM mask GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val wa = expr("regexp_extract_all(text, '\\\\S+', 0)")
+      val masked = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), col("source"), col("text"),
+          size(wa).as("nw"),
+          when(size(wa) === 0, lit(0.0))
+            .otherwise(size(array_distinct(wa)) / size(wa)).as("dfrac"),
+          when(size(wa) < 2, lit(0.0))
+            .otherwise(lit(1.0) - size(word_ngrams(wa, 2)) / (size(wa) - 1)).as("bfrac"))
+        .withColumn("canon_id",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"), col("text"))))
+        .select(col("source"), col("doc_id"),
+          (col("nw") >= 10 && col("dfrac") >= 0.5 && col("bfrac") <= 0.3 &&
+            col("doc_id") === col("canon_id")).as("keep"))
+      masked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_keep"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).as("keep_id_sum"))
+        .orderBy(col("source"))
+    },
+
     // Token-budget sequence packing: within each source, documents in
     // doc_id order fill 4096-token bins (bin = floor(tokens-before /
     // budget) — the streaming-friendly first-fit-in-order packing). The

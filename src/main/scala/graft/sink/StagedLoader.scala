@@ -72,10 +72,13 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
   }
 
   /** Deterministic ingest identity — stable across retries of the same
-    * batch, distinct across batches (the staging dir is per-batch). */
+    * batch, distinct across batches. Hashes the staging dir's FULL path:
+    * different runs stage under different roots but share table-derived
+    * basenames, and a basename-derived id would let a later run's commit
+    * supersede an earlier run's files. */
   private def ingestId(stagingDir: String): String =
     java.util.UUID.nameUUIDFromBytes(
-      new java.io.File(stagingDir).getName.getBytes("UTF-8")).toString.take(13)
+      new java.io.File(stagingDir).getAbsolutePath.getBytes("UTF-8")).toString.take(13)
 
   /** K2: NDJSON staging → aligned append into the target.
     *
@@ -123,6 +126,17 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
   }
 
   def targetCount(where: String = "true"): Long = syncedCount(where)
+
+  /** High-watermark read for incremental sync: max of the split key
+    * already in the target (None when the target is empty/absent). */
+  def maxKey(key: String): Option[Long] =
+    if (!new java.io.File(targetDir).exists()) None
+    else {
+      val r = spark.read.schema(sinkSchema).parquet(targetDir)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(key)).cast("long")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)

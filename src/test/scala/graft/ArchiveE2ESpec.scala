@@ -176,6 +176,51 @@ class ArchiveE2ESpec extends SparkSpec {
     intercept[Retry.RetryableIngestError] { bad.ingest(src, tmpDir() + "/stg2") }
   }
 
+  test("incremental sync archives only rows past the target's watermark") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    val full = spark.read.parquet(s"$sf/orders.parquet")
+    // day 1: the source only holds the first half of the keyspace
+    val cut = 750L
+    full.where(s"o_orderkey <= $cut")
+      .write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "orders",
+      sourceWhereCondition = "o_totalprice > 0",
+      sourceSplitKey = "o_orderkey", batchSize = 200, maxThread = 4)
+    val schema = full.schema
+    def mk() = Archiver.parquet(spark, cfg, srcDir, tgt, tgt + ".stg",
+      schema, pacingSleep = _ => ())
+    val r1 = mk().runIncremental() // empty target → full load of day-1 rows
+    assert(r1.reconciliation.correct, r1.reconciliation)
+    val day1 = r1.tables.head.rowsLoaded
+    assert(day1 == full.where(s"o_orderkey <= $cut").count())
+    // day 2: new rows appended to the source; only the delta must load
+    full.write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+    val r2 = mk().runIncremental()
+    assert(r2.reconciliation.correct, r2.reconciliation)
+    assert(r2.tables.head.rowsLoaded == full.count() - day1,
+      "second run must load only rows past the watermark")
+    assert(spark.read.parquet(tgt).count() == full.count())
+    // and the loaded keyspace is exactly the source's (no dup, no gap)
+    assert(spark.read.parquet(tgt).select("o_orderkey").distinct().count()
+      == full.count())
+  }
+
+  test("compaction rewrites the per-batch file accumulation into sized files") {
+    val tgt = tmpDir() + "/t"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema)
+    (1 to 3).foreach(i => loader.ingest(src, tmpDir() + s"/stg$i"))
+    val before = new java.io.File(tgt).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 3, s"expected one file set per batch, got $before")
+    val report = graft.sink.Compaction.compact(spark, tgt)
+    assert(report.filesBefore == before)
+    assert(report.filesAfter == 1, report)
+    assert(report.rows == src.count() * 3)
+    assert(spark.read.parquet(tgt).count() == src.count() * 3)
+  }
+
   test("retry: only classified ingest errors retry, with doubling backoff") {
     var calls = 0
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
