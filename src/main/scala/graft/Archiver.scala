@@ -79,12 +79,24 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
     * reference's time path documents). Reconciliation still compares the
     * FULL predicate on both sides, so a mutated history fails loudly.
     * Staging dirs carry the watermark so a delta run's idempotent commit
-    * never supersedes an earlier run's committed files. */
+    * never supersedes an earlier run's committed files.
+    *
+    * Soundness preconditions, enforced or documented:
+    *  - SINGLE table only (enforced): the watermark is a global max over
+    *    the shared target, and with several tables interleaved in it
+    *    "max key archived" would not mean "all rows ≤ max archived".
+    *  - crash-consistency: the loader must commit batches in ascending
+    *    key order (`orderedCommitKey` = the split key, which
+    *    [[Archiver.parquet]] wires up) so a crash mid-commit strands a
+    *    key-PREFIX and the next run's watermark resumes exactly after it. */
   def runIncremental(): RunReport = {
     val rec = MetricsRecorder.attach(spark)
     try {
       val key = cfg.sourceSplitKey
       require(key.nonEmpty, "incremental sync requires sourceSplitKey")
+      require(discoverTables().sizeIs == 1,
+        "incremental sync supports a single table per target " +
+          "(the watermark is a global max over the shared target)")
       val wm = loader.maxKey(key)
       val (deltaWhere, runTag) = wm match {
         case Some(w) => (s"(${cfg.sourceWhereCondition}) AND $key > $w", s"delta-gt-$w")
@@ -143,7 +155,8 @@ object Archiver {
       sinkSchema: org.apache.spark.sql.types.StructType,
       pacingSleep: Long => Unit = Thread.sleep): Archiver = {
     val src = new graft.source.ParquetTableSource(spark, sourceDir)
-    val loader = new StagedLoader(spark, targetDir, sinkSchema)
+    val loader = new StagedLoader(spark, targetDir, sinkSchema,
+      orderedCommitKey = Option(cfg.sourceSplitKey).filter(_.nonEmpty))
     new Archiver(spark, cfg, src, loader, stagingRoot, pacingSleep,
       deleteBackFn = (db, table, where) =>
         DeleteBack.deleteFromParquet(spark, s"$sourceDir/$table.parquet", where))

@@ -40,13 +40,16 @@ object Bench {
       }
       val (t1, ok1) = once()
       val (t2, ok2) = once()
-      (name, math.min(t1, t2), ok1 && ok2)
+      // a failed query reports -1 and contributes nothing to the total —
+      // its fast-fail elapsed must not read as a speedup anywhere
+      if (ok1 && ok2) (name, math.min(t1, t2), true)
+      else (name, -1.0, false)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, t, true) => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)

@@ -51,12 +51,16 @@ object DedupOps {
   }
 
   /** MinHash-LSH candidate pairs (d1 < d2) with their signature-estimated
-    * Jaccard: 32 minhash values over word 5-gram shingles (fully-native
+    * Jaccard: 64 minhash values over word 5-gram shingles (fully-native
     * single pass: tokenize → per-token hash → rolling shingle mix →
     * Kirsch–Mitzenmacher minhash — no shingle strings materialized),
-    * banded 8 × 4; a pair is a candidate when any band's rows all agree. */
+    * banded 16 × 4; a pair is a candidate when any band's rows all agree.
+    * 16 bands put the per-pair miss probability at ~2e-6 for jac ≥ 0.8
+    * (the fixtures' near-dups sit at ≥ 0.87) — margin for the oracle
+    * equality the verified query claims; DedupSpec's equality test
+    * surfaces any fixture change that breaks it before the gate does. */
   private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val nHash = 32; val bands = 8; val rows = nHash / bands
+    val nHash = 64; val bands = 16; val rows = nHash / bands
     val withSig = Tables.fan(s, documents(s, d))
       .select(col("doc_id"),
         graft.functions.VectorOps.minhash_shingled(
@@ -79,11 +83,17 @@ object DedupOps {
   }
 
   /** SimHash candidate pairs (d1 < d2) with hamming distance: 64-bit
-    * bit-vote signatures, candidates from 16-bit chunk collisions. */
+    * bit-vote signatures, candidates from 16-bit chunk collisions.
+    * Token-less documents are excluded — their signature would be the
+    * degenerate all-zeros value (every such doc would pair with every
+    * other at hamming 0), and the oracle's per-token unnest never sees
+    * them either. */
   private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.fan(s, documents(s, d))
       .select(col("doc_id"),
-        SimHash64.simhash64(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("sig"))
+        expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), SimHash64.simhash64(col("toks")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -122,29 +132,22 @@ object DedupOps {
 
   /** DuckDB replication of the whole simhash operator. Mirrors
     * [[graft.functions.SimHash64]] bit-for-bit: poly31 over code points
-    * (list_reduce with no seed equals seed-0 since 0*31+c = c), splitmix64
-    * in the unsigned-64 domain simulated with HUGEINT mod 2^64 — the two
-    * wrapping multiplications are split 32/32 so no intermediate exceeds
-    * 128 bits — then per-bit ±1 votes, chunked candidate join, hamming ≤ 6. */
+    * (list_reduce with no seed equals seed-0 since 0*31+c = c), then the
+    * shared splitmix64 SQL chain ([[SqlKernels.smixCtes]]), then per-bit
+    * ±1 votes, chunked candidate join, hamming ≤ 6. Token-less documents
+    * produce no vote rows here (unnest of an empty list), matching the
+    * Spark side's explicit empty-token filter. */
   private val simhashOracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
       |  FROM documents),
       |ph AS (
       |  SELECT doc_id,
       |    list_reduce(list_transform(string_split_regex(tok, ''), c -> CAST(ord(c) AS HUGEINT)),
-      |                (h, c) -> (h * 31 + c) % 18446744073709551616) AS h0
+      |                (h, c) -> (h * 31 + c) % 18446744073709551616) AS z
       |  FROM toks),
-      |s1 AS (SELECT doc_id, (h0 + 11400714819323198485) % 18446744073709551616 AS z FROM ph),
-      |s2 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z // 1073741824 AS UBIGINT)) AS HUGEINT) AS z FROM s1),
-      |s3 AS (SELECT doc_id, ((z % 4294967296) * 13787848793156543929
-      |        + ((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296)
-      |        % 18446744073709551616 AS z FROM s2),
-      |s4 AS (SELECT doc_id, CAST(xor(CAST(z AS UBIGINT), CAST(z // 134217728 AS UBIGINT)) AS HUGEINT) AS z FROM s3),
-      |s5 AS (SELECT doc_id, ((z % 4294967296) * 10723151780598845931
-      |        + ((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296)
-      |        % 18446744073709551616 AS z FROM s4),
-      |th AS (SELECT doc_id, xor(CAST(z AS UBIGINT), CAST(z // 2147483648 AS UBIGINT)) AS h FROM s5),
+      |${SqlKernels.smixCtes("sm", "ph", "doc_id")},
+      |th AS (SELECT doc_id, CAST(z AS UBIGINT) AS h FROM sm6),
       |votes AS (
       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
@@ -256,9 +259,12 @@ object DedupOps {
     // collisions, then EXACT Jaccard verification of candidates only —
     // work ∝ colliding pairs, results exact. That makes the op
     // oracle-checkable against the exact-pair SQL: the planted near-dups
-    // sit at jac ≥ 0.87, where 8 bands × 4 rows has ~1e-3 miss probability
-    // per pair and (deterministic hashing) recall is exactly 1.0 on the
-    // fixtures. DedupSpec additionally pins candidate precision/recall.
+    // sit at jac ≥ 0.87, where 16 bands × 4 rows has ~1e-5 miss
+    // probability per pair and (deterministic hashing) recall is exactly
+    // 1.0 on the fixtures. Oracle equality is thus a recall property of
+    // the fixtures, not a universal guarantee (a pair at jac ≈ 0.5 is a
+    // coin flip) — DedupSpec pins the equality locally so a fixture
+    // change surfaces there first.
     Q("dedup_minhash_lsh",
       s"""WITH
          |$jaccardPairsSql

@@ -22,22 +22,7 @@ object PipelineOps {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** The splitmix64 chain in DuckDB SQL: CTE steps `<p>1..<p>5` over an
-    * input relation exposing `(… , z)`; the final step yields the mixed
-    * value as unsigned HUGEINT in column `z`. Wrapping 64-bit multiplies
-    * are split 32/32 so no intermediate exceeds 128 bits (see the
-    * dedup_simhash oracle, which inlines the same formulation). */
-  private def smixCtes(p: String, src: String, carry: String): String =
-    s"""${p}1 AS (SELECT $carry, (z + 11400714819323198485) % 18446744073709551616 AS z FROM $src),
-       |${p}2 AS (SELECT $carry, CAST(xor(CAST(z AS UBIGINT), CAST(z // 1073741824 AS UBIGINT)) AS HUGEINT) AS z FROM ${p}1),
-       |${p}3 AS (SELECT $carry, ((z % 4294967296) * 13787848793156543929
-       |        + ((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296)
-       |        % 18446744073709551616 AS z FROM ${p}2),
-       |${p}4 AS (SELECT $carry, CAST(xor(CAST(z AS UBIGINT), CAST(z // 134217728 AS UBIGINT)) AS HUGEINT) AS z FROM ${p}3),
-       |${p}5 AS (SELECT $carry, ((z % 4294967296) * 10723151780598845931
-       |        + ((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296)
-       |        % 18446744073709551616 AS z FROM ${p}4),
-       |${p}6 AS (SELECT $carry, CAST(xor(CAST(z AS UBIGINT), CAST(z // 2147483648 AS UBIGINT)) AS HUGEINT) AS z FROM ${p}5)""".stripMargin
+  import SqlKernels.smixCtes
 
   val all: Seq[Q] = Seq(
 

@@ -25,6 +25,14 @@ object StreamingOps {
 
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      streamDirs.values().forEach(d => rm(new java.io.File(d)))))
+  }
 
   /** Bounded streaming read of the events fixture. The file source wants a
     * DIRECTORY, so the µs-converted events are materialized once per
@@ -41,13 +49,23 @@ object StreamingOps {
   }
 
   /** Run a streaming frame to completion into a uniquely-named memory
-    * sink and return the materialized result. */
+    * sink and return the materialized result. The sink table is dropped
+    * before returning — repeated bench/verify invocations must not pin
+    * result batches in driver memory — so the (small, final) result is
+    * detached into a local DataFrame first. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
     val table = s"graft_stream_${runId.incrementAndGet()}"
     val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(table).start()
     try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(table)
+    val sink = s.table(table)
+    val rows = sink.collect().toSeq
+    val schema = sink.schema
+    s.catalog.dropTempView(table)
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   val all: Seq[Q] = Seq(

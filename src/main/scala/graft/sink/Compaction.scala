@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction for the append target. Every staged load commits
@@ -9,10 +10,16 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * into ~targetBytes files sized for the scan path (HDFS-block/row-group
   * scale), the same maintenance a table format's OPTIMIZE performs.
   *
-  * The rewrite goes to a sibling temp dir and is swapped in afterwards —
-  * on a real deployment the swap is the table format's atomic commit; on
-  * the sandbox filesystem it is delete + rename (documented non-atomic
-  * window, same as DeleteBack's rewrite).
+  * Replay safety: the per-ingest `ingest-<id>.done` tombstones are carried
+  * across the rewrite, so a batch replayed AFTER its data files were
+  * compacted away is recognized by StagedLoader.copyInto as already
+  * committed (tombstone present, no prefix files) and skipped — without
+  * this, compaction would reopen the at-least-once duplication window.
+  *
+  * All I/O is Hadoop-FS (file://, hdfs://, s3a://). The rewrite goes to a
+  * sibling temp dir and is swapped in afterwards — on a real deployment
+  * the swap is the table format's atomic commit; here it is delete +
+  * rename (documented non-atomic window, same as DeleteBack's rewrite).
   */
 object Compaction {
 
@@ -20,26 +27,29 @@ object Compaction {
 
   def compact(spark: SparkSession, targetDir: String,
       targetBytes: Long = 128L << 20): Report = {
-    val dir = new java.io.File(targetDir)
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val target = new Path(targetDir)
+    val fs: FileSystem = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(target)) return Report(0, 0, 0L)
+    val entries = fs.listStatus(target).toSeq
+    val parts = entries.filter(s => s.getPath.getName.endsWith(".parquet"))
     if (parts.isEmpty) return Report(0, 0, 0L)
-    val total = parts.map(_.length()).sum
+    val tombstones = entries.map(_.getPath)
+      .filter(p => p.getName.startsWith("_ingest-") && p.getName.endsWith(".done"))
+    val total = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(targetDir)
-    val tmp = targetDir.stripSuffix("/") + ".compact"
-    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val rows = spark.read.parquet(tmp).count()
-    deleteRecursively(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
+    val tmp = new Path(targetDir.stripSuffix("/") + ".compact")
+    spark.read.parquet(targetDir)
+      .repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    tombstones.foreach { t =>
+      if (!fs.rename(t, new Path(tmp, t.getName)))
+        sys.error(s"compaction could not carry tombstone $t")
+    }
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
       sys.error(s"compaction swap failed for $targetDir")
-    val after = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val after = fs.listStatus(target)
+      .count(_.getPath.getName.endsWith(".parquet"))
     Report(parts.length, after, rows)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }

@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -14,24 +15,37 @@ import org.apache.spark.sql.types.StructType
   * FIELD_DEFAULT`), unknown columns are dropped. `purge` deletes the
   * staging files after a successful load (COPY ... PURGE = true).
   *
-  * Scale note: both hops are distributed writes/reads; the driver never
-  * holds data. On a cluster the staging dir is object storage and the
-  * target is a table format's append — the commit is the only
-  * serialization point.
+  * All target/staging I/O goes through the Hadoop FileSystem API, so the
+  * dirs may live on any Hadoop-supported store (file://, hdfs://, s3a://) —
+  * the object-storage deployment, not just the local sandbox. On a real
+  * deployment a table format's atomic commit replaces the rename loop; the
+  * protocol here (prefix cleanup → temp write → ordered renames → durable
+  * `.done` tombstone) gives the same replay-safety guarantees with plain
+  * files.
   */
 /** @param compression staging codec (`COMPRESSION = AUTO` analogue,
   *   ingester/ingest_databend.go:183-185): any Spark JSON codec name —
   *   "gzip" cuts staging I/O 3-5× on text-heavy rows; "none" matches the
   *   reference's uncompressed temp files. The read side auto-detects by
-  *   file extension either way (that is the AUTO). */
+  *   file extension either way (that is the AUTO).
+  * @param orderedCommitKey when set, each batch is range-sorted on this
+  *   column before commit and its files are renamed in ascending key
+  *   order — a crash mid-commit then leaves a key-PREFIX of the batch, so
+  *   `max(committed key)` remains a sound incremental watermark (see
+  *   Archiver.runIncremental). */
 final class StagedLoader(spark: SparkSession, targetDir: String,
     sinkSchema: StructType, defaults: Map[String, Any] = Map.empty,
-    purge: Boolean = true, compression: String = "gzip") {
+    purge: Boolean = true, compression: String = "gzip",
+    orderedCommitKey: Option[String] = None) {
+
+  private def hconf = spark.sessionState.newHadoopConf()
+  private val targetPath = new Path(targetDir)
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
   /** Idempotency pre-check (cmd/main.go:74-82): refuse to start when the
     * target already holds rows matching the predicate. */
   def syncedCount(where: String): Long =
-    if (!new java.io.File(targetDir).exists()) 0L
+    if (!fsOf(targetPath).exists(targetPath)) 0L
     else spark.read.schema(sinkSchema).parquet(targetDir).where(where).count()
 
   /** Test failpoint: invoked after the load commit, before purge — still
@@ -67,47 +81,65 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
         case scala.util.control.NonFatal(e) =>
           throw Retry.RetryableIngestError("load", e)
       }
-    if (purge) deleteRecursively(new java.io.File(stagingDir))
+    if (purge) {
+      val stg = new Path(stagingDir)
+      fsOf(stg).delete(stg, true): Unit
+    }
     loaded
   }
 
   /** Deterministic ingest identity — stable across retries of the same
-    * batch, distinct across batches. Hashes the staging dir's FULL path:
-    * different runs stage under different roots but share table-derived
-    * basenames, and a basename-derived id would let a later run's commit
-    * supersede an earlier run's files. */
+    * batch, distinct across batches. Hashes the staging dir's FULL
+    * normalized path: different runs stage under different roots but share
+    * table-derived basenames, and a basename-derived id would let a later
+    * run's commit supersede an earlier run's files. */
   private def ingestId(stagingDir: String): String =
     java.util.UUID.nameUUIDFromBytes(
-      new java.io.File(stagingDir).getAbsolutePath.getBytes("UTF-8")).toString.take(13)
+      new Path(stagingDir).toString.getBytes("UTF-8")).toString.take(13)
 
   /** K2: NDJSON staging → aligned append into the target.
     *
-    * Idempotent commit: (1) remove any `ingest-<id>-*` files a failed or
-    * replayed prior attempt left in the target, (2) write the aligned
-    * batch to a private temp dir, (3) rename the parts into the target
-    * under the `ingest-<id>-` prefix. The renames are the only mutation of
-    * the target, and a retry redoes 1-3 from scratch — the COPY-INTO
-    * staged-file dedup of the reference, expressed as files. */
+    * Idempotent commit protocol (the COPY-INTO staged-file dedup of the
+    * reference, expressed as files):
+    *  1. a durable `ingest-<id>.done` tombstone with NO surviving data
+    *     files means the batch was committed and later compacted away —
+    *     a replay is a no-op (without this, compaction would reopen the
+    *     at-least-once window);
+    *  2. otherwise remove any `ingest-<id>-*` files a failed or replayed
+    *     prior attempt left, write the aligned batch to a private temp
+    *     dir, rename the parts in under the prefix, then write the
+    *     tombstone. Renames are the only mutation of the target. */
   private def copyInto(stagingDir: String): Long = {
     val id = ingestId(stagingDir)
-    val target = new java.io.File(targetDir)
-    if (target.isDirectory)
-      target.listFiles().filter(_.getName.startsWith(s"ingest-$id-"))
-        .foreach(deleteRecursively)
+    val tfs = fsOf(targetPath)
+    // underscore prefix: Spark's file listing skips _-prefixed entries, so
+    // the tombstone never reaches the parquet footer reader
+    val done = new Path(targetPath, s"_ingest-$id.done")
+    def prefixFiles(): Seq[Path] =
+      if (!tfs.exists(targetPath)) Seq.empty
+      else tfs.listStatus(targetPath).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(s"ingest-$id-"))
+    if (tfs.exists(done) && prefixFiles().isEmpty) return 0L
+    prefixFiles().foreach(p => tfs.delete(p, true))
     val raw = spark.read.schema(stagingSchema).json(stagingDir)
-    val aligned = align(raw)
-    val tmp = new java.io.File(targetDir.stripSuffix("/") + s".load-$id")
-    aligned.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    target.mkdirs()
-    val parts = tmp.listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val aligned0 = align(raw)
+    val aligned = orderedCommitKey.fold(aligned0)(k =>
+      aligned0.repartitionByRange(col(k)).sortWithinPartitions(col(k)))
+    val tmp = new Path(targetDir.stripSuffix("/") + s".load-$id")
+    aligned.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    tfs.mkdirs(targetPath)
+    // range-partitioned part files are ascending key ranges in name order,
+    // so this loop commits in key order when orderedCommitKey is set
+    val parts = fsOf(tmp).listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dest = new java.io.File(target, f"ingest-$id-$i%05d.parquet")
-      if (!f.renameTo(dest))
-        sys.error(s"commit rename failed: ${f.getPath} -> ${dest.getPath}")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dest = new Path(targetPath, f"ingest-$id-$i%05d.parquet")
+      if (!tfs.rename(p, dest))
+        sys.error(s"commit rename failed: $p -> $dest")
     }
-    deleteRecursively(tmp)
+    tfs.create(done, true).close()
+    fsOf(tmp).delete(tmp, true)
     raw.count()
   }
 
@@ -130,18 +162,12 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
   /** High-watermark read for incremental sync: max of the split key
     * already in the target (None when the target is empty/absent). */
   def maxKey(key: String): Option[Long] =
-    if (!new java.io.File(targetDir).exists()) None
+    if (!fsOf(targetPath).exists(targetPath)) None
     else {
       val r = spark.read.schema(sinkSchema).parquet(targetDir)
-        .agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(key)).cast("long")).head()
+        .agg(max(col(key)).cast("long")).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
 }
 
 object Retry {

@@ -105,11 +105,17 @@ object StreamingArchiver {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val marker = new java.io.File(s"$checkpoint/graft-committed/batch-$id")
-        if (!marker.exists()) {
+        // Hadoop-FS marker: the checkpoint location is typically a
+        // durable store (hdfs://, s3a://) — java.io.File would silently
+        // never see it and replay every batch in full
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpoint/graft-committed/batch-$id")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
           loader.ingest(batch, s"$stagingRoot/batch-$id")
-          marker.getParentFile.mkdirs()
-          marker.createNewFile(): Unit
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
         }
       }
     triggerInterval

@@ -221,6 +221,20 @@ class ArchiveE2ESpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == src.count() * 3)
   }
 
+  test("a batch replayed after compaction is recognized as committed (tombstone)") {
+    val tgt = tmpDir() + "/t"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema)
+    val stg = tmpDir() + "/stg"
+    loader.ingest(src, stg): Unit
+    graft.sink.Compaction.compact(spark, tgt): Unit
+    // at-least-once replay of the same batch AFTER its files were
+    // compacted away: the durable tombstone must make it a no-op
+    assert(loader.ingest(src, stg) == 0L, "replay after compaction must be skipped")
+    assert(spark.read.parquet(tgt).count() == src.count(),
+      "compaction + replay must not duplicate the batch")
+  }
+
   test("retry: only classified ingest errors retry, with doubling backoff") {
     var calls = 0
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
