@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
@@ -10,12 +10,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     .withExtensions(new GraftExtensions)          // programmatic, or
   *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   *
+  * or, for a session that already exists (notebooks, shared sessions —
+  * `withExtensions` is construction-time only):
+  *
+  *   GraftExtensions.attach(spark)
+  *
   * after which `spark.sql("SELECT simhash64(tokens), dot_d(a, b), ...")`
   * works anywhere the DataFrame helpers do. Registration is
   * FunctionRegistry injection only — no parser/optimizer changes — so the
   * expressions stay ordinary codegen'd Catalyst nodes in the plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
@@ -26,40 +36,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
+  /** The one function table both registration paths share. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string> of tokens"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-
-    ext.injectFunction((
-      FunctionIdentifier("dot_d"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("dot_d"),
       info("dot_d", "dot_d(a, b) - dot product of two array<double> vectors"),
-      (args: Seq[Expression]) => VectorOps.DotProductD(args(0), args(1))))
-
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
+      (args: Seq[Expression]) => VectorOps.DotProductD(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, nHash) - MinHash signature of array<string>"),
       (args: Seq[Expression]) =>
-        VectorOps.MinHashSig(args(0), intArg(args(1), "nHash"))))
-
-    ext.injectFunction((
-      FunctionIdentifier("minhash_shingled"),
+        VectorOps.MinHashSig(args(0), intArg(args(1), "nHash"))),
+    (FunctionIdentifier("minhash_shingled"),
       info("minhash_shingled",
         "minhash_shingled(tokens, gram, nHash) - MinHash over word n-gram shingles"),
       (args: Seq[Expression]) =>
         VectorOps.MinHashShingled(args(0),
-          intArg(args(1), "gram"), intArg(args(2), "nHash"))))
-
-    ext.injectFunction((
-      FunctionIdentifier("splitmix64"),
+          intArg(args(1), "gram"), intArg(args(2), "nHash"))),
+    (FunctionIdentifier("splitmix64"),
       info("splitmix64", "splitmix64(key) - splitmix64 mix of a bigint key (dataset routing)"),
-      (args: Seq[Expression]) => SplitMix64(args.head)))
-
-    ext.injectFunction((
-      FunctionIdentifier("word_ngrams"),
+      (args: Seq[Expression]) => SplitMix64(args.head)),
+    (FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(tokens, gram) - space-joined word n-gram shingles"),
       (args: Seq[Expression]) =>
-        VectorOps.WordNGrams(args(0), intArg(args(1), "gram"))))
-  }
+        VectorOps.WordNGrams(args(0), intArg(args(1), "gram"))),
+  )
+
+  /** Idempotently register the functions into an existing session. */
+  def attach(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, b) =>
+      org.apache.spark.sql.graftshim.ColumnShim.registerFunction(spark, id, inf, b)
+    }
 }

@@ -185,6 +185,36 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // The SQL-text surface: a query authored as plain SQL against the
+    // session's registered extension functions (GraftExtensions injects
+    // splitmix64 / word_ngrams / simhash64 / ... into the function
+    // registry). Proves a SQL-only user of the library gets the same
+    // verified semantics as the DataFrame API — the native expressions
+    // are ordinary Catalyst nodes either way.
+    Q("sql_text_surface",
+      s"""WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents),
+         |${SqlKernels.smixCtes("x", "s0", "doc_id, source")},
+         |mix AS (SELECT doc_id, source, CAST(z % 256 AS BIGINT) AS b FROM x6),
+         |g AS (
+         |  SELECT doc_id,
+         |    len(list_distinct(list_transform(range(1, greatest(len(w) - 1, 2)),
+         |        u -> list_aggregate(w[CAST(u AS INT):CAST(u+2 AS INT)], 'string_agg', ' ')))) AS n_grams
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents) t)
+         |SELECT m.source, count(*) AS n,
+         |  CAST(sum(m.b) AS BIGINT) AS mix_sum,
+         |  CAST(sum(g.n_grams) AS BIGINT) AS gram_sum
+         |FROM mix m JOIN g ON m.doc_id = g.doc_id
+         |GROUP BY m.source ORDER BY m.source""".stripMargin) { (s, d) =>
+      graft.functions.GraftExtensions.attach(s) // SQL names on any session
+      documents(s, d).createOrReplaceTempView("graft_documents_v")
+      s.sql(
+        """SELECT source, count(*) AS n,
+          |  CAST(sum(splitmix64(doc_id) & 255) AS BIGINT) AS mix_sum,
+          |  CAST(sum(size(word_ngrams(regexp_extract_all(text, '\\S+', 0), 3))) AS BIGINT) AS gram_sum
+          |FROM graft_documents_v
+          |GROUP BY source ORDER BY source""".stripMargin)
+    },
+
     // Token-budget sequence packing: within each source, documents in
     // doc_id order fill 4096-token bins (bin = floor(tokens-before /
     // budget) — the streaming-friendly first-fit-in-order packing). The

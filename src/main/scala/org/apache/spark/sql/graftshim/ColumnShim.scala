@@ -12,4 +12,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into an ALREADY-RUNNING session's registry.
+    * `SparkSessionExtensions` only applies while a session is being
+    * constructed — a library attaching to a caller's existing session
+    * (notebooks, shared test sessions) needs direct registry access,
+    * which Spark 4 keeps `private[sql]`. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(name))
+      registry.registerFunction(name, info, builder)
+  }
 }
