@@ -96,6 +96,37 @@ object AnnOps {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ANN recall evaluation as a gate query — the eval job every
+    // production ANN deployment ships next to the index. Recall@10 of the
+    // LSH and IVF paths is measured against the exact brute-force top-k
+    // IN Spark (k×q rows — driver-side set compare of collected top-10
+    // lists is the eval job's natural shape); the oracle pins the recall
+    // floors (the same ones AnnSpec enforces: random 64-dim noise gives
+    // modest-but-nontrivial recall). The raw top-k queries stay rows-only;
+    // this puts their quality contract inside the driver's gate.
+    Q("ann_recall_eval",
+      """SELECT 'ivf' AS method, 5 AS n_queries, true AS recall_ok
+        |UNION ALL
+        |SELECT 'lsh' AS method, 5 AS n_queries, true AS recall_ok
+        |ORDER BY method""".stripMargin) { (s, d) =>
+      import s.implicits._
+      def topSets(name: String): Map[Long, Set[Long]] =
+        graft.SparkEntry.queries(name)(s, d)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = topSets("ann_bruteforce_topk")
+      def meanRecall(m: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, ex) =>
+          m.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+        }.sum / exact.size
+      val ivfOk = meanRecall(topSets("ann_ivf_topk")) >= 0.15
+      val lshOk = meanRecall(topSets("ann_lsh_topk")) >= 0.10
+      Seq(("ivf", exact.size, ivfOk), ("lsh", exact.size, lshOk))
+        .toDF("method", "n_queries", "recall_ok")
+        .orderBy(col("method"))
+    },
+
     // IVF (inverted-file) path: a coarse quantizer of 16 deterministic
     // centroids (corpus vectors 5..20 — quality of the quantizer is
     // irrelevant to the operator shape; at scale these come from a sampled

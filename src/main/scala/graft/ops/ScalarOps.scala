@@ -169,15 +169,38 @@ object ScalarOps {
         .orderBy(col("doc_id")).limit(500)
     },
 
-    // Approximate aggregates: HLL/quantile sketches are engine-specific, so
-    // no SQL oracle; ApproxSpec pins the error envelope against exact values.
-    Q.rowsOnly("f_approx_agg") { (s, d) =>
+    // Approximate aggregates as a GATE-CHECKED bound query: the sketches
+    // (HLL, KLL-style quantiles) are engine-specific so their raw values
+    // have no SQL oracle — but their ERROR CONTRACT does. The query emits
+    // the exact values (oracle recomputes them) plus booleans asserting
+    // the sketch landed inside its error envelope (oracle expects true) —
+    // the production eval-job pattern for approximate operators, run by
+    // the driver on real data instead of living only in a spec.
+    Q("f_approx_agg",
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS orders_within_15pct,
+        |  true AS parts_within_15pct,
+        |  true AS p50_within_iqr,
+        |  true AS p95_above_p50
+        |FROM lineitem""".stripMargin) { (s, d) =>
       lineitem(s, d).agg(
           countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_exact"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_exact"))
+        .select(col("exact_orders"), col("exact_parts"),
+          (abs(col("approx_orders") - col("exact_orders")) / col("exact_orders")
+            <= 0.15).as("orders_within_15pct"),
+          (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts")
+            <= 0.15).as("parts_within_15pct"),
+          (col("p50_approx") >= col("p25_exact") &&
+            col("p50_approx") <= col("p75_exact")).as("p50_within_iqr"),
+          (col("p95_approx") >= col("p50_approx")).as("p95_above_p50"))
     },
   )
 }
