@@ -97,6 +97,13 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
       require(discoverTables().sizeIs == 1,
         "incremental sync supports a single table per target " +
           "(the watermark is a global max over the shared target)")
+      require(loader.orderedCommitKey.contains(key),
+        "incremental sync requires the loader to commit in split-key order " +
+          s"(StagedLoader(orderedCommitKey = Some($key))) — otherwise a crash " +
+          "mid-commit strands rows below the watermark")
+      require(!cfg.deleteAfterSync,
+        "deleteAfterSync is not supported by incremental sync " +
+          "(delta runs would repeatedly delete the full predicate range)")
       val wm = loader.maxKey(key)
       val (deltaWhere, runTag) = wm match {
         case Some(w) => (s"(${cfg.sourceWhereCondition}) AND $key > $w", s"delta-gt-$w")

@@ -55,10 +55,10 @@ object DedupOps {
     * single pass: tokenize → per-token hash → rolling shingle mix →
     * Kirsch–Mitzenmacher minhash — no shingle strings materialized),
     * banded 16 × 4; a pair is a candidate when any band's rows all agree.
-    * 16 bands put the per-pair miss probability at ~2e-6 for jac ≥ 0.8
-    * (the fixtures' near-dups sit at ≥ 0.87) — margin for the oracle
-    * equality the verified query claims; DedupSpec's equality test
-    * surfaces any fixture change that breaks it before the gate does. */
+    * Per-pair miss probability (1-j⁴)¹⁶: ≈2e-4 at jac 0.8, ≈1e-6 at the
+    * fixtures' jac ≥ 0.87 — margin for the oracle equality the verified
+    * query claims; DedupSpec's equality test surfaces any fixture change
+    * that breaks it before the gate does. */
   private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val nHash = 64; val bands = 16; val rows = nHash / bands
     val withSig = Tables.fan(s, documents(s, d))
@@ -259,7 +259,7 @@ object DedupOps {
     // collisions, then EXACT Jaccard verification of candidates only —
     // work ∝ colliding pairs, results exact. That makes the op
     // oracle-checkable against the exact-pair SQL: the planted near-dups
-    // sit at jac ≥ 0.87, where 16 bands × 4 rows has ~1e-5 miss
+    // sit at jac ≥ 0.87, where 16 bands × 4 rows has ≈1e-6 miss
     // probability per pair and (deterministic hashing) recall is exactly
     // 1.0 on the fixtures. Oracle equality is thus a recall property of
     // the fixtures, not a universal guarantee (a pair at jac ≈ 0.5 is a

@@ -38,12 +38,17 @@ object Compaction {
     val total = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val tmp = new Path(targetDir.stripSuffix("/") + ".compact")
+    // row count from the PRE-rewrite footers (metadata-weight count), not
+    // a second full scan of the rewritten data
+    val rows = spark.read.parquet(targetDir).count()
     spark.read.parquet(targetDir)
       .repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
+    // RECREATE the tombstones in tmp (they are empty markers) and leave
+    // the originals in the live target until after the swap — moving them
+    // out first would strip replay protection if the swap crashes, and a
+    // compact() re-run's Overwrite would then wipe the only copies
     tombstones.foreach { t =>
-      if (!fs.rename(t, new Path(tmp, t.getName)))
-        sys.error(s"compaction could not carry tombstone $t")
+      fs.create(new Path(tmp, t.getName), true).close()
     }
     fs.delete(target, true)
     if (!fs.rename(tmp, target))

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.StructType
 final class StagedLoader(spark: SparkSession, targetDir: String,
     sinkSchema: StructType, defaults: Map[String, Any] = Map.empty,
     purge: Boolean = true, compression: String = "gzip",
-    orderedCommitKey: Option[String] = None) {
+    val orderedCommitKey: Option[String] = None) {
 
   private def hconf = spark.sessionState.newHadoopConf()
   private val targetPath = new Path(targetDir)
@@ -120,6 +120,11 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
       else tfs.listStatus(targetPath).toSeq.map(_.getPath)
         .filter(_.getName.startsWith(s"ingest-$id-"))
     if (tfs.exists(done) && prefixFiles().isEmpty) return 0L
+    // invalidate the tombstone BEFORE touching data files: a crash between
+    // deleting the prefix files and re-committing must leave a state the
+    // next replay redoes (no tombstone, no files), never one it skips
+    // (stale tombstone + deleted files = silent loss)
+    tfs.delete(done, false)
     prefixFiles().foreach(p => tfs.delete(p, true))
     val raw = spark.read.schema(stagingSchema).json(stagingDir)
     val aligned0 = align(raw)
@@ -160,13 +165,16 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
   def targetCount(where: String = "true"): Long = syncedCount(where)
 
   /** High-watermark read for incremental sync: max of the split key
-    * already in the target (None when the target is empty/absent). */
-  def maxKey(key: String): Option[Long] =
+    * already in the target (None when the target is empty/absent).
+    * BigInt via decimal(20,0) — the split-key domain is uint64 (the
+    * reference's NullUint64), whose top half a Long cast would overflow
+    * (ANSI error, or NULL→full-reload duplication with ANSI off). */
+  def maxKey(key: String): Option[BigInt] =
     if (!fsOf(targetPath).exists(targetPath)) None
     else {
       val r = spark.read.schema(sinkSchema).parquet(targetDir)
-        .agg(max(col(key)).cast("long")).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+        .agg(max(col(key)).cast("decimal(20,0)")).head()
+      if (r.isNullAt(0)) None else Some(BigInt(r.getDecimal(0).toBigInteger))
     }
 }
 

@@ -37,7 +37,7 @@ object StreamingArchiver {
     * session gaps must compare at the data's µs precision or boundary
     * events classify differently than an exact engine). */
   private[streaming] def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
   private[streaming] def fromMicros(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000000 * 1000)
     t.setNanos((us % 1000000).toInt * 1000)
