@@ -100,6 +100,40 @@ object StreamingOps {
       runToMemory(counts, "complete").orderBy(col("event_type"))
     },
 
+    // Spark's BUILT-IN session_window (the declarative sibling of the
+    // stateful sessionizer below): batch-mode gap sessions over the same
+    // events, so ALL sessions — including each user's final one — are
+    // emitted and the oracle is the full gaps-and-islands rebuild.
+    // session_window.end is last-event + gap by definition; the oracle
+    // adds the gap to max(t). Boundary semantics differ from the custom
+    // sessionizer and the oracle mirrors each exactly: session windows
+    // are half-open [t, t+gap), so an event at EXACTLY last+gap starts a
+    // new session (oracle break: diff >= gap), while the stateful op
+    // keeps it (break: diff > gap).
+    Q("session_window_agg",
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, t,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id,
+        |  CAST(min(t) AS BIGINT) AS session_start_us,
+        |  CAST(max(t) + 1800000000 AS BIGINT) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
     // flatMapGroupsWithState sessionization (30 min inactivity gap). The
     // streaming contract emits CLOSED sessions only — each user's final
     // session stays open in state — so the oracle's gaps-and-islands

@@ -261,6 +261,20 @@ class ArchiveE2ESpec extends SparkSpec {
       "DELETE FROM db.t WHERE id < 5 LIMIT 10")
   }
 
+  test("csv and parquet staging formats round-trip the batch like NDJSON") {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    Seq("csv", "parquet").foreach { fmt =>
+      val tgt = tmpDir() + s"/t-$fmt"
+      val loader = new StagedLoader(spark, tgt, src.schema, stagingFormat = fmt)
+      assert(loader.ingest(src, tmpDir() + s"/stg-$fmt") == src.count(), fmt)
+      val loaded = spark.read.parquet(tgt)
+      assert(loaded.count() == src.count(), fmt)
+      // full-fidelity round-trip: every row identical after the staging hop
+      assert(loaded.exceptAll(src).isEmpty && src.exceptAll(loaded).isEmpty,
+        s"$fmt staging altered rows")
+    }
+  }
+
   test("staging compresses by default (COMPRESSION AUTO analogue) and round-trips") {
     val tgt = tmpDir() + "/t"; val stg = tgt + ".stg"
     val src = spark.read.parquet(s"$sf/region.parquet")
