@@ -358,6 +358,51 @@ object RelationalOps {
         .orderBy(col("nationkey"))
     },
 
+    // unpivot/melt — the inverse of q15's pivot: measure columns to
+    // (variable, value) rows, then one aggregate over the long shape.
+    // Spark's unpivot is a Generate (no shuffle); the aggregate is the
+    // only exchange.
+    Q("q20_unpivot",
+      """SELECT var,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS var, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |) t GROUP BY var ORDER BY var""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "var", valueColumnName = "val")
+        .groupBy(col("var"))
+        .agg(sum(col("val").cast(dec2)).cast("double").as("total"),
+             count(lit(1)).as("n"))
+        .orderBy(col("var"))
+    },
+
+    // correlated scalar subquery, authored as SQL so Catalyst's
+    // decorrelation rewrites it (into an aggregate + join) — the oracle
+    // runs the identical correlated text on DuckDB: customers spending
+    // above their own average order price.
+    Q("q21_correlated_subquery",
+      """SELECT o_custkey, count(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_above
+          |FROM graft_orders_v o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |  FROM graft_orders_v i WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    },
+
     // conditional (FILTER-clause) aggregates: several differently-filtered
     // measures in ONE pass over the fact table — the alternative (one scan
     // per measure unioned) multiplies I/O by the measure count at scale

@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), "no WholeStageCodegen spans in:\n" + p)
   }
 
+  test("q21_correlated_subquery: decorrelated into a join, no per-row subquery") {
+    val p = planOf("q21_correlated_subquery")
+    assert(p.contains("Join"), "Catalyst must rewrite the correlated subquery to a join:\n" + p)
+    assert(!p.contains("ScalarSubquery"), "no per-row subquery execution:\n" + p)
+  }
+
+  test("q20_unpivot: generate-based melt, no union of three scans") {
+    val p = planOf("q20_unpivot")
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).size
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n" + p)
+  }
+
   test("split_assign: routing is a pruned-scan projection, partial agg before one shuffle") {
     val p = planOf("split_assign")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
