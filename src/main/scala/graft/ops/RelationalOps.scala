@@ -234,6 +234,37 @@ object RelationalOps {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // distribution/navigation window functions over deterministic orders:
+    // ntile, percent_rank, cume_dist, first/last value with explicit
+    // frames — the remaining §2.5 surface beyond ranking and running
+    // frames. All rank-arithmetic outputs are exact rationals, identical
+    // across engines.
+    Q("q22_window_distribution",
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(byPrice).as("quartile"),
+          percent_rank().over(byPrice).as("pr"),
+          cume_dist().over(byPrice).as("cd"),
+          first(col("o_orderkey")).over(full).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- sort / top-k ---------------------------------------------------
     // Catalyst plans orderBy().limit() as TakeOrderedAndProject — no full sort.
     Q("q12_topk",
