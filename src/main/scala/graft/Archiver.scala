@@ -90,24 +90,42 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
     *    [[Archiver.parquet]] wires up) so a crash mid-commit strands a
     *    key-PREFIX and the next run's watermark resumes exactly after it. */
   def runIncremental(): RunReport = {
+    val key = cfg.sourceSplitKey
+    require(key.nonEmpty, "incremental sync requires sourceSplitKey")
+    runDelta(key, loader.maxKey(key).map(w => (s"$key > $w", s"delta-gt-$w")))
+  }
+
+  /** Time-flavored incremental sync — the delta counterpart of the
+    * reference's time-split mode. The watermark is the target's max time
+    * key at full µs precision (a truncated watermark would duplicate the
+    * last instant's sub-second tail); soundness preconditions are the
+    * same as [[runIncremental]] with the time key as the ordered-commit
+    * key. */
+  def runIncrementalTime(): RunReport = {
+    val key = cfg.sourceSplitTimeKey
+    require(key.nonEmpty, "time-incremental sync requires sourceSplitTimeKey")
+    runDelta(key, loader.maxTime(key).map { w =>
+      (s"$key > TIMESTAMP '$w'", "delta-ts-" + w.replaceAll("[^0-9]", ""))
+    })
+  }
+
+  private def runDelta(orderKey: String,
+      wm: Option[(String, String)]): RunReport = {
     val rec = MetricsRecorder.attach(spark)
     try {
-      val key = cfg.sourceSplitKey
-      require(key.nonEmpty, "incremental sync requires sourceSplitKey")
       require(discoverTables().sizeIs == 1,
         "incremental sync supports a single table per target " +
           "(the watermark is a global max over the shared target)")
-      require(loader.orderedCommitKey.contains(key),
-        "incremental sync requires the loader to commit in split-key order " +
-          s"(StagedLoader(orderedCommitKey = Some($key))) — otherwise a crash " +
+      require(loader.orderedCommitKey.contains(orderKey),
+        "incremental sync requires the loader to commit in watermark-key order " +
+          s"(StagedLoader(orderedCommitKey = Some($orderKey))) — otherwise a crash " +
           "mid-commit strands rows below the watermark")
       require(!cfg.deleteAfterSync,
         "deleteAfterSync is not supported by incremental sync " +
           "(delta runs would repeatedly delete the full predicate range)")
-      val wm = loader.maxKey(key)
       val (deltaWhere, runTag) = wm match {
-        case Some(w) => (s"(${cfg.sourceWhereCondition}) AND $key > $w", s"delta-gt-$w")
-        case None    => (cfg.sourceWhereCondition, "delta-initial")
+        case Some((pred, tag)) => (s"(${cfg.sourceWhereCondition}) AND $pred", tag)
+        case None              => (cfg.sourceWhereCondition, "delta-initial")
       }
       val inner = new Archiver(spark, cfg.copy(sourceWhereCondition = deltaWhere),
         src, loader, s"$stagingRoot/$runTag", pacingSleep, deleteBackFn)
@@ -163,7 +181,8 @@ object Archiver {
       pacingSleep: Long => Unit = Thread.sleep): Archiver = {
     val src = new graft.source.ParquetTableSource(spark, sourceDir)
     val loader = new StagedLoader(spark, targetDir, sinkSchema,
-      orderedCommitKey = Option(cfg.sourceSplitKey).filter(_.nonEmpty))
+      orderedCommitKey = Option(cfg.sourceSplitKey).filter(_.nonEmpty)
+        .orElse(Option(cfg.sourceSplitTimeKey).filter(_.nonEmpty)))
     new Archiver(spark, cfg, src, loader, stagingRoot, pacingSleep,
       deleteBackFn = (db, table, where) =>
         DeleteBack.deleteFromParquet(spark, s"$sourceDir/$table.parquet", where))

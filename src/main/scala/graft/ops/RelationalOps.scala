@@ -265,6 +265,28 @@ object RelationalOps {
         .orderBy(col("o_orderkey"))
     },
 
+    // RANGE frames (value-based, not row-based): all orders within 1000
+    // price units below the current one count as peers-in-frame —
+    // completes the frame-type surface (q11 covers ROWS frames). RANGE
+    // endpoints bind by VALUE, so tied prices share identical frames in
+    // both engines.
+    Q("q23_range_frame",
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(col("o_totalprice").cast(dec2)).over(w).cast("double").as("near_total"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- sort / top-k ---------------------------------------------------
     // Catalyst plans orderBy().limit() as TakeOrderedAndProject — no full sort.
     Q("q12_topk",

@@ -74,8 +74,13 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
   def ingest(batch: DataFrame, stagingDir: String): Long = {
     if (batch.isEmpty) return 0L // empty-batch no-op (ingest_databend.go:78-80)
     try {
+      // full-µs timestampFormat: Spark's json/csv default is MILLISECOND
+      // precision, which silently truncates µs timestamps through the
+      // staging hop — fatal for the time-incremental watermark (a
+      // truncated max re-loads the boundary row on every delta run)
       val w = batch.write.mode(SaveMode.Overwrite)
         .option("compression", compression)
+        .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
       stagingFormat match {
         case "json"    => w.json(stagingDir) // K1: df.write.json = NDJSON
         case "csv"     => w.option("header", "true").csv(stagingDir)
@@ -141,8 +146,11 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
     tfs.delete(done, false)
     prefixFiles().foreach(p => tfs.delete(p, true))
     val raw = stagingFormat match {
-      case "json" => spark.read.schema(stagingSchema).json(stagingDir)
+      case "json" => spark.read.schema(stagingSchema)
+        .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+        .json(stagingDir)
       case "csv" => spark.read.schema(stagingSchema)
+        .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
         .option("header", "true").csv(stagingDir)
       case "parquet" => spark.read.parquet(stagingDir)
     }
@@ -195,6 +203,22 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
         .agg(max(col(key)).cast("decimal(20,0)")).head()
       if (r.isNullAt(0)) None else Some(BigInt(r.getDecimal(0).toBigInteger))
     }
+
+  /** Time watermark for incremental sync: max of the time key, at FULL
+    * microsecond precision — a second-truncated watermark would re-load
+    * (duplicate) the sub-second tail of the last committed instant. */
+  def maxTime(key: String): Option[String] =
+    if (!fsOf(targetPath).exists(targetPath)) None
+    else {
+      val r = spark.read.schema(sinkSchema).parquet(targetDir)
+        .agg(date_format(max(col(key)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
+      Option(r.getString(0))
+    }
+}
+
+object StagedLoader {
+  /** Staging text formats carry timestamps at full µs precision. */
+  val MicrosTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 }
 
 object Retry {

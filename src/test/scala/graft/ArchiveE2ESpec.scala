@@ -221,6 +221,32 @@ class ArchiveE2ESpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == src.count() * 3)
   }
 
+  test("time-incremental sync archives only events past the µs watermark") {
+    val srcDir = tmpDir(); val tgt = tmpDir() + "/t"
+    val full = graft.ops.Tables.events(spark, sf)
+    val cut = "2024-01-15 00:00:00"
+    full.where(s"ts < '$cut'")
+      .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "events",
+      sourceWhereCondition =
+        "ts >= '2024-01-01 00:00:00' and ts < '2025-01-01 00:00:00'",
+      sourceSplitTimeKey = "ts", timeSplitUnit = "day", batchSize = 1000)
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    def mk() = Archiver.parquet(spark, cfg, srcDir, tgt, tgt + ".stg",
+      schema, pacingSleep = _ => ())
+    val r1 = mk().runIncrementalTime()
+    assert(r1.reconciliation.correct, r1.reconciliation)
+    val day1 = r1.tables.head.rowsLoaded
+    assert(day1 == full.where(s"ts < '$cut'").count())
+    full.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val r2 = mk().runIncrementalTime()
+    assert(r2.reconciliation.correct, r2.reconciliation)
+    assert(r2.tables.head.rowsLoaded == full.count() - day1,
+      "second run must load only events past the watermark")
+    assert(spark.read.parquet(tgt).count() == full.count())
+  }
+
   test("a batch replayed after compaction is recognized as committed (tombstone)") {
     val tgt = tmpDir() + "/t"
     val src = spark.read.parquet(s"$sf/region.parquet")
@@ -261,9 +287,13 @@ class ArchiveE2ESpec extends SparkSpec {
       "DELETE FROM db.t WHERE id < 5 LIMIT 10")
   }
 
-  test("csv and parquet staging formats round-trip the batch like NDJSON") {
-    val src = spark.read.parquet(s"$sf/orders.parquet")
-    Seq("csv", "parquet").foreach { fmt =>
+  test("all staging formats round-trip µs timestamps and quoted text exactly") {
+    // events: µs-precision timestamps (Spark's json/csv default
+    // timestampFormat is millis — truncation here once broke the
+    // time-incremental watermark) plus JSON-in-string props that stress
+    // csv quoting
+    val src = graft.ops.Tables.events(spark, sf)
+    Seq("json", "csv", "parquet").foreach { fmt =>
       val tgt = tmpDir() + s"/t-$fmt"
       val loader = new StagedLoader(spark, tgt, src.schema, stagingFormat = fmt)
       assert(loader.ingest(src, tmpDir() + s"/stg-$fmt") == src.count(), fmt)
