@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a single machine-read JSON line as their LAST stdout
+// line; sbt's trailing "[success] Total time: ..." banner lands after it
+// and breaks last-line parsers. Suppress it (errors still print), and
+// write forked-run output straight to stdout instead of through the
+// "[info] "-prefixing logger.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,6 +92,10 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
   def runIncremental(): RunReport = {
     val key = cfg.sourceSplitKey
     require(key.nonEmpty, "incremental sync requires sourceSplitKey")
+    // restore an interrupted compaction swap BEFORE reading the watermark:
+    // a stranded swap leaves the target absent, and watermark None here
+    // would silently re-archive from scratch over the stranded copy
+    sink.Compaction.recover(spark, loader.targetDir)
     runDelta(key, loader.maxKey(key).map(w => (s"$key > $w", s"delta-gt-$w")))
   }
 
@@ -104,6 +108,7 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
   def runIncrementalTime(): RunReport = {
     val key = cfg.sourceSplitTimeKey
     require(key.nonEmpty, "time-incremental sync requires sourceSplitTimeKey")
+    sink.Compaction.recover(spark, loader.targetDir) // see runIncremental
     runDelta(key, loader.maxTime(key).map { w =>
       (s"$key > TIMESTAMP '$w'", "delta-ts-" + w.replaceAll("[^0-9]", ""))
     })

@@ -17,16 +17,56 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * this, compaction would reopen the at-least-once duplication window.
   *
   * All I/O is Hadoop-FS (file://, hdfs://, s3a://). The rewrite goes to a
-  * sibling temp dir and is swapped in afterwards — on a real deployment
-  * the swap is the table format's atomic commit; here it is delete +
-  * rename (documented non-atomic window, same as DeleteBack's rewrite).
+  * sibling temp dir and is swapped in by rename-aside (target → .old, tmp
+  * → target, delete .old) — on a real deployment the swap is the table
+  * format's atomic commit. A crash at any point leaves the live data
+  * recoverable: [[recover]] restores a stranded `.old` and clears stale
+  * temp dirs, and both compact() and the incremental-sync entry points
+  * call it first. The failure this closes: a delete-then-rename swap
+  * crashing mid-swap leaves the target absent, and a later incremental
+  * run would read watermark None and silently re-archive from scratch
+  * while the only copy of the compacted data sat stranded in `.compact`.
   */
 object Compaction {
 
   final case class Report(filesBefore: Int, filesAfter: Int, rows: Long)
 
+  def tmpPath(targetDir: String) =
+    new Path(targetDir.stripSuffix("/") + ".compact")
+  def oldPath(targetDir: String) =
+    new Path(targetDir.stripSuffix("/") + ".old")
+
+  /** Crash recovery for the compaction swap. Idempotent; cheap (two
+    * existence probes) when there is nothing to do.
+    *
+    *  - target missing + `.old` present → the crash hit between the two
+    *    renames: restore `.old` as the live target (the rewrite in
+    *    `.compact`, if complete, is simply redone by the next compact()).
+    *  - target present + `.old` present → crash after the swap, before
+    *    cleanup: the `.old` copy is obsolete, delete it.
+    *  - stale `.compact` → always safe to delete (never live).
+    *
+    * @return true when it repaired something */
+  def recover(spark: SparkSession, targetDir: String): Boolean = {
+    val target = new Path(targetDir)
+    val fs: FileSystem = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = oldPath(targetDir)
+    val tmp = tmpPath(targetDir)
+    var repaired = false
+    if (fs.exists(old)) {
+      if (!fs.exists(target)) {
+        if (!fs.rename(old, target))
+          sys.error(s"compaction recovery failed: $old -> $target")
+      } else fs.delete(old, true)
+      repaired = true
+    }
+    if (fs.exists(tmp)) { fs.delete(tmp, true); repaired = true }
+    repaired
+  }
+
   def compact(spark: SparkSession, targetDir: String,
       targetBytes: Long = 128L << 20): Report = {
+    recover(spark, targetDir)
     val target = new Path(targetDir)
     val fs: FileSystem = target.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(target)) return Report(0, 0, 0L)
@@ -37,7 +77,7 @@ object Compaction {
       .filter(p => p.getName.startsWith("_ingest-") && p.getName.endsWith(".done"))
     val total = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val tmp = new Path(targetDir.stripSuffix("/") + ".compact")
+    val tmp = tmpPath(targetDir)
     // row count from the PRE-rewrite footers (metadata-weight count), not
     // a second full scan of the rewritten data
     val rows = spark.read.parquet(targetDir).count()
@@ -50,9 +90,14 @@ object Compaction {
     tombstones.foreach { t =>
       fs.create(new Path(tmp, t.getName), true).close()
     }
-    fs.delete(target, true)
+    // rename-aside swap: the live data is ALWAYS under target or .old —
+    // never deleted before its replacement is in place
+    val old = oldPath(targetDir)
+    if (!fs.rename(target, old))
+      sys.error(s"compaction swap (aside) failed for $targetDir")
     if (!fs.rename(tmp, target))
-      sys.error(s"compaction swap failed for $targetDir")
+      sys.error(s"compaction swap (in) failed for $targetDir")
+    fs.delete(old, true)
     val after = fs.listStatus(target)
       .count(_.getPath.getName.endsWith(".parquet"))
     Report(parts.length, after, rows)

@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.StructType
   *   order — a crash mid-commit then leaves a key-PREFIX of the batch, so
   *   `max(committed key)` remains a sound incremental watermark (see
   *   Archiver.runIncremental). */
-final class StagedLoader(spark: SparkSession, targetDir: String,
+final class StagedLoader(spark: SparkSession, val targetDir: String,
     sinkSchema: StructType, defaults: Map[String, Any] = Map.empty,
     purge: Boolean = true, compression: String = "gzip",
     val orderedCommitKey: Option[String] = None,
@@ -83,7 +83,10 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
         .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
       stagingFormat match {
         case "json"    => w.json(stagingDir) // K1: df.write.json = NDJSON
-        case "csv"     => w.option("header", "true").csv(stagingDir)
+        // nullValue sentinel keeps NULL distinguishable from "" through the
+        // text round-trip (both serialize to an empty field otherwise)
+        case "csv"     => w.option("header", "true")
+          .option("nullValue", StagedLoader.CsvNullSentinel).csv(stagingDir)
         case "parquet" => w.parquet(stagingDir)
       }
     } catch {
@@ -113,8 +116,10 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
     * table-derived basenames, and a basename-derived id would let a later
     * run's commit supersede an earlier run's files. */
   private def ingestId(stagingDir: String): String =
+    // full 128-bit name-UUID: a truncated id colliding across staging dirs
+    // would let one batch's prefix cleanup delete another's committed files
     java.util.UUID.nameUUIDFromBytes(
-      new Path(stagingDir).toString.getBytes("UTF-8")).toString.take(13)
+      new Path(stagingDir).toString.getBytes("UTF-8")).toString
 
   /** K2: NDJSON staging → aligned append into the target.
     *
@@ -149,9 +154,17 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
       case "json" => spark.read.schema(stagingSchema)
         .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
         .json(stagingDir)
+      // multiLine: the writer quotes embedded newlines in free-text columns;
+      // the default reader splits records at those newlines and corrupts
+      // the rows. (multiLine disables intra-file splits, but staged files
+      // are batch-sized and gzip'd — they are one split regardless.)
       case "csv" => spark.read.schema(stagingSchema)
         .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
-        .option("header", "true").csv(stagingDir)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("nullValue", StagedLoader.CsvNullSentinel)
+        .option("emptyValue", "")
+        .csv(stagingDir)
       case "parquet" => spark.read.parquet(stagingDir)
     }
     val aligned0 = align(raw)
@@ -219,6 +232,12 @@ final class StagedLoader(spark: SparkSession, targetDir: String,
 object StagedLoader {
   /** Staging text formats carry timestamps at full µs precision. */
   val MicrosTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** CSV NULL marker (the \N convention), keeping NULL and "" distinct
+    * through text staging. Known text-format limit: a data value that IS
+    * the two-character string `\N` reads back as NULL — adversarial text
+    * should stage as parquet (full fidelity) instead. */
+  val CsvNullSentinel = "\\N"
 }
 
 object Retry {

@@ -39,8 +39,10 @@ object StreamingArchiver {
   private[streaming] def micros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
   private[streaming] def fromMicros(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000000 * 1000)
-    t.setNanos((us % 1000000).toInt * 1000)
+    // floorDiv/floorMod: `/` truncates toward zero and `%` goes negative
+    // for pre-1970 instants, and setNanos rejects negatives
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
     t
   }
 

@@ -305,6 +305,68 @@ class ArchiveE2ESpec extends SparkSpec {
     }
   }
 
+  test("text staging survives embedded newlines and keeps empty-vs-NULL strings") {
+    // free text (documents-style) is the hostile case for csv staging:
+    // quoted embedded newlines corrupt a non-multiLine reader, and both ""
+    // and NULL serialize to an empty field without an explicit sentinel
+    import spark.implicits._
+    val src = Seq(
+      (1L, "line one\nline two\nline three"),
+      (2L, ""),
+      (3L, null: String),
+      (4L, "quotes \" and, commas,\r\nand a CRLF"),
+      (5L, "plain")
+    ).toDF("id", "txt")
+    Seq("json", "csv", "parquet").foreach { fmt =>
+      val tgt = tmpDir() + s"/t-$fmt"
+      val loader = new StagedLoader(spark, tgt, src.schema, stagingFormat = fmt)
+      assert(loader.ingest(src, tmpDir() + s"/stg-$fmt") == src.count(), fmt)
+      val loaded = spark.read.parquet(tgt)
+      assert(loaded.count() == src.count(),
+        s"$fmt staging split rows at embedded newlines")
+      assert(loaded.exceptAll(src).isEmpty && src.exceptAll(loaded).isEmpty,
+        s"$fmt staging altered text rows")
+      assert(loaded.where("id = 2 AND txt = ''").count() == 1,
+        s"$fmt staging turned empty string into something else")
+      assert(loaded.where("id = 3 AND txt IS NULL").count() == 1,
+        s"$fmt staging lost NULL")
+    }
+  }
+
+  test("compaction recovery restores a swap stranded between renames") {
+    import graft.sink.Compaction
+    val tgt = tmpDir() + "/t"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema)
+    loader.ingest(src, tgt + ".stg"): Unit
+    val rows = spark.read.parquet(tgt).count()
+
+    // simulate the crash window: target renamed aside, rewrite stranded
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(tgt)
+    assert(fs.rename(target, Compaction.oldPath(tgt)))
+    fs.mkdirs(Compaction.tmpPath(tgt))
+
+    // the incremental entry point must see the restored target, not an
+    // empty one (watermark None would silently re-archive from scratch)
+    assert(Compaction.recover(spark, tgt))
+    assert(spark.read.parquet(tgt).count() == rows)
+    assert(!fs.exists(Compaction.oldPath(tgt)) && !fs.exists(Compaction.tmpPath(tgt)))
+    assert(!Compaction.recover(spark, tgt), "second recover must be a no-op")
+
+    // crash AFTER the swap (stale .old left behind): obsolete copy deleted
+    fs.mkdirs(Compaction.oldPath(tgt))
+    assert(Compaction.recover(spark, tgt))
+    assert(fs.exists(target) && !fs.exists(Compaction.oldPath(tgt)))
+    assert(spark.read.parquet(tgt).count() == rows)
+
+    // and a full compact() still round-trips after recovery
+    val rep = Compaction.compact(spark, tgt, targetBytes = 1L << 30)
+    assert(rep.rows == rows)
+    assert(spark.read.parquet(tgt).count() == rows)
+  }
+
   test("staging compresses by default (COMPRESSION AUTO analogue) and round-trips") {
     val tgt = tmpDir() + "/t"; val stg = tgt + ".stg"
     val src = spark.read.parquet(s"$sf/region.parquet")

@@ -54,4 +54,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs("dedup_minhash_lsh") == exact,
       "minhash candidates + exact verify must equal the exact pair set")
   }
+
+  test("fixture guard: planted near-dup pairs sit above the LSH miss zone") {
+    // dedup_minhash_lsh's oracle is the FULL exact-Jaccard(≥0.5) pair set,
+    // while the op verifies only LSH candidates — oracle equality therefore
+    // relies on LSH recall being 1.0 over this fixture. With 64 hashes in
+    // 16 bands of 4, a pair at jac=0.5 is missed with prob (1-0.5^4)^16
+    // ≈ 0.36; at jac≥0.7 it drops below 0.02 and at 0.85 below 1e-5.
+    // Signatures are seed-fixed, so for a GIVEN fixture recall is a fixed
+    // fact — this guard exists to fail loudly if the fixture is ever
+    // regenerated with borderline pairs instead of letting the driver's
+    // correctness gate flake mysteriously.
+    val jacs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("jac").collect().map(_.getDouble(0))
+    assert(jacs.nonEmpty)
+    val minJac = jacs.min
+    assert(minJac >= 0.7,
+      f"fixture has a near-dup pair at jac=$minJac%.3f — too close to the " +
+        "0.5 threshold for LSH-candidate recall to stay exactly 1.0; " +
+        "regenerate fixtures with planted pairs at jac ≥ 0.85 or widen bands")
+  }
 }

@@ -17,6 +17,17 @@ class StreamingSpec extends SparkSpec {
   }
   private lazy val schema: StructType = spark.read.parquet(eventsDir).schema
 
+  test("micros/fromMicros round-trip, including pre-1970 instants") {
+    import graft.streaming.StreamingArchiver.{fromMicros, micros}
+    // negative-epoch µs: `/` truncates toward zero and `%` goes negative in
+    // Java, which made setNanos throw before the floorDiv/floorMod fix
+    val cases = Seq(0L, 1L, 999999L, 1704153600123456L,
+      -1L, -999999L, -1000000L, -1000001L, -31536000000000L + 654321L)
+    cases.foreach { us =>
+      assert(micros(fromMicros(us)) == us, s"round-trip broke at $us")
+    }
+  }
+
   test("streaming windowed counts equal the batch tumbling-window counts") {
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
     val q = StreamingArchiver.windowedCounts(stream, "ts", "24 hours")
