@@ -177,6 +177,30 @@ object ArchiveOps {
           StructField("cnt", LongType), StructField("adjusted_batch", LongType))))
     },
 
+    // A7 (flagged upgrade, SURVEY §7.5): row-LEVEL reconciliation — the
+    // reference compares scalar counts only (worker/worker.go:230-242);
+    // an anti-join on the key localizes exactly WHICH rows are missing.
+    // The "target" here deliberately drops every 97th key to give the
+    // check something to find. Left-anti on the key = one shuffle; at
+    // scale both sides partition on the key so AQE keeps it local.
+    Q("a7_reconcile_rowlevel",
+      """WITH src AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 1000),
+        |tgt AS (SELECT o_orderkey FROM src WHERE o_orderkey % 97 <> 0),
+        |miss AS (SELECT o_orderkey FROM src
+        |         WHERE NOT EXISTS (SELECT 1 FROM tgt WHERE tgt.o_orderkey = src.o_orderkey))
+        |SELECT count(*) AS n_missing, min(o_orderkey) AS min_missing,
+        |  max(o_orderkey) AS max_missing,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM miss""".stripMargin) { (s, d) =>
+      val src = orders(s, d).where("o_totalprice > 1000").select(col("o_orderkey"))
+      val tgt = src.where(col("o_orderkey") % 97 =!= 0)
+      src.join(tgt, Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"),
+             min(col("o_orderkey")).as("min_missing"),
+             max(col("o_orderkey")).as("max_missing"),
+             sum(col("o_orderkey")).cast("long").as("key_checksum"))
+    },
+
     // P5: tumbling time-window predicate synthesis over the events range
     // (2h 'hour' unit; final window closed at max — degenerate if overshoot)
     Q("p5_time_windows",

@@ -286,6 +286,43 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Exact substring-span dedup (the "duplicated long span" signal used
+    // to scrub training corpora): sample 64-char windows at stride 16,
+    // dedup per doc, inverted-index self-join on the window, and keep
+    // pairs sharing ≥ 2 sampled windows (≈ an 80+ char common run).
+    // Work ∝ Σ df(window)², never all-pairs; windows are fixed 64-byte
+    // keys so the shuffle is bounded at 4 bytes per original char. (At
+    // 100 TB the join key would be xxhash64(win) — 8 bytes/window; the
+    // oracle compares raw windows, so the contract query shuffles the
+    // strings and keeps counts collision-exact.) Fixture pairs all share
+    // ≥ 5 windows, so the ≥ 2 cut has wide margin.
+    Q("dedup_substring_span",
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(off AS INT) + 1, 64) AS win
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text) - 63, 16)) AS off
+        |        FROM documents WHERE length(text) >= 64)),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        |  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_shared FROM p WHERE n_shared >= 2
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val w = Tables.fan(s, documents(s, d))
+        .where(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - 64, lit(16)))
+            .as("off"))
+        .withColumn("win", expr("substr(text, off + 1, 64)"))
+        .select(col("doc_id"), col("win")).distinct()
+      val a = w.as("a"); val b = w.as("b")
+      a.join(b, col("a.win") === col("b.win") &&
+              col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Embedding-cosine near-dup (baseline all-pairs; LSH scale path in
     // AnnOps). Dot/norms are left folds in double → engine-identical; the
     // pair scoring runs through the native dot_d expression, norms are

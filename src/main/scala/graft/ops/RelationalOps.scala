@@ -477,5 +477,108 @@ object RelationalOps {
                  .as("supp_bulk"))
           .orderBy(col("l_returnflag"))
     },
+
+    // latest-row-per-key dedup (the QUALIFY row_number() = 1 idiom): the
+    // archival "current snapshot" view of an append-only event log. One
+    // shuffle on the partition key; ties on ts broken by event_id so the
+    // pick is total-order deterministic.
+    Q("q24_latest_snapshot",
+      """SELECT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+        |  event_type, CAST(value AS DOUBLE) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+                col("event_type"), col("value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // exact discrete percentiles (p50/p90/p99) per group, computed the
+    // engine-portable way: element at row_number = ceil(q*n) in sort order
+    // — no interpolation, so no cross-engine float arithmetic to drift.
+    // One shuffle (window) + one aggregate; at scale this beats a
+    // per-quantile self-join and stays exact where approx sketches do not.
+    Q("q25_percentile_disc",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS DOUBLE) AS p50,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS DOUBLE) AS p90,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS DOUBLE) AS p99
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+                col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w.orderBy(
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(w))
+      def pct(q: Double, as: String) =
+        max(when(col("rn") === ceil(lit(q) * col("n")).cast("long"),
+          col("l_extendedprice"))).cast("double").as(as)
+      li.groupBy(col("l_returnflag"))
+        .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ordered string aggregation (LISTAGG/string_agg): the sort lives
+    // inside the group (array_sort of the collected set) — no global sort,
+    // and group payloads are bounded by the dimension's cardinality.
+    Q("q26_string_agg",
+      """SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("r_name"))
+    },
+
+    // NOT IN vs NOT EXISTS with a NULL in the subquery — the three-valued-
+    // logic trap: `x NOT IN (set containing NULL)` is UNKNOWN for every x
+    // outside the set, so the first count is 0, while NOT EXISTS (and NOT
+    // IN over the NULL-scrubbed set) counts the true no-match rows. Spark
+    // plans the NOT IN as a null-aware anti join (BroadcastNestedLoop for
+    // the null check) — this query pins that planning path against the
+    // ANSI definition. Authored as SQL text on both engines: the semantics
+    // under test ARE the SQL semantics.
+    Q("q27_null_aware_antijoin",
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)) AS not_in_with_null,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE nullif(o.o_custkey, 7) = c.c_custkey)) AS not_exists_cnt,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_custkey IS NOT NULL AND o_custkey <> 7)) AS not_in_scrubbed""".stripMargin) {
+      (s, d) =>
+        customer(s, d).createOrReplaceTempView("graft_customer_v")
+        orders(s, d).createOrReplaceTempView("graft_orders_v")
+        s.sql(
+          """SELECT
+            |  (SELECT count(*) FROM graft_customer_v
+            |   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM graft_orders_v)) AS not_in_with_null,
+            |  (SELECT count(*) FROM graft_customer_v c
+            |   WHERE NOT EXISTS (SELECT 1 FROM graft_orders_v o
+            |                     WHERE nullif(o.o_custkey, 7) = c.c_custkey)) AS not_exists_cnt,
+            |  (SELECT count(*) FROM graft_customer_v
+            |   WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders_v
+            |                           WHERE o_custkey IS NOT NULL AND o_custkey <> 7)) AS not_in_scrubbed""".stripMargin)
+    },
   )
 }

@@ -202,5 +202,32 @@ object ScalarOps {
             col("p50_approx") <= col("p75_exact")).as("p50_within_iqr"),
           (col("p95_approx") >= col("p50_approx")).as("p95_above_p50"))
     },
+
+    // URL parsing (parse_url HOST/PATH/QUERY/keyed-QUERY + url_decode) —
+    // the web-corpus provenance columns a crawl pipeline carries. URLs are
+    // synthesized deterministically from the documents table; the oracle
+    // states the expected components directly in string algebra, so Spark's
+    // parser is checked against the URL grammar, not against itself.
+    Q("f_url_funcs",
+      """SELECT doc_id,
+        |  source || '.example.org' AS host,
+        |  '/corpus/' || CAST(doc_id AS VARCHAR) AS path,
+        |  'lang=' || lang || '&q=a%20b%2Bc' AS query,
+        |  lang AS lang_param,
+        |  'a b+c' AS q_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.org/corpus/"),
+                 col("doc_id"), lit("?lang="), col("lang"), lit("&q=a%20b%2Bc")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+          url_decode(parse_url(col("url"), lit("QUERY"), lit("q")))
+            .as("q_decoded"))
+        .orderBy(col("doc_id"))
+    },
   )
 }

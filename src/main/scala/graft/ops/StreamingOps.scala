@@ -56,8 +56,18 @@ object StreamingOps {
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val s = df.sparkSession
     val table = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(table).start()
+    // Stateful streaming creates one state-store instance PER shuffle
+    // partition PER micro-batch commit; at this state size the session's
+    // 32 partitions are pure store-commit overhead, not parallelism. The
+    // partition count is pinned at query start (it is baked into the
+    // checkpoint thereafter), so override just around start() and restore
+    // for the batch queries. Results are partition-count-invariant.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try df.writeStream.outputMode(mode).format("memory")
+        .queryName(table).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     val sink = s.table(table)
     val rows = sink.collect().toSeq

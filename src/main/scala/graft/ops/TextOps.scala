@@ -126,5 +126,40 @@ object TextOps {
           length(col("text")).as("n_chars"))
         .orderBy(col("doc_id"))
     },
+
+    // Character-level Shannon entropy per document — the classic gibberish
+    // / boilerplate quality signal (low entropy = repeated filler, high =
+    // random noise). H = ln(n) - Σ c·ln(c) / n over per-char counts c.
+    // Cross-engine determinism: each c·ln(c) term is one multiply of
+    // per-group-deterministic inputs, summed in DECIMAL (associative, so
+    // partial-agg merge order is irrelevant); engines' ln() may differ in
+    // the last ulp (~1e-10 absolute here), which round(...,4) absorbs.
+    // One explode + one (doc,char) shuffle — char alphabets are tiny, so
+    // the second aggregate is ~100 rows per doc.
+    Q("text_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_elems,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS s
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_elems, n_distinct,
+        |  round(ln(CAST(n_elems AS DOUBLE)) - s / n_elems, 4) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), explode(expr("split(text, '')")).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_elems"),
+             count(lit(1)).as("n_distinct"),
+             sum((col("cnt").cast("double") * log(col("cnt").cast("double")))
+               .cast("decimal(30,12)")).cast("double").as("s"))
+        .select(col("doc_id"), col("n_elems"), col("n_distinct"),
+          round(log(col("n_elems").cast("double")) - col("s") / col("n_elems"), 4)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    },
   )
 }
