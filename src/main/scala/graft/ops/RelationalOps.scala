@@ -548,6 +548,37 @@ object RelationalOps {
         .orderBy(col("r_name"))
     },
 
+    // forward-fill (gap-fill) via last_value IGNORE NULLS: carry each
+    // user's most recent purchase value onto every subsequent event — the
+    // event-log enrichment that turns sparse measurements into dense
+    // features. One shuffle on the partition key; the running frame is
+    // computed in a single pass per partition.
+    Q("q28_forward_fill",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+        |  event_id,
+        |  CAST(last_value(pv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS last_purchase_value
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          last(col("pv"), ignoreNulls = true).over(w)
+            .cast("double").as("last_purchase_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // NOT IN vs NOT EXISTS with a NULL in the subquery — the three-valued-
     // logic trap: `x NOT IN (set containing NULL)` is UNKNOWN for every x
     // outside the set, so the first count is 0, while NOT EXISTS (and NOT

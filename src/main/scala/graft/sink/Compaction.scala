@@ -64,6 +64,28 @@ object Compaction {
     repaired
   }
 
+  /** Run [[compact]] only when the small-file problem is real: at least
+    * `minSmallFiles` data files below `smallBytes`. The rewrite is a full
+    * whole-directory swap — a PARTIAL rewrite (moving only small files)
+    * cannot be made duplication-safe on a plain FS, because committing
+    * "new compacted files in, originals out" spans multiple non-atomic
+    * renames with no manifest to arbitrate a crash in the middle; that is
+    * precisely the problem table-format OPTIMIZE solves with a manifest
+    * commit. So the knob here is WHEN to pay for the rewrite, not how
+    * much of it to do. Returns None when skipped. */
+  def compactIfNeeded(spark: SparkSession, targetDir: String,
+      targetBytes: Long = 128L << 20, smallBytes: Long = 32L << 20,
+      minSmallFiles: Int = 8): Option[Report] = {
+    recover(spark, targetDir)
+    val target = new Path(targetDir)
+    val fs: FileSystem = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(target)) return None
+    val small = fs.listStatus(target)
+      .count(s => s.getPath.getName.endsWith(".parquet") && s.getLen < smallBytes)
+    if (small < minSmallFiles) None
+    else Some(compact(spark, targetDir, targetBytes))
+  }
+
   def compact(spark: SparkSession, targetDir: String,
       targetBytes: Long = 128L << 20): Report = {
     recover(spark, targetDir)

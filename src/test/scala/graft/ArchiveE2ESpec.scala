@@ -367,6 +367,24 @@ class ArchiveE2ESpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == rows)
   }
 
+  test("compactIfNeeded triggers only past the small-file threshold") {
+    import graft.sink.Compaction
+    val tgt = tmpDir() + "/t"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema)
+    loader.ingest(src, tgt + ".stg"): Unit
+    val nFiles = new java.io.File(tgt).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // below the file-count threshold: skipped
+    assert(Compaction.compactIfNeeded(spark, tgt,
+      minSmallFiles = nFiles + 1).isEmpty)
+    // at the threshold: runs and round-trips
+    val rep = Compaction.compactIfNeeded(spark, tgt,
+      targetBytes = 1L << 30, minSmallFiles = math.max(1, nFiles))
+    assert(rep.nonEmpty && rep.get.rows == src.count())
+    assert(spark.read.parquet(tgt).count() == src.count())
+  }
+
   test("staging compresses by default (COMPRESSION AUTO analogue) and round-trips") {
     val tgt = tmpDir() + "/t"; val stg = tgt + ".stg"
     val src = spark.read.parquet(s"$sf/region.parquet")
