@@ -52,11 +52,25 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
   private val targetPath = new Path(targetDir)
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
+  /** Every read or commit of the target repairs an interrupted compaction
+    * swap FIRST. Without this, a crash between the swap's two renames
+    * (target absent, live data stranded in `target.old`) followed by any
+    * ingest would recreate the target with just the new batch — and a
+    * LATER Compaction.recover would then read that state as "swap
+    * completed, `.old` obsolete" and delete the only copy of the archived
+    * history. Funneling recovery through the loader's own chokepoints
+    * (gate, commit, watermark reads) closes that window: the `.old` data
+    * is restored before anything can observe or recreate the target. */
+  private def ensureRecovered(): Unit =
+    Compaction.recover(spark, targetDir): Unit
+
   /** Idempotency pre-check (cmd/main.go:74-82): refuse to start when the
     * target already holds rows matching the predicate. */
-  def syncedCount(where: String): Long =
+  def syncedCount(where: String): Long = {
+    ensureRecovered()
     if (!fsOf(targetPath).exists(targetPath)) 0L
     else spark.read.schema(sinkSchema).parquet(targetDir).where(where).count()
+  }
 
   /** Test failpoint: invoked after the load commit, before purge — still
     * inside the retry-classified region, so specs can force a post-commit
@@ -134,21 +148,30 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
     *     dir, rename the parts in under the prefix, then write the
     *     tombstone. Renames are the only mutation of the target. */
   private def copyInto(stagingDir: String): Long = {
+    ensureRecovered() // never recreate a target whose live data sits in .old
     val id = ingestId(stagingDir)
+    // earlier releases truncated the id to 13 chars; honor their commits so
+    // a replay against an old target stays idempotent. The legacy id is a
+    // string-prefix of the full id, so the legacy file prefix subsumes the
+    // current one for listing/cleanup.
+    val legacyId = id.take(13)
     val tfs = fsOf(targetPath)
     // underscore prefix: Spark's file listing skips _-prefixed entries, so
     // the tombstone never reaches the parquet footer reader
     val done = new Path(targetPath, s"_ingest-$id.done")
+    val doneLegacy = new Path(targetPath, s"_ingest-$legacyId.done")
     def prefixFiles(): Seq[Path] =
       if (!tfs.exists(targetPath)) Seq.empty
       else tfs.listStatus(targetPath).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(s"ingest-$id-"))
-    if (tfs.exists(done) && prefixFiles().isEmpty) return 0L
-    // invalidate the tombstone BEFORE touching data files: a crash between
+        .filter(_.getName.startsWith(s"ingest-$legacyId-"))
+    if ((tfs.exists(done) || tfs.exists(doneLegacy)) && prefixFiles().isEmpty)
+      return 0L
+    // invalidate the tombstones BEFORE touching data files: a crash between
     // deleting the prefix files and re-committing must leave a state the
     // next replay redoes (no tombstone, no files), never one it skips
     // (stale tombstone + deleted files = silent loss)
     tfs.delete(done, false)
+    tfs.delete(doneLegacy, false)
     prefixFiles().foreach(p => tfs.delete(p, true))
     val raw = stagingFormat match {
       case "json" => spark.read.schema(stagingSchema)
@@ -209,24 +232,28 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
     * BigInt via decimal(20,0) — the split-key domain is uint64 (the
     * reference's NullUint64), whose top half a Long cast would overflow
     * (ANSI error, or NULL→full-reload duplication with ANSI off). */
-  def maxKey(key: String): Option[BigInt] =
+  def maxKey(key: String): Option[BigInt] = {
+    ensureRecovered()
     if (!fsOf(targetPath).exists(targetPath)) None
     else {
       val r = spark.read.schema(sinkSchema).parquet(targetDir)
         .agg(max(col(key)).cast("decimal(20,0)")).head()
       if (r.isNullAt(0)) None else Some(BigInt(r.getDecimal(0).toBigInteger))
     }
+  }
 
   /** Time watermark for incremental sync: max of the time key, at FULL
     * microsecond precision — a second-truncated watermark would re-load
     * (duplicate) the sub-second tail of the last committed instant. */
-  def maxTime(key: String): Option[String] =
+  def maxTime(key: String): Option[String] = {
+    ensureRecovered()
     if (!fsOf(targetPath).exists(targetPath)) None
     else {
       val r = spark.read.schema(sinkSchema).parquet(targetDir)
         .agg(date_format(max(col(key)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
       Option(r.getString(0))
     }
+  }
 }
 
 object StagedLoader {

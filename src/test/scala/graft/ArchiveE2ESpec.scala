@@ -367,6 +367,71 @@ class ArchiveE2ESpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == rows)
   }
 
+  test("ingest into a mid-swap-crashed target restores the history first") {
+    // the data-loss chain this closes: compact() crashes between its two
+    // renames (target absent, history stranded in .old) → an ingest
+    // recreates the target with just the new batch → a later recover()
+    // reads "target present + .old present" as post-swap cleanup and
+    // deletes the only copy of the history. The loader must restore .old
+    // BEFORE any commit can recreate the target.
+    import graft.sink.Compaction
+    val tgt = tmpDir() + "/t"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema)
+    loader.ingest(src, tmpDir() + "/stg1"): Unit
+    val rows = spark.read.parquet(tgt).count()
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tgt), Compaction.oldPath(tgt)))
+
+    // a second batch arrives while the swap is stranded
+    loader.ingest(src, tmpDir() + "/stg2"): Unit
+    assert(spark.read.parquet(tgt).count() == 2 * rows,
+      "history stranded in .old must be restored before the new commit")
+    assert(!fs.exists(Compaction.oldPath(tgt)))
+    // and the later recover() has nothing left to destroy
+    Compaction.recover(spark, tgt): Unit
+    assert(spark.read.parquet(tgt).count() == 2 * rows)
+  }
+
+  test("replay honors commits made under the legacy 13-char ingest id") {
+    val tgt = tmpDir() + "/t"; val stg = tmpDir() + "/stg"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema, purge = false)
+    loader.ingest(src, stg): Unit
+    val rows = src.count()
+
+    // rewrite the commit to the pre-upgrade naming (truncated id)
+    val fullId = java.util.UUID.nameUUIDFromBytes(
+      new org.apache.hadoop.fs.Path(stg).toString.getBytes("UTF-8")).toString
+    val legacyId = fullId.take(13)
+    val dir = new java.io.File(tgt)
+    dir.listFiles().foreach { f =>
+      if (f.getName == s"_ingest-$fullId.done")
+        assert(f.renameTo(new java.io.File(dir, s"_ingest-$legacyId.done")))
+      else if (f.getName.startsWith(s"ingest-$fullId-"))
+        assert(f.renameTo(new java.io.File(dir,
+          f.getName.replace(fullId, legacyId))))
+    }
+
+    // replay of the same staging dir: supersedes the legacy files, never
+    // duplicates
+    loader.ingest(src, stg): Unit
+    assert(spark.read.parquet(tgt).count() == rows,
+      "replay over a legacy-format commit must not duplicate the batch")
+
+    // committed-then-compacted legacy state (tombstone only, no files):
+    // replay is a no-op
+    dir.listFiles().foreach { f =>
+      if (f.getName.startsWith("ingest-")) assert(f.delete())
+      if (f.getName.startsWith("_ingest-") && f.getName.endsWith(".done"))
+        assert(f.renameTo(new java.io.File(dir, s"_ingest-$legacyId.done")))
+    }
+    assert(loader.ingest(src, stg) == 0L,
+      "legacy tombstone with no surviving files means already committed")
+    assert(!dir.listFiles().exists(_.getName.startsWith(s"ingest-")))
+  }
+
   test("compactIfNeeded triggers only past the small-file threshold") {
     import graft.sink.Compaction
     val tgt = tmpDir() + "/t"
