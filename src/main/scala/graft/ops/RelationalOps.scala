@@ -548,6 +548,33 @@ object RelationalOps {
         .orderBy(col("r_name"))
     },
 
+    // grouping()/grouping_id() over CUBE: the markers that make subtotal
+    // rows machine-distinguishable from genuine NULL group keys — without
+    // them a cube over nullable dimensions is ambiguous. q4_cube covers
+    // the lattice itself; this pins the marker functions.
+    Q("q29_grouping_id",
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        // grouping()/grouping_id() are aggregate-position-only expressions
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+             grouping(col("l_linestatus")).cast("long").as("g_ls"),
+             grouping_id(col("l_returnflag"), col("l_linestatus")).cast("long")
+               .as("gid"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("g_rf"), col("g_ls"), col("gid"), col("n"))
+        .orderBy(col("gid"), col("rf"), col("ls"))
+    },
+
     // forward-fill (gap-fill) via last_value IGNORE NULLS: carry each
     // user's most recent purchase value onto every subsequent event — the
     // event-log enrichment that turns sparse measurements into dense

@@ -203,6 +203,31 @@ object ScalarOps {
           (col("p95_approx") >= col("p50_approx")).as("p95_above_p50"))
     },
 
+    // bitwise scalar family (masks/shifts/xor/popcount) — the arithmetic
+    // under every hash/signature operator in the suite, exercised as
+    // first-class functions. Integer-exact, so cross-engine parity is
+    // unconditional. (DuckDB's ^ is exponentiation — xor() is the
+    // operator there, a classic portability trap this query pins.)
+    Q("f_bitwise_funcs",
+      """SELECT event_id,
+        |  event_id & 255 AS masked,
+        |  event_id | 4096 AS with_flag,
+        |  xor(event_id, 987654321) AS xored,
+        |  (event_id & 255) << 3 AS shifted_l,
+        |  event_id >> 4 AS shifted_r,
+        |  CAST(bit_count(event_id) AS BIGINT) AS popcount
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).where(col("event_id") < 2000)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("masked"),
+          col("event_id").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("event_id").bitwiseXOR(lit(987654321L)).as("xored"),
+          shiftleft(col("event_id").bitwiseAND(lit(255L)), 3).as("shifted_l"),
+          shiftright(col("event_id"), 4).as("shifted_r"),
+          bit_count(col("event_id")).cast("long").as("popcount"))
+        .orderBy(col("event_id"))
+    },
+
     // URL parsing (parse_url HOST/PATH/QUERY/keyed-QUERY + url_decode) —
     // the web-corpus provenance columns a crawl pipeline carries. URLs are
     // synthesized deterministically from the documents table; the oracle

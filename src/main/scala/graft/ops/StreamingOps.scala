@@ -110,6 +110,33 @@ object StreamingOps {
       runToMemory(counts, "complete").orderBy(col("event_type"))
     },
 
+    // The PRODUCT path under the gate: stream → foreachBatch → staged
+    // NDJSON load → idempotent per-batch commit into the parquet target —
+    // then the TARGET is read back and aggregated, so what the oracle
+    // checks is the archive's end state after the full staging/commit
+    // protocol (µs timestamp fidelity through NDJSON, tombstoned batch
+    // commits, checkpoint batch markers), not just a streaming transform.
+    Q("stream_archive_counts",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val schema = Tables.events(s, d).schema
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-archive").toString
+      streamDirs.put(root, root) // shutdown-hook cleanup
+      val tgt = s"$root/target"
+      val loader = new graft.sink.StagedLoader(s, tgt, schema)
+      val q = StreamingArchiver.archiveStream(eventStream(s, d), loader,
+        s"$root/staging", s"$root/checkpoint")
+      try q.processAllAvailable() finally q.stop()
+      s.read.schema(schema).parquet(tgt)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double")
+               .as("value_sum"))
+        .orderBy(col("event_type"))
+    },
+
     // Spark's BUILT-IN session_window (the declarative sibling of the
     // stateful sessionizer below): batch-mode gap sessions over the same
     // events, so ALL sessions — including each user's final one — are
