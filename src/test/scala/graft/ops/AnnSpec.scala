@@ -13,6 +13,40 @@ class AnnSpec extends SparkSpec {
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
 
+  test("sq8 ann: recall@10 vs brute force is ~lossless at 64 dims") {
+    val exact = topk("ann_bruteforce_topk")
+    val sq8 = topk("ann_sq8_topk")
+    val recall = exact.map { case (q, ex) =>
+      sq8.getOrElse(q, Seq.empty).toSet.intersect(ex.toSet).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"sq8 recall@10 $recall — 8-bit codes should barely " +
+      "perturb 64-dim rankings; a drop here means the quantizer broke")
+  }
+
+  test("sq8 ann: midpoint dequantization error is bounded by half a step") {
+    import org.apache.spark.sql.functions._
+    // |x - dq(x)| ≤ sc/2 per element for in-range x: the property that makes
+    // 8-bit codes rank-preserving. Recompute the quantizer exactly as the
+    // operator does and assert the bound over every element of the corpus.
+    val e = Tables.fan(spark, Tables.embeddings(spark, sf))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val mns = typedLit(stats.map(_._2).toSeq)
+    val scs = typedLit(stats.map(t => (t._3 - t._2) / 255.0).toSeq)
+    val viol = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("mn", element_at(mns, (col("i") + 1).cast("int")))
+      .withColumn("sc", element_at(scs, (col("i") + 1).cast("int")))
+      .withColumn("dq", col("mn") +
+        (least(lit(255.0), greatest(lit(0.0),
+          floor((col("x") - col("mn")) / col("sc")).cast("double"))) + lit(0.5)) * col("sc"))
+      // half-step plus float-rounding headroom
+      .where(abs(col("x") - col("dq")) > col("sc") / 2 * 1.0000001)
+      .count()
+    assert(viol == 0, s"$viol elements exceed the half-step dequantization bound")
+  }
+
   test("lsh ann: deterministic and returns ranked neighbors per query") {
     val a = topk("ann_lsh_topk")
     val b = topk("ann_lsh_topk")

@@ -128,4 +128,51 @@ class PlanSpec extends SparkSpec {
     val exchanges = """Exchange\s+\(\d+\)""".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" + p)
   }
+
+  test("q25_percentile_disc: both windows share one hash exchange; 4-column scan") {
+    val p = planOf("q25_percentile_disc")
+    // row_number and the per-group count partition identically — a second
+    // hash exchange would mean the window partitioning was not reused
+    val hashEx = """hashpartitioning\(l_returnflag""".r.findAllIn(p).size
+    assert(hashEx >= 1, p)
+    val exchanges = """Exchange\s+\(\d+\)""".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected ≤3 exchanges (window hash, agg, order), got $exchanges:\n" + p)
+    assert(!p.contains("l_shipdate"), "unused columns must be pruned:\n" + p)
+  }
+
+  test("q26_string_agg: dimension join broadcasts") {
+    val p = planOf("q26_string_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q24_latest_snapshot / q28_forward_fill: one window pass each") {
+    Seq("q24_latest_snapshot", "q28_forward_fill").foreach { q =>
+      val p = planOf(q)
+      val windows = """Window\s+\(\d+\)""".r.findAllIn(p).size
+      assert(windows == 1, s"$q expected one window, got $windows:\n" + p)
+      assert(!p.contains("Join"), s"$q must not plan a join:\n" + p)
+    }
+  }
+
+  test("ann_sq8_topk: encode/score is a projection — no shuffle before the probe join") {
+    val p = planOf("ann_sq8_topk")
+    // corpus side: scan → project(quantize+score) → broadcast probe join →
+    // window top-k. A SortMergeJoin or aggregate before the join would mean
+    // the quantizer was recomputed distributively instead of baked in.
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_substring_span: inverted-index equi-join, never a nested loop") {
+    val p = planOf("dedup_substring_span")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), "window extraction must be an explode:\n" + p)
+  }
+
+  test("text_char_entropy: two aggregates, no join back to the documents scan") {
+    val p = planOf("text_char_entropy")
+    assert(!p.contains("Join"), "entropy must not join doc totals back:\n" + p)
+  }
 }
