@@ -548,6 +548,33 @@ object RelationalOps {
         .orderBy(col("r_name"))
     },
 
+    // bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity-
+    // preserving variants q13's distinct forms can't express — for
+    // multisets |A ∩ B| = Σ min(cnt_A, cnt_B) and |A \ B| = Σ max(0,
+    // cnt_A - cnt_B), which is what dedup accounting over repeated keys
+    // actually needs. Planned as hash joins on the key+count, same
+    // shuffle shape as the distinct variants.
+    Q("q30_bag_set_ops",
+      """WITH urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     high   AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT 'intersect_all' AS op, count(*) AS n
+        |FROM (SELECT k FROM urgent INTERSECT ALL SELECT k FROM high) t
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS n
+        |FROM (SELECT k FROM urgent EXCEPT ALL SELECT k FROM high) t
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey").as("k"))
+      val mk = (op: String, df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      mk("intersect_all", urgent.intersectAll(high))
+        .union(mk("except_all", urgent.exceptAll(high)))
+        .orderBy(col("op"))
+    },
+
     // grouping()/grouping_id() over CUBE: the markers that make subtotal
     // rows machine-distinguishable from genuine NULL group keys — without
     // them a cube over nullable dimensions is ambiguous. q4_cube covers

@@ -92,6 +92,52 @@ class StreamingSpec extends SparkSpec {
     assert(loaded == spark.read.parquet(eventsDir).count())
   }
 
+  test("streaming landing hands off to batch incremental sync without duplication") {
+    // lifecycle integration: a stream lands the history into the target,
+    // then the BATCH incremental path takes over — its watermark must
+    // resume exactly after the streamed rows, load only the delta, and a
+    // re-run must be a no-op. This is the "backfill via streaming, keep
+    // fresh via scheduled deltas" deployment.
+    import graft.config.ArchiverConfig
+    val all = spark.read.parquet(eventsDir)
+    // 60% of the fixture's event_id domain streams in; 40% is the delta
+    val cut = all.agg(org.apache.spark.sql.functions.max("event_id"))
+      .head().getLong(0) * 6 / 10
+    val srcDir = Files.createTempDirectory("graft-handoff-src").toString
+    all.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val landingDir = Files.createTempDirectory("graft-handoff-land").toString
+    all.where(s"event_id < $cut").write.mode("overwrite").parquet(landingDir)
+
+    val tgt = Files.createTempDirectory("graft-handoff-tgt").toString + "/t"
+    // key-ordered commits in the streaming phase too: the batch watermark
+    // is only sound over a target whose commits are key-prefixes
+    val streamLoader = new StagedLoader(spark, tgt, schema,
+      orderedCommitKey = Some("event_id"))
+    val st = spark.readStream.schema(schema).parquet(landingDir)
+    val q = StreamingArchiver.archiveStream(st, streamLoader,
+      tgt + ".stg", tgt + ".ckpt")
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.read.schema(schema).parquet(tgt).count()
+    assert(streamed == all.where(s"event_id < $cut").count())
+
+    val cfg = ArchiverConfig(
+      sourceDB = new java.io.File(srcDir).getName, sourceTable = "events",
+      sourceWhereCondition = "event_id >= 0",
+      sourceSplitKey = "event_id", batchSize = 100000)
+    val archiver = graft.Archiver.parquet(spark, cfg, srcDir, tgt,
+      tgt + ".delta-stg", schema, pacingSleep = _ => ())
+    val rep = archiver.runIncremental()
+    assert(rep.reconciliation.correct, rep.reconciliation)
+    assert(spark.read.schema(schema).parquet(tgt).count() == all.count(),
+      "delta run must append exactly the rows the stream had not landed")
+    assert(rep.tables.map(_.rowsLoaded).sum == all.count() - streamed)
+
+    val rep2 = archiver.runIncremental()
+    assert(rep2.tables.map(_.rowsLoaded).sum == 0L,
+      "a second delta run with no new source rows must load nothing")
+    assert(spark.read.schema(schema).parquet(tgt).count() == all.count())
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     // duplicate the whole source once (a replayed feed): every user_id+ts
     // key appears twice; within-watermark dedup must emit each exactly once
