@@ -92,10 +92,8 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
   def runIncremental(): RunReport = {
     val key = cfg.sourceSplitKey
     require(key.nonEmpty, "incremental sync requires sourceSplitKey")
-    // restore an interrupted compaction swap BEFORE reading the watermark:
-    // a stranded swap leaves the target absent, and watermark None here
-    // would silently re-archive from scratch over the stranded copy
-    sink.Compaction.recover(spark, loader.targetDir)
+    // maxKey restores an interrupted compaction swap before reading the
+    // watermark (StagedLoader.ensureRecovered owns that invariant)
     runDelta(key, loader.maxKey(key).map(w => (s"$key > $w", s"delta-gt-$w")))
   }
 
@@ -108,7 +106,6 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
   def runIncrementalTime(): RunReport = {
     val key = cfg.sourceSplitTimeKey
     require(key.nonEmpty, "time-incremental sync requires sourceSplitTimeKey")
-    sink.Compaction.recover(spark, loader.targetDir) // see runIncremental
     runDelta(key, loader.maxTime(key).map { w =>
       (s"$key > TIMESTAMP '$w'", "delta-ts-" + w.replaceAll("[^0-9]", ""))
     })

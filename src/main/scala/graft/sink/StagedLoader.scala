@@ -160,10 +160,19 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
     // the tombstone never reaches the parquet footer reader
     val done = new Path(targetPath, s"_ingest-$id.done")
     val doneLegacy = new Path(targetPath, s"_ingest-$legacyId.done")
+    // EXACT id match, not prefix: the legacy id is a prefix of every full
+    // id that shares its first 13 chars, so a prefix filter would let this
+    // batch's cleanup delete a COLLIDING batch's committed full-id files —
+    // the very cross-batch collision the full UUID exists to prevent.
+    // File names are ingest-<id>-NNNNN.parquet; compare the embedded id.
+    val filePat = """ingest-(.+)-\d{5}\.parquet""".r
     def prefixFiles(): Seq[Path] =
       if (!tfs.exists(targetPath)) Seq.empty
       else tfs.listStatus(targetPath).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(s"ingest-$legacyId-"))
+        .filter(_.getName match {
+          case filePat(fid) => fid == id || fid == legacyId
+          case _            => false
+        })
     if ((tfs.exists(done) || tfs.exists(doneLegacy)) && prefixFiles().isEmpty)
       return 0L
     // invalidate the tombstones BEFORE touching data files: a crash between

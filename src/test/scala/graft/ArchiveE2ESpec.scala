@@ -432,6 +432,32 @@ class ArchiveE2ESpec extends SparkSpec {
     assert(!dir.listFiles().exists(_.getName.startsWith(s"ingest-")))
   }
 
+  test("prefix cleanup never touches another batch sharing the 13-char prefix") {
+    // the legacy id is a string prefix of every full UUID sharing its
+    // first 13 chars — cleanup must match the embedded id EXACTLY, or a
+    // replay of batch B deletes a colliding batch A's committed files
+    val tgt = tmpDir() + "/t"; val stg = tmpDir() + "/stg"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val loader = new StagedLoader(spark, tgt, src.schema, purge = false)
+    loader.ingest(src, stg): Unit
+    val fullId = java.util.UUID.nameUUIDFromBytes(
+      new org.apache.hadoop.fs.Path(stg).toString.getBytes("UTF-8")).toString
+    // plant a "colliding other batch": a full-format file whose id shares
+    // the first 13 chars but is a different UUID
+    val dir = new java.io.File(tgt)
+    val donor = dir.listFiles().find(_.getName.startsWith(s"ingest-$fullId-")).get
+    val otherId = fullId.take(13) + "x" + fullId.drop(14)
+    val planted = new java.io.File(dir, s"ingest-$otherId-00000.parquet")
+    java.nio.file.Files.copy(donor.toPath, planted.toPath)
+    val before = spark.read.parquet(tgt).count()
+
+    loader.ingest(src, stg): Unit // replay of THIS batch only
+    assert(planted.exists(),
+      "replay cleanup deleted a different batch's file sharing the 13-char prefix")
+    assert(spark.read.parquet(tgt).count() == before,
+      "replay must supersede its own files and leave the other batch intact")
+  }
+
   test("compactIfNeeded triggers only past the small-file threshold") {
     import graft.sink.Compaction
     val tgt = tmpDir() + "/t"

@@ -87,7 +87,9 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
     val q = StreamingArchiver.archiveStream(stream, loader,
       tgt + ".stg", tgt + ".ckpt")
-    try q.awaitTermination(120000) finally q.stop()
+    // processAllAvailable blocks until the bounded source is drained —
+    // unlike a timed awaitTermination, it cannot silently proceed half-fed
+    try q.processAllAvailable() finally q.stop()
     val loaded = spark.read.schema(schema).parquet(tgt).count()
     assert(loaded == spark.read.parquet(eventsDir).count())
   }
@@ -116,7 +118,7 @@ class StreamingSpec extends SparkSpec {
     val st = spark.readStream.schema(schema).parquet(landingDir)
     val q = StreamingArchiver.archiveStream(st, streamLoader,
       tgt + ".stg", tgt + ".ckpt")
-    try q.awaitTermination(120000) finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     val streamed = spark.read.schema(schema).parquet(tgt).count()
     assert(streamed == all.where(s"event_id < $cut").count())
 
