@@ -134,6 +134,44 @@ object PipelineOps {
         .orderBy(col("source"), col("split"))
     },
 
+    // Weighted corpus mixing — per-domain sampling rates, the data-mixture
+    // knob of every pretraining run (upsample books, downsample web).
+    // Deterministic: a document is kept iff splitmix64(doc_id) lands below
+    // its source's rate threshold — a pure projection at the scan (like
+    // split_assign, the mix is a filter, not a shuffle), reproducible
+    // across runs/cluster sizes, and composable with the split: the SAME
+    // hash with a different modulus window would correlate with
+    // split_assign's buckets, so the mixer hashes doc_id+1 (independent
+    // stream from the same portable kernel). Rates here derive from the
+    // source name (len % 3 → 25/50/75%) so the oracle states them too.
+    Q("corpus_mix_sample",
+      s"""WITH s0 AS (SELECT doc_id, source, CAST(doc_id + 1 AS HUGEINT) AS z FROM documents),
+         |${smixCtes("m", "s0", "doc_id, source")},
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CASE length(source) % 3 WHEN 0 THEN 25 WHEN 1 THEN 50 ELSE 75 END AS rate_pct,
+         |    CAST((z % 9223372036854775808) % 100 AS BIGINT) AS bucket
+         |  FROM m6)
+         |SELECT source, max(rate_pct) AS rate_pct, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE bucket < rate_pct) AS n_kept,
+         |  CAST(coalesce(sum(doc_id) FILTER (WHERE bucket < rate_pct), 0) AS BIGINT) AS kept_id_sum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val bucket = (splitmix64(col("doc_id") + 1)
+        .bitwiseAND(lit(Long.MaxValue)) % 100)
+      val rate = (length(col("source")) % 3)
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          when(rate === 0, 25).when(rate === 1, 50).otherwise(75).as("rate_pct"),
+          bucket.as("bucket"))
+        .groupBy(col("source"))
+        .agg(max(col("rate_pct")).as("rate_pct"),
+             count(lit(1)).as("n_docs"),
+             count(when(col("bucket") < col("rate_pct"), 1)).as("n_kept"),
+             coalesce(sum(when(col("bucket") < col("rate_pct"), col("doc_id"))),
+               lit(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+
     // The composed corpus-cleaning decision a training pipeline actually
     // ships: length gate ∧ repetition gates ∧ exact-dup canonicalization,
     // as ONE mask. Everything except the canonical check is a per-row
