@@ -548,6 +548,27 @@ object RelationalOps {
         .orderBy(col("r_name"))
     },
 
+    // event-TIME range frame (RANGE BETWEEN INTERVAL ... PRECEDING): the
+    // trailing-window-by-time aggregate — "events in the last hour" per
+    // row — which a ROWS frame cannot express over irregular event times.
+    // q23 covers numeric range frames; this pins the calendar-interval
+    // flavor. SQL-text on both engines (the frame spec IS SQL surface);
+    // peers at an identical µs timestamp share a frame, so ties are
+    // deterministic by construction.
+    Q("q31_interval_range_frame",
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_trailing_hour
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("graft_events_v")
+      s.sql(
+        """SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_trailing_hour
+          |FROM graft_events_v ORDER BY user_id, event_id""".stripMargin)
+    },
+
     // bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity-
     // preserving variants q13's distinct forms can't express — for
     // multisets |A ∩ B| = Σ min(cnt_A, cnt_B) and |A \ B| = Σ max(0,

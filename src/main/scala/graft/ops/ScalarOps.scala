@@ -203,6 +203,30 @@ object ScalarOps {
           (col("p95_approx") >= col("p50_approx")).as("p95_above_p50"))
     },
 
+    // struct ordering as one-pass argmax/argmin: max(struct(measure, key))
+    // compares lexicographically, so the extreme row's companion columns
+    // come back WITHOUT a join-back or window — at scale this is a
+    // map-side-combining aggregate instead of a second shuffle. The key
+    // inside the struct makes ties deterministic. Oracle uses DuckDB's
+    // named-struct max (and cross-checks with arg_max).
+    Q("f_struct_funcs",
+      """SELECT l_returnflag,
+        |  CAST(max({'p': l_extendedprice, 'k': l_orderkey}).p AS DOUBLE) AS top_price,
+        |  max({'p': l_extendedprice, 'k': l_orderkey}).k AS top_key,
+        |  CAST(min({'p': l_extendedprice, 'k': l_orderkey}).p AS DOUBLE) AS low_price,
+        |  min({'p': l_extendedprice, 'k': l_orderkey}).k AS low_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val pk = struct(col("l_extendedprice").as("p"), col("l_orderkey").as("k"))
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(max(pk).as("mx"), min(pk).as("mn"))
+          .select(col("l_returnflag"),
+            col("mx.p").cast("double").as("top_price"), col("mx.k").as("top_key"),
+            col("mn.p").cast("double").as("low_price"), col("mn.k").as("low_key"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // bitwise scalar family (masks/shifts/xor/popcount) — the arithmetic
     // under every hash/signature operator in the suite, exercised as
     // first-class functions. Integer-exact, so cross-engine parity is
