@@ -203,6 +203,65 @@ object ScalarOps {
           (col("p95_approx") >= col("p50_approx")).as("p95_above_p50"))
     },
 
+    // statistical aggregates (variance/stddev/correlation), computed the
+    // cross-engine-deterministic way: exact DECIMAL sums of x, x², y, xy
+    // (map-side partials, associative merge), then ONE closed-form IEEE
+    // expression per statistic — var = (Σx² - (Σx)²/n)/(n-1), corr from
+    // the product-moment sums. Engines' built-in stddev/corr use
+    // merge-order-dependent streaming updates (Welford/Chan), so their
+    // raw outputs can drift in the last ulps run-to-run; here they are
+    // gate-checked against the exact values with tolerance booleans
+    // instead of hashed directly.
+    Q("f_stats_funcs",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    stddev_samp(l_quantity) AS builtin_sd,
+        |    corr(l_quantity, l_extendedprice) AS builtin_corr
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(sx / n, 10) AS mean_qty,
+        |  round((sxx - sx * sx / n) / (n - 1), 10) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS sd_qty,
+        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 10) AS corr_qty_price,
+        |  abs(builtin_sd - sqrt((sxx - sx * sx / n) / (n - 1))) < 1e-6 AS builtin_sd_ok,
+        |  abs(builtin_corr - (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) < 1e-6 AS builtin_corr_ok
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dq = col("l_quantity").cast("decimal(18,2)")
+      val dp = col("l_extendedprice").cast("decimal(18,2)")
+      val base = lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(dq).cast("double").as("sx"),
+        sum(dq * dq).cast("double").as("sxx"),
+        sum(dp).cast("double").as("sy"),
+        sum(dp * dp).cast("double").as("syy"),
+        sum(dq * dp).cast("double").as("sxy"),
+        stddev_samp(col("l_quantity")).as("builtin_sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("builtin_corr"))
+      val varQty = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      val corrQ = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy")))
+      // round(…,10): the sums are exact, but the one closed-form IEEE
+      // expression per statistic can still land one ulp apart across
+      // engines (multiply/divide chains are correctly rounded per OP, not
+      // end to end) — 10 decimals is far beyond statistical meaning and
+      // absorbs it
+      base.select(col("l_returnflag"), col("n"),
+          round(col("sx") / col("n"), 10).as("mean_qty"),
+          round(varQty, 10).as("var_qty"),
+          round(sqrt(varQty), 10).as("sd_qty"),
+          round(corrQ, 10).as("corr_qty_price"),
+          (abs(col("builtin_sd") - sqrt(varQty)) < 1e-6).as("builtin_sd_ok"),
+          (abs(col("builtin_corr") - corrQ) < 1e-6).as("builtin_corr_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // struct ordering as one-pass argmax/argmin: max(struct(measure, key))
     // compares lexicographically, so the extreme row's companion columns
     // come back WITHOUT a join-back or window — at scale this is a
