@@ -548,6 +548,41 @@ object RelationalOps {
         .orderBy(col("r_name"))
     },
 
+    // LATERAL correlated subquery in FROM — top-N per outer row without a
+    // window over the whole join: each region drives its own ranked
+    // 2-row subquery. Catalyst plans the correlation as a join
+    // (DomainJoin decorrelation, the FROM-clause sibling of q21's WHERE
+    // decorrelation); authored as SQL text since LATERAL is SQL surface.
+    Q("q32_lateral_topn",
+      """SELECT r.r_name, t.n_name, t.n_cust
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, count(c.c_custkey) AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n.n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin) { (s, d) =>
+      region(s, d).createOrReplaceTempView("graft_region_v")
+      nation(s, d).createOrReplaceTempView("graft_nation_v")
+      customer(s, d).createOrReplaceTempView("graft_customer_lv")
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.n_cust
+          |FROM graft_region_v r,
+          |LATERAL (
+          |  SELECT n.n_name, count(c.c_custkey) AS n_cust
+          |  FROM graft_nation_v n JOIN graft_customer_lv c
+          |    ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name
+          |  ORDER BY n_cust DESC, n.n_name
+          |  LIMIT 2
+          |) t
+          |ORDER BY r.r_name, t.n_cust DESC, t.n_name""".stripMargin)
+    },
+
     // event-TIME range frame (RANGE BETWEEN INTERVAL ... PRECEDING): the
     // trailing-window-by-time aggregate — "events in the last hour" per
     // row — which a ROWS frame cannot express over irregular event times.
