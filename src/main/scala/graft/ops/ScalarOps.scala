@@ -203,6 +203,39 @@ object ScalarOps {
           (col("p95_approx") >= col("p50_approx")).as("p95_above_p50"))
     },
 
+    // try_* safe arithmetic under ANSI mode: the sessions run ANSI-on
+    // (div-by-zero and overflow THROW), so pipelines over dirty data need
+    // the try_ family to degrade to NULL instead of failing the job. The
+    // oracle expresses the same semantics with guard CASEs — which is
+    // also what a pre-ANSI engine would write by hand.
+    Q("f_try_funcs",
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(value / (event_id % 7) AS DOUBLE) END AS safe_div,
+        |  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+        |                ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL
+        |       ELSE event_id * 1000000 END AS scaled,
+        |  CASE WHEN 9223372036854775807 - event_id < 9223372036854775800 THEN NULL
+        |       ELSE event_id END AS overflow_add
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).where(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr("try_divide(value, event_id % 7)").cast("double").as("safe_div"),
+          expr("""try_cast(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                 |              ELSE CAST(event_id AS STRING) END AS BIGINT)""".stripMargin)
+            .as("parsed"),
+          expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE try_multiply(event_id, 1000000L) END")
+            .as("scaled"),
+          expr("try_add(event_id, 9223372036854775800L)")
+            .as("overflow_probe"))
+        .withColumn("overflow_add",
+          when(col("overflow_probe").isNull, lit(null).cast("long"))
+            .otherwise(col("event_id")))
+        .drop("overflow_probe")
+        .orderBy(col("event_id"))
+    },
+
     // statistical aggregates (variance/stddev/correlation), computed the
     // cross-engine-deterministic way: exact DECIMAL sums of x, x², y, xy
     // (map-side partials, associative merge), then ONE closed-form IEEE
