@@ -227,12 +227,9 @@ object ScalarOps {
             .as("parsed"),
           expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE try_multiply(event_id, 1000000L) END")
             .as("scaled"),
-          expr("try_add(event_id, 9223372036854775800L)")
-            .as("overflow_probe"))
-        .withColumn("overflow_add",
-          when(col("overflow_probe").isNull, lit(null).cast("long"))
-            .otherwise(col("event_id")))
-        .drop("overflow_probe")
+          when(try_add(col("event_id"), lit(9223372036854775800L)).isNull,
+            lit(null).cast("long")).otherwise(col("event_id"))
+            .as("overflow_add"))
         .orderBy(col("event_id"))
     },
 
@@ -258,10 +255,10 @@ object ScalarOps {
         |    corr(l_quantity, l_extendedprice) AS builtin_corr
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round(sx / n, 10) AS mean_qty,
-        |  round((sxx - sx * sx / n) / (n - 1), 10) AS var_qty,
-        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS sd_qty,
-        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 10) AS corr_qty_price,
+        |  round(sx / n, 6) AS mean_qty,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
+        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
         |  abs(builtin_sd - sqrt((sxx - sx * sx / n) / (n - 1))) < 1e-6 AS builtin_sd_ok,
         |  abs(builtin_corr - (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) < 1e-6 AS builtin_corr_ok
         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -280,16 +277,19 @@ object ScalarOps {
       val corrQ = (col("n") * col("sxy") - col("sx") * col("sy")) /
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
              (col("n") * col("syy") - col("sy") * col("sy")))
-      // round(…,10): the sums are exact, but the one closed-form IEEE
+      // round(…,6): the sums are exact, but the one closed-form IEEE
       // expression per statistic can still land one ulp apart across
       // engines (multiply/divide chains are correctly rounded per OP, not
-      // end to end) — 10 decimals is far beyond statistical meaning and
-      // absorbs it
+      // end to end). The rounding itself is also a divergence channel —
+      // Spark rounds through BigDecimal.setScale while DuckDB computes
+      // round(x*10^d)/10^d, and at d=10 those straddle a half-boundary
+      // for ~1e-4 of doubles at these magnitudes; d=6 shrinks that by
+      // ~10^4 and still far exceeds statistical meaning
       base.select(col("l_returnflag"), col("n"),
-          round(col("sx") / col("n"), 10).as("mean_qty"),
-          round(varQty, 10).as("var_qty"),
-          round(sqrt(varQty), 10).as("sd_qty"),
-          round(corrQ, 10).as("corr_qty_price"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round(varQty, 6).as("var_qty"),
+          round(sqrt(varQty), 6).as("sd_qty"),
+          round(corrQ, 6).as("corr_qty_price"),
           (abs(col("builtin_sd") - sqrt(varQty)) < 1e-6).as("builtin_sd_ok"),
           (abs(col("builtin_corr") - corrQ) < 1e-6).as("builtin_corr_ok"))
         .orderBy(col("l_returnflag"))
