@@ -59,17 +59,25 @@ object DedupOps {
     * fixtures' jac ≥ 0.87 — margin for the oracle equality the verified
     * query claims; DedupSpec's equality test surfaces any fixture change
     * that breaks it before the gate does. */
-  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  /** @param bucketCap optional degenerate-bucket guard
+    *   ([[graft.operators.InvertedIndex.capBuckets]]): buckets wider than
+    *   the cap are dropped before the self-join, bounding candidate work
+    *   at cap² per bucket. None (the contract-query setting) keeps exact
+    *   candidate semantics. */
+  private[graft] def minhashCandidates(s: SparkSession, d: String,
+      bucketCap: Option[Long] = None): DataFrame = {
     val nHash = 64; val bands = 16; val rows = nHash / bands
     val withSig = Tables.fan(s, documents(s, d))
       .select(col("doc_id"),
         graft.functions.VectorOps.minhash_shingled(
           expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
-    val banded = withSig.select(col("doc_id"), col("sig"),
+    val banded0 = withSig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64(concat_ws(",",
           (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*))): _*))
         .as(Seq("band", "bucket")))
+    val banded = bucketCap.fold(banded0)(c =>
+      graft.operators.InvertedIndex.capBuckets(banded0, Seq("band", "bucket"), c))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&

@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
       "minhash candidates + exact verify must equal the exact pair set")
   }
 
+  test("bucket cap drops only degenerate buckets and reports them") {
+    import graft.operators.InvertedIndex
+    import spark.implicits._
+    // one hot bucket (the all-empty-docs signature collision) + normal ones
+    val rows = (1L to 100L).map(i => (i, 0L, 7L)) ++
+      Seq((200L, 1L, 8L), (201L, 1L, 8L), (202L, 2L, 9L))
+    val df = rows.toDF("doc_id", "band", "bucket")
+    val capped = InvertedIndex.capBuckets(df, Seq("band", "bucket"), cap = 10)
+    assert(capped.count() == 3, "hot bucket must be dropped, normal ones kept")
+    assert(capped.where("band = 0").count() == 0)
+    val audit = InvertedIndex.oversizedBuckets(df, Seq("band", "bucket"), 10)
+      .collect()
+    assert(audit.length == 1 && audit.head.getAs[Long]("bucket_n") == 100)
+  }
+
+  test("minhash bucket cap yields a subset of the uncapped candidates") {
+    val uncapped = toPairs(DedupOps.minhashCandidates(spark, sf))
+    val generous = toPairs(DedupOps.minhashCandidates(spark, sf,
+      bucketCap = Some(1000000L)))
+    assert(generous == uncapped, "a cap above every bucket width is a no-op")
+    val tight = toPairs(DedupOps.minhashCandidates(spark, sf,
+      bucketCap = Some(2L)))
+    assert(tight.subsetOf(uncapped),
+      "capping can only remove candidates, never invent them")
+  }
+
   test("fixture guard: planted near-dup pairs sit above the LSH miss zone") {
     // dedup_minhash_lsh's oracle is the FULL exact-Jaccard(≥0.5) pair set,
     // while the op verifies only LSH candidates — oracle equality therefore
