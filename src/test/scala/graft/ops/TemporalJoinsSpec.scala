@@ -38,6 +38,57 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(4L) === None, "left row before all right rows")
   }
 
+  test("asof equals the brute-force definition on randomized data") {
+    import spark.implicits._
+    // seeded random corpus: many keys, duplicated timestamps, keys present
+    // on only one side — the shapes the crafted-row test can't enumerate
+    val rnd = new scala.util.Random(42)
+    def randTs() = new Timestamp(1704067200000L + rnd.nextInt(500) * 1000L)
+    val left = (1L to 400L).map(i =>
+      (i, rnd.nextInt(12).toLong, randTs())).toSeq
+    val right = (1000L to 1300L).map(i =>
+      (i, rnd.nextInt(15).toLong, randTs())).toSeq
+    val lDf = left.toDF("event_id", "user_id", "ts")
+    val rDf = right.toDF("click_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("click_id").as("event_id"),
+              col("click_id"))
+    val got = TemporalJoins.asof(lDf, rDf, Seq("user_id"), "ts",
+        Seq("click_id"), tiebreak = "event_id")
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+
+    // brute force: latest right (ts, id)-max with same key and ts <= left ts
+    val byKey = right.groupBy(_._2)
+    left.foreach { case (eid, uid, lts) =>
+      val expected = byKey.getOrElse(uid, Seq.empty)
+        .filter(_._3.getTime <= lts.getTime)
+        .sortBy(r => (r._3.getTime, r._1))
+        .lastOption.map(_._1)
+      assert(got(eid) === expected,
+        s"event $eid user $uid ts $lts: got ${got(eid)}, expected $expected")
+    }
+  }
+
+  test("rangeForward equals the brute-force definition on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def randTs() = new Timestamp(1704067200000L + rnd.nextInt(300) * 500L)
+    val left = (1L to 200L).map(i => (i, randTs())).toSeq
+    val right = (1000L to 1250L).map(i => (i, randTs())).toSeq
+    val widthUs = 30L * 1000000L
+    val got = TemporalJoins.rangeForward(
+        left.toDF("lid", "lts"), right.toDF("rid", "rts"),
+        "lts", "rts", widthUs)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (lid, lts) <- left
+      (rid, rts) <- right
+      if rts.getTime >= lts.getTime && rts.getTime < lts.getTime + widthUs / 1000
+    } yield (lid, rid)).toSet
+    assert(got === expected,
+      s"symmetric diff: ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("rangeForward: closed-open [ts, ts+width) across bucket boundaries") {
     import spark.implicits._
     // width 10s; left at :07 probes buckets 0,1; matches :07 (inclusive),
