@@ -10,11 +10,23 @@ import graft.config.ArchiverConfig
   * print reconciliation and wall-clock.
   *
   * Usage: runMain graft.Main <conf.json> <sourceDir> <targetDir>
+  *          [--incremental | --incremental-time]
+  *
+  * `--incremental` / `--incremental-time` run the high-watermark delta
+  * sync (key- or time-flavored) instead of the full archive: resume from
+  * max(split key) already in the target, load only newer rows, reconcile
+  * over the full predicate. The scheduled-delta deployment mode.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val Array(confPath, sourceDir, targetDir) = args.take(3)
+    val mode = args.drop(3).headOption match {
+      case None                       => "full"
+      case Some("--incremental")      => "incremental"
+      case Some("--incremental-time") => "incremental-time"
+      case Some(other) => sys.error(s"unknown flag: $other")
+    }
     val cfg = ArchiverConfig.fromJson(
         java.nio.file.Files.readString(java.nio.file.Paths.get(confPath)))
       .fold(e => sys.error(s"config: $e"), identity)
@@ -32,7 +44,7 @@ object Main {
     }
 
     val correct =
-      try run(spark, cfg, sourceDir, targetDir, t0)
+      try run(spark, cfg, sourceDir, targetDir, t0, mode)
       finally spark.stop()
     if (!correct) sys.exit(2)
   }
@@ -41,13 +53,18 @@ object Main {
     * returns whether reconciliation passed. */
   def run(spark: SparkSession, cfg: ArchiverConfig,
       sourceDir: String, targetDir: String,
-      t0: Long = System.nanoTime()): Boolean = {
+      t0: Long = System.nanoTime(), mode: String = "full"): Boolean = {
     // sink schema = source table schema (pre-existing warehouse table)
     val sinkSchema = spark.read
       .parquet(s"$sourceDir/${cfg.sourceTable}.parquet").schema
     val archiver = Archiver.parquet(spark, cfg, sourceDir, targetDir,
       staging(targetDir), sinkSchema)
-    val report = archiver.run()
+    val report = mode match {
+      case "full"             => archiver.run()
+      case "incremental"      => archiver.runIncremental()
+      case "incremental-time" => archiver.runIncrementalTime()
+      case other              => sys.error(s"unknown mode: $other")
+    }
     report.tables.foreach(t =>
       println(s"[archive] ${t.db}.${t.table}: ${t.rowsLoaded} rows"))
     val rc = report.reconciliation
