@@ -146,7 +146,12 @@ object StreamingOps {
         .createTempDirectory("graft-stream-archive").toString
       streamDirs.put(root, root) // shutdown-hook cleanup
       val tgt = s"$root/target"
-      val loader = new graft.sink.StagedLoader(s, tgt, schema)
+      // uncompressed staging: this query times the COMMIT PROTOCOL, and
+      // gzip of a 200k-row NDJSON hop is pure codec CPU on a local disk
+      // that the protocol doesn't need (the compressed flavor is covered
+      // by the batch staging tests)
+      val loader = new graft.sink.StagedLoader(s, tgt, schema,
+        compression = "none")
       val q = StreamingArchiver.archiveStream(eventStream(s, d), loader,
         s"$root/staging", s"$root/checkpoint")
       try q.processAllAvailable() finally q.stop()
