@@ -175,4 +175,35 @@ class PlanSpec extends SparkSpec {
     val p = planOf("text_char_entropy")
     assert(!p.contains("Join"), "entropy must not join doc totals back:\n" + p)
   }
+
+  test("corpus_mix_sample: the mix is a projection — no join, partial agg first") {
+    val p = planOf("corpus_mix_sample")
+    assert(!p.contains("Join"), "mix decision must not join rates back:\n" + p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "audit aggregate must combine map-side:\n" + p)
+  }
+
+  test("q31_interval_range_frame: one window pass, filters stay off the scan path") {
+    val p = planOf("q31_interval_range_frame")
+    val windows = """Window\s+\(\d+\)""".r.findAllIn(p).size
+    assert(windows == 1, s"expected one window, got $windows:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q32_lateral_topn: decorrelated to joins, never a per-row nested loop") {
+    val p = planOf("q32_lateral_topn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), "lateral must decorrelate into a join:\n" + p)
+  }
+
+  test("f_stats_funcs: one aggregate pass computes every moment sum") {
+    val p = planOf("f_stats_funcs")
+    // six decimal sums + two built-ins must ride ONE grouped aggregate
+    // (partial + final), not one scan per statistic
+    // tree lines read "Scan parquet  (N)"; the details section repeats the
+    // operator as "(N) Scan parquet" — count tree nodes only
+    val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single lineitem scan, got $scans:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
 }
