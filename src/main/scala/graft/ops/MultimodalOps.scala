@@ -107,6 +107,46 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Paired-dataset curation (the CLIP-style assembly step): join text
+    // docs to their image embeddings by id, gate each pair on BOTH
+    // modalities' quality signals (caption length, embedding norm inside
+    // a sane band), and report per-label pair counts + checksums. At
+    // scale this is one equi-join co-partitioned on the id (both sides
+    // hash-shuffle once; with id-bucketed storage, zero exchanges) and
+    // the gates are scan-level filters on each side BEFORE the join.
+    Q("mm_paired_curation",
+      """WITH txt AS (
+        |  SELECT doc_id, length(text) AS n_chars FROM documents
+        |  WHERE length(text) BETWEEN 100 AND 20000),
+        |img AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT t.doc_id, i.label, t.n_chars
+        |  FROM txt t JOIN img i ON t.doc_id = i.vec_id
+        |  WHERE i.nrm BETWEEN 0.5 AND 10)
+        |SELECT label, count(*) AS n_pairs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM pairs GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.dot_d
+      val txt = documents(s, d)
+        .where(length(col("text")).between(100, 20000))
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+      val v = expr("transform(embedding, x -> cast(x as double))")
+      val img = Tables.fan(s, embeddings(s, d))
+        .select(col("vec_id"), col("label"), sqrt(dot_d(v, v)).as("nrm"))
+        .where(col("nrm").between(0.5, 10))
+      txt.join(img, col("doc_id") === col("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("doc_id")).cast("long").as("id_sum"),
+             sum(col("n_chars")).cast("long").as("char_sum"))
+        .orderBy(col("label"))
+    },
+
     // Audio/video time alignment — the multimodal join every A/V training
     // pipeline needs: each sampled video frame is matched to the audio
     // window in effect at its timestamp. Runs through the REUSABLE as-of
