@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Single-pass per-document word-repetition statistics.
+  *
+  * Replaces the explode → groupBy(doc, word) → groupBy(doc) plan for the
+  * Gopher-style repetition signals (reference has no text ops; this is the
+  * pipeline-extension family): that plan shuffles one row PER WORD of the
+  * corpus — at 100 TB that is the single largest shuffle in the whole
+  * pipeline, easily 10× the corpus row count. This expression computes the
+  * same four statistics in one pass over the token array at the scan, so
+  * the query needs NO shuffle at all: per-doc quality signals are a pure
+  * projection, exactly as embarrassingly parallel as the corpus itself.
+  *
+  * Output struct (all longs):
+  *   topc       — occurrences of the most frequent word
+  *   total      — total word count (= array length)
+  *   n_distinct — distinct word count
+  *   n_bg       — distinct space-joined bigram count, with the SAME
+  *                degenerate-input convention as [[VectorOps.WordNGrams]]
+  *                (a 1-word doc yields 1 "bigram" = the word itself), so
+  *                results are bit-identical to size(word_ngrams(w, 2)).
+  */
+object TextStats {
+
+  private val structType = StructType(Seq(
+    StructField("topc", LongType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_bg", LongType, nullable = false)))
+
+  def wordRepStatsKernel(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    // word counts
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    i = 0
+    var topc = 0
+    while (i < n) {
+      val prev = counts.get(toks(i))
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(toks(i), c)
+      if (c > topc) topc = c
+      i += 1
+    }
+    // distinct bigrams — same enumeration as WordNGrams(gram = 2)
+    val grams = math.max(n - 1, if (n > 0) 1 else 0)
+    val seen = new java.util.HashSet[String](grams * 2)
+    var g = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (g < grams) {
+      sb.setLength(0)
+      sb.append(toks(g))
+      if (g + 1 < n) { sb.append(' '); sb.append(toks(g + 1)) }
+      seen.add(sb.toString)
+      g += 1
+    }
+    new GenericInternalRow(Array[Any](
+      topc.toLong, n.toLong, counts.size.toLong, seen.size.toLong))
+  }
+
+  /** struct(topc, total, n_distinct, n_bg) over an array<string> of words. */
+  case class WordRepStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = structType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"word_rep_stats requires array<string>, got $other")
+    }
+    override def nullSafeEval(input: Any): Any =
+      wordRepStatsKernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextStats.wordRepStatsKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): WordRepStats =
+      copy(child = newChild)
+    override def prettyName: String = "word_rep_stats"
+  }
+
+  def word_rep_stats(tokens: Column): Column =
+    ColumnShim.column(WordRepStats(ColumnShim.expression(tokens)))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.SplitMix64.splitmix64
 import graft.functions.VectorOps.word_ngrams
+import graft.functions.TextStats.word_rep_stats
 
 /** Training-data pipeline operators beyond the dedup/ANN/text families:
   * PII redaction, repetition-based quality filtering (the Gopher rules),
@@ -88,16 +89,18 @@ object PipelineOps {
         |  CASE WHEN bg.nw < 2 THEN 0.0 ELSE 1.0 - bg.n_bg / (bg.nw - 1) END AS dup_bigram_frac
         |FROM ws JOIN bg ON ws.doc_id = bg.doc_id
         |ORDER BY ws.doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      // Zero-shuffle plan: word_rep_stats computes all four per-doc counts in
+      // one native pass at the scan (vs. the naive explode → two-level groupBy,
+      // which shuffles one row PER WORD of the corpus — the worst shuffle in
+      // the pipeline at 100 TB). Empty docs are dropped to match the oracle's
+      // unnest semantics (no words → no rows → absent from the join).
       Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
-          expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-        .select(col("doc_id"), size(col("w")).as("nw"),
-          size(word_ngrams(col("w"), 2)).as("n_bg"), explode(col("w")).as("wd"))
-        .groupBy(col("doc_id"), col("nw"), col("n_bg"), col("wd"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("nw"), col("n_bg"))
-        .agg(max(col("c")).as("topc"), sum(col("c")).as("total"),
-             count(lit(1)).as("n_distinct"))
+          word_rep_stats(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("st"))
+        .select(col("doc_id"), col("st.total").as("nw"), col("st.n_bg").as("n_bg"),
+          col("st.topc").as("topc"), col("st.total").as("total"),
+          col("st.n_distinct").as("n_distinct"))
+        .where(col("total") > 0)
         .select(col("doc_id"), col("total").as("n_words"),
           (col("topc") / col("total")).as("top_word_frac"),
           (col("n_distinct") / col("total")).as("distinct_frac"),
@@ -283,6 +286,82 @@ object PipelineOps {
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
         .orderBy(col("source"), col("bin"))
+    },
+
+    // Deterministic global corpus shuffle — the "shuffle the training data"
+    // op. Order = splitmix64(doc_id): reproducible across runs/engines/
+    // cluster sizes, uncorrelated with ingestion order, and executed as a
+    // range-partitioned total sort over uniformly-distributed keys (no
+    // skew by construction) — the only scalable way to permute 100 TB.
+    // The position index is the row's global offset in the shuffled order.
+    Q("global_shuffle",
+      s"""WITH s0 AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents),
+         |${smixCtes("g", "s0", "doc_id, source")},
+         |o AS (SELECT doc_id, source, CAST(z % 9223372036854775808 AS BIGINT) AS shuffle_key FROM g6)
+         |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+         |  doc_id, source, shuffle_key
+         |FROM o ORDER BY pos LIMIT 500""".stripMargin) { (s, d) =>
+      val key = splitmix64(col("doc_id")).bitwiseAND(lit(Long.MaxValue))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), key.as("shuffle_key"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("shuffle_key"), col("doc_id"))))
+        .select(col("pos").cast("long").as("pos"),
+          col("doc_id"), col("source"), col("shuffle_key"))
+        .orderBy(col("pos")).limit(500)
+    },
+
+    // Benchmark decontamination: flag training documents that share any
+    // 8-gram with the held-out eval set (here: doc_id ≡ 7 mod 10 — the
+    // stand-in for an external benchmark suite). The eval side of the join
+    // is tiny by construction (benchmarks are MBs, corpora are TBs), so
+    // the plan is explode-train-grams → BROADCAST semi-join against the
+    // distinct eval grams → distinct contaminated doc ids: one pass over
+    // the corpus, no corpus-sized shuffle on the gram key.
+    // Degenerate docs (<8 words) contribute their whole text as one gram,
+    // mirroring word_ngrams' convention in both engines.
+    Q("decontam_ngram_overlap",
+      """WITH w AS (
+        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS wa FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(wa) = 0 THEN []
+        |         WHEN len(wa) < 8 THEN [array_to_string(wa, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(wa) - 6),
+        |                u -> array_to_string(wa[CAST(u AS INT):CAST(u+7 AS INT)], ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id, g.source
+        |  FROM g JOIN eg ON g.gram = eg.gram
+        |  WHERE g.doc_id % 10 <> 7),
+        |train AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT t.source, count(*) AS n_train,
+        |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(sum(c.doc_id), 0) AS BIGINT) AS contam_id_sum
+        |FROM train t LEFT JOIN contam c
+        |  ON t.doc_id = c.doc_id AND t.source = c.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      val grams = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), col("source"),
+          explode(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 8)).as("gram"))
+      val evalGrams = grams.where(col("doc_id") % 10 === 7)
+        .select(col("gram")).distinct()
+      val contam = grams.where(col("doc_id") % 10 =!= 7)
+        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("source")).distinct()
+        .withColumn("is_contam", lit(1))
+      documents(s, d).where(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source"))
+        .join(contam, Seq("doc_id", "source"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          count(col("is_contam")).as("n_contaminated"),
+          coalesce(sum(when(col("is_contam") === 1, col("doc_id"))), lit(0L))
+            .as("contam_id_sum"))
+        .orderBy(col("source"))
     },
   )
 }

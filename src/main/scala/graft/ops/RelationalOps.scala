@@ -721,5 +721,46 @@ object RelationalOps {
             |   WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders_v
             |                           WHERE o_custkey IS NOT NULL AND o_custkey <> 7)) AS not_in_scrubbed""".stripMargin)
     },
+
+    // Recursive CTE (iterative fixpoint): walk each customer's order chain
+    // link-by-link from their first order, counting chain positions — the
+    // linked-list traversal shape every hierarchy/BOM/graph-reachability
+    // query reduces to. Spark 4 plans WITH RECURSIVE as a UnionLoop
+    // (anchor + repeated self-join until the frontier empties); each
+    // iteration is one equi-join on (custkey, orderkey), so at scale the
+    // cost is depth × one shuffled join, never a cross product. Depth here
+    // is max-orders-per-customer (≤25 at sf0.1, bound 100 by
+    // spark.sql.cteRecursionLevelLimit). Authored as SQL text on both
+    // engines — the semantics under test ARE the SQL semantics.
+    Q("q33_recursive_cte",
+      """WITH RECURSIVE
+        |firsts AS (SELECT o_custkey AS k, min(o_orderkey) AS okey FROM orders GROUP BY o_custkey),
+        |edges AS (SELECT o_custkey AS k, o_orderkey AS src,
+        |            lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+        |          FROM orders),
+        |walk AS (
+        |  SELECT k, okey, 1 AS depth FROM firsts
+        |  UNION ALL
+        |  SELECT e.k, e.dst AS okey, w.depth + 1 AS depth
+        |  FROM walk w JOIN edges e ON e.k = w.k AND e.src = w.okey
+        |  WHERE e.dst IS NOT NULL)
+        |SELECT depth, count(*) AS n, CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """WITH RECURSIVE
+          |firsts AS (SELECT o_custkey AS k, min(o_orderkey) AS okey FROM graft_orders_v GROUP BY o_custkey),
+          |edges AS (SELECT o_custkey AS k, o_orderkey AS src,
+          |            lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+          |          FROM graft_orders_v),
+          |walk AS (
+          |  SELECT k, okey, 1 AS depth FROM firsts
+          |  UNION ALL
+          |  SELECT e.k, e.dst AS okey, w.depth + 1 AS depth
+          |  FROM walk w JOIN edges e ON e.k = w.k AND e.src = w.okey
+          |  WHERE e.dst IS NOT NULL)
+          |SELECT depth, count(*) AS n, CAST(sum(okey) AS BIGINT) AS key_sum
+          |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+    },
   )
 }

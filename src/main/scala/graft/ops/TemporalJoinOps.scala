@@ -82,5 +82,72 @@ object TemporalJoinOps {
         .agg(count(lit(1)).as("n_following"))
         .orderBy(col("purchase_id"))
     },
+
+    // Time-series resampling with linear interpolation: each user's
+    // irregular event values sampled onto a 6-hour grid (grid points are
+    // epoch-aligned multiples inside the user's observed span), value at
+    // each grid point interpolated between the nearest points at-or-before
+    // and at-or-after. The Spark plan is the scalable shape: generate the
+    // grid with sequence+explode (no driver loop), then TWO as-of passes
+    // through the same union+window operator (backward for (t0,v0);
+    // forward = backward over negated time) — each is one shuffle on
+    // user_id, never a per-grid-point subquery or an inequality join.
+    // Duplicate timestamps collapse via max_by(value, event_id) first, so
+    // both neighbors are uniquely defined. The interpolation expression
+    // has the same shape in both engines → bit-identical doubles.
+    Q("q34_resample_interpolate",
+      """WITH pts AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |b AS (SELECT user_id, min(t) AS mn, max(t) AS mx FROM pts GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(range((mn + 21599999999) // 21600000000 * 21600000000,
+        |                               mx + 1, 21600000000)) AS g
+        |  FROM b),
+        |lo AS (SELECT g.user_id, g.g, max(p.t) AS t0
+        |       FROM grid g JOIN pts p ON p.user_id = g.user_id AND p.t <= g.g
+        |       GROUP BY g.user_id, g.g),
+        |hi AS (SELECT g.user_id, g.g, min(p.t) AS t1
+        |       FROM grid g JOIN pts p ON p.user_id = g.user_id AND p.t >= g.g
+        |       GROUP BY g.user_id, g.g),
+        |j AS (SELECT l.user_id, l.g, l.t0, h.t1, p0.v AS v0, p1.v AS v1
+        |      FROM lo l JOIN hi h ON l.user_id = h.user_id AND l.g = h.g
+        |      JOIN pts p0 ON p0.user_id = l.user_id AND p0.t = l.t0
+        |      JOIN pts p1 ON p1.user_id = l.user_id AND p1.t = h.t1)
+        |SELECT user_id, g AS g_us,
+        |  CASE WHEN t1 = t0 THEN v0
+        |       ELSE v0 + (v1 - v0) * ((g - t0) / (t1 - t0)) END AS v_interp
+        |FROM j ORDER BY user_id, g_us""".stripMargin) { (s, d) =>
+      import graft.operators.TemporalJoins.asof
+      val step = 21600000000L
+      val pts = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val grid = pts.groupBy(col("user_id"))
+        .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .withColumn("start", expr(s"(mn + ${step - 1}) div $step * $step"))
+        .where(col("start") <= col("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("start"), col("mx"), lit(step))).as("t"))
+      val back = asof(grid,
+        pts.select(col("user_id"), col("t"), col("t").as("t0"), col("v").as("v0")),
+        keys = Seq("user_id"), tsCol = "t",
+        valueCols = Seq("t0", "v0"), tiebreak = "t")
+      val fwd = asof(
+        back.withColumn("g", col("t")).withColumn("t", -col("t")),
+        pts.select(col("user_id"), (-col("t")).as("t"),
+                   col("t").as("t1"), col("v").as("v1")),
+        keys = Seq("user_id"), tsCol = "t",
+        valueCols = Seq("t1", "v1"), tiebreak = "t")
+      fwd.select(col("user_id"), col("g").as("g_us"),
+          when(col("asof_t1") === col("asof_t0"), col("asof_v0"))
+            .otherwise(col("asof_v0") + (col("asof_v1") - col("asof_v0")) *
+              ((col("g") - col("asof_t0")) / (col("asof_t1") - col("asof_t0"))))
+            .as("v_interp"))
+        .orderBy(col("user_id"), col("g_us"))
+    },
   )
 }
