@@ -360,5 +360,98 @@ object DedupOps {
         .where(col("cos") >= 0.4)
         .orderBy(col("v1"), col("v2"))
     },
+
+    // Semantic dedup (SemDeDup-style): assign every embedding to its
+    // nearest centroid (here: the vectors with vec_id < 8 stand in for
+    // offline k-means centroids — at scale those are trained once and
+    // BROADCAST, so assignment is a pure map over the corpus), then find
+    // near-duplicates ONLY within a cell via an equi-join on the cell id.
+    // That turns the quadratic all-pairs cosine scan into per-cell work —
+    // the standard way semantic dedup reaches billions of vectors. A
+    // vector is a dup if a lower-id vector in its cell has cosine ≥ 0.4;
+    // argmax tiebreaks by lower centroid id, mirrored exactly in both
+    // engines.
+    Q("dedup_semantic",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+        |sc AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2]),
+        |                (p, q) -> p + q) / (e.nrm * c.cnrm) AS cos
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM sc) t WHERE rn = 1),
+        |pr AS (SELECT DISTINCT a.vec_id FROM asg a
+        |  JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]),
+        |                    (p, q) -> p + q) / (ea.nrm * eb.nrm) >= 0.4)
+        |SELECT asg.cid AS cluster_id, count(*) AS n_vecs,
+        |  CAST(count(pr.vec_id) AS BIGINT) AS n_dups,
+        |  CAST(coalesce(sum(pr.vec_id), 0) AS BIGINT) AS dup_id_sum
+        |FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+        |GROUP BY asg.cid ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps.dot_d
+      val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      // nearest centroid: map-side argmax over the broadcast centroid set —
+      // the K candidate rows per vector collapse in partial aggregation, so
+      // the shuffle carries one row per vector, not K
+      val asg = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (dot_d(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
+                    struct(col("cos"), (-col("cid")).as("neg"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cell"),
+                col("best.v").as("v"), col("best.nrm").as("nrm"))
+      val a = asg.as("a"); val b = asg.as("b")
+      val dups = a.join(b,
+          col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+        .where(dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= 0.4)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      asg.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left_outer")
+        .groupBy(col("cell").as("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(col("is_dup")).as("n_dups"),
+          coalesce(sum(when(col("is_dup") === 1, col("vec_id"))), lit(0L))
+            .as("dup_id_sum"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // Edit-distance near-dup with prefix blocking: candidate pairs come
+    // from an equi-join on the 16-char document head (the fixtures' near-
+    // dups share their head; edits appear later), then exact levenshtein
+    // over the full text filters to real dups. Blocking keeps candidate
+    // work ∝ Σ bucket² instead of all-pairs, and the expensive O(len²)
+    // edit distance runs only on colliding candidates — the classic
+    // blocking-then-verify shape every record-linkage pipeline uses.
+    Q("dedup_levenshtein",
+      """WITH d AS (SELECT doc_id, substr(text, 1, 16) AS h, text FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 16
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val docs = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("h"), col("text"))
+      val a = docs.as("a"); val b = docs.as("b")
+      a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"))
+        .where(col("lev") <= 16)
+        .orderBy(col("d1"), col("d2"))
+    },
   )
 }

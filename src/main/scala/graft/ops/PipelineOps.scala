@@ -301,15 +301,22 @@ object PipelineOps {
          |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
          |  doc_id, source, shuffle_key
          |FROM o ORDER BY pos LIMIT 500""".stripMargin) { (s, d) =>
+      // top-k FIRST (TakeOrderedAndProject — per-partition heads merged on
+      // the driver), THEN number the bounded result: a row_number over an
+      // unpartitioned window would funnel the whole corpus through one
+      // partition. The full-permutation write path at scale is the same
+      // sort as a range-partitioned write (positions implicit in file
+      // order); the contract query surfaces its verifiable prefix.
       val key = splitmix64(col("doc_id")).bitwiseAND(lit(Long.MaxValue))
       documents(s, d)
         .select(col("doc_id"), col("source"), key.as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id")).limit(500)
         .withColumn("pos", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("shuffle_key"), col("doc_id"))))
         .select(col("pos").cast("long").as("pos"),
           col("doc_id"), col("source"), col("shuffle_key"))
-        .orderBy(col("pos")).limit(500)
+        .orderBy(col("pos"))
     },
 
     // Benchmark decontamination: flag training documents that share any

@@ -100,4 +100,38 @@ class DedupSpec extends SparkSpec {
         "0.5 threshold for LSH-candidate recall to stay exactly 1.0; " +
         "regenerate fixtures with planted pairs at jac ≥ 0.85 or widen bands")
   }
+
+  test("dedup_semantic: cells partition the corpus; dups bounded by cell size") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.embeddings(spark, sf).count(),
+      "every vector must be assigned to exactly one cell")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_vecs"); val d = r.getAs[Long]("n_dups")
+      assert(d >= 0 && d < n || (n == 0 && d == 0),
+        s"cell ${r.getAs[Long]("cluster_id")}: $d dups of $n vectors — " +
+          "the lowest-id vector of a cell can never be a dup")
+    }
+  }
+
+  test("dedup_levenshtein: blocked pairs are a subset of true edit-distance dups") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dedup_levenshtein")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"), "canonical pair order")
+      assert(r.getAs[Long]("lev") <= 16, "threshold respected")
+    }
+    // every reported pair really is within the edit-distance threshold,
+    // recomputed directly from the fixture texts
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(10).foreach { r =>
+      val (a, b) = (docs(r.getAs[Long]("d1")), docs(r.getAs[Long]("d2")))
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b)
+      assert(lev.intValue() == r.getAs[Long]("lev").toInt,
+        s"levenshtein mismatch for pair ${r.getAs[Long]("d1")},${r.getAs[Long]("d2")}")
+    }
+  }
 }

@@ -59,6 +59,58 @@ class PipelineSpec extends SparkSpec {
     assert(red == "write <EMAIL> from <IP> now", red)
   }
 
+  test("word_rep_stats kernel matches a brute-force recount") {
+    import graft.functions.TextStats
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "the", "of")
+    (0 until 200).foreach { _ =>
+      val n = rng.nextInt(12) // includes 0 and 1-word docs
+      val toks = Vector.fill(n)(vocab(rng.nextInt(vocab.length)))
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val row = TextStats.wordRepStatsKernel(arr)
+      val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val bigrams =
+        if (n == 0) Set.empty[String]
+        else if (n == 1) Set(toks.head)
+        else toks.sliding(2).map(_.mkString(" ")).toSet
+      assert(row.getLong(0) == (if (n == 0) 0 else counts.values.max), s"topc for $toks")
+      assert(row.getLong(1) == n.toLong, "total")
+      assert(row.getLong(2) == counts.size.toLong, "n_distinct")
+      assert(row.getLong(3) == bigrams.size.toLong, s"n_bg for $toks")
+    }
+  }
+
+  test("global_shuffle is a deterministic permutation uncorrelated with id order") {
+    val out = SparkEntry.queries("global_shuffle")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("pos")).toSeq == (1L to out.length).toSeq,
+      "positions must be a contiguous 1-based prefix")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length,
+      "each document appears once")
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids != ids.sorted, "shuffled order must not be id order")
+    val again = SparkEntry.queries("global_shuffle")(spark, sf).collect()
+    assert(out.toSeq == again.toSeq, "shuffle must be run-stable")
+  }
+
+  test("decontamination never flags eval docs and bounds contamination by the train set") {
+    val out = SparkEntry.queries("decontam_ngram_overlap")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val train = r.getAs[Long]("n_train")
+      val contam = r.getAs[Long]("n_contaminated")
+      assert(contam >= 0 && contam <= train,
+        s"contaminated $contam must be within the train set $train")
+    }
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val trainTotal = docs.where(col("doc_id") % 10 =!= 7).count()
+    assert(out.map(_.getAs[Long]("n_train")).sum == trainTotal,
+      "per-source train counts must partition the train set")
+  }
+
   test("repetition fractions are well-formed quality signals") {
     val out = SparkEntry.queries("text_repetition")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -206,4 +206,68 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected a single lineitem scan, got $scans:\n" + p)
     assert(!p.contains("Join"), p)
   }
+
+  test("text_repetition (zero-shuffle): stats are a projection — no aggregate, no join") {
+    val p = planOf("text_repetition")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"),
+      "per-doc stats must be a native-expression projection, not a groupBy:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "ordered LIMIT must be a top-k, not a global sort:\n" + p)
+  }
+
+  test("decontam_ngram_overlap: eval grams broadcast into a semi join") {
+    val p = planOf("decontam_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "the tiny eval-gram side must broadcast — a shuffled gram join " +
+        "moves the whole corpus's grams at scale:\n" + p)
+  }
+
+  test("global_shuffle: top-k before numbering; corpus never single-partitions") {
+    val p = planOf("global_shuffle")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the prefix must come from a top-k, not a global sort:\n" + p)
+    // the only single-partition exchange sits ABOVE the top-k (bounded rows)
+    assert(p.indexOf("TakeOrderedAndProject") < p.indexOf("Scan parquet"),
+      "numbering must apply to the bounded top-k output, not the corpus:\n" + p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "text column must be pruned from the shuffle scan:\n" + p)
+  }
+
+  test("dedup_semantic: pair generation is an equi-join on the cell, never all-pairs") {
+    val p = planOf("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the K=8 broadcast centroid
+    // assignment (a Cross with a constant-size build side); the
+    // candidate-pair join must be a partitionable equi-join
+    val nljTypes = """BroadcastNestedLoopJoin (\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(nljTypes.subsetOf(Set("Cross")),
+      s"pair join degenerated to a nested loop ($nljTypes):\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "cell-equi pair join expected:\n" + p)
+  }
+
+  test("dedup_levenshtein: candidates from the head-block equi-join only") {
+    val p = planOf("dedup_levenshtein")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocking must make the candidate join an equi-join:\n" + p)
+  }
+
+  test("q34_resample_interpolate: as-of passes are window sorts, no inequality join") {
+    val p = planOf("q34_resample_interpolate")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = """Window\s+\(\d+\)""".r.findAllIn(p).size
+    assert(windows >= 2, s"expected two as-of window passes, got $windows:\n" + p)
+  }
+
+  test("q33_recursive_cte plans as an iterative union loop") {
+    val p = planOf("q33_recursive_cte")
+    assert(p.contains("UnionLoop") || p.contains("CTERelation") || p.contains("Recursion"),
+      "recursive CTE must plan as the iterative fixpoint operator:\n" + p)
+  }
 }

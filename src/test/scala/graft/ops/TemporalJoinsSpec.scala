@@ -104,4 +104,53 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("rid").as[Long].collect().sorted.toSeq
     assert(got === Seq(11L, 12L))
   }
+
+  test("q34_resample_interpolate: grid aligned, values bounded by neighbors") {
+    import org.apache.spark.sql.functions._
+    val step = 21600000000L
+    val out = graft.SparkEntry.queries("q34_resample_interpolate")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("g_us") % step == 0, "grid points are epoch-aligned 6h multiples")
+    }
+    // interpolation stays within [min, max] of each user's raw values
+    val bounds = graft.ops.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[Long]("user_id"))
+      val v = r.getAs[Double]("v_interp")
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+        s"interpolated $v outside the user's observed value range [$lo, $hi]")
+    }
+    // grid density: one point per 6h inside each user's span
+    val spans = graft.ops.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val (mn, mx) = spans(u)
+      val expected = (mx - (mn + step - 1) / step * step) / step + 1
+      assert(rs.length == expected.max(0),
+        s"user $u: ${rs.length} grid points, expected $expected")
+    }
+  }
+
+  test("q33_recursive_cte: depth histogram partitions orders; depth-1 row counts customers") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q33_recursive_cte")(spark, sf).collect()
+    val orders = graft.ops.Tables.orders(spark, sf)
+    assert(out.map(_.getAs[Long]("n")).sum == orders.count(),
+      "every order appears at exactly one depth of its customer's chain")
+    assert(out.head.getAs[Int]("depth") == 1)
+    assert(out.head.getAs[Long]("n") ==
+      orders.select(countDistinct(col("o_custkey"))).head().getLong(0),
+      "depth 1 = one row per customer (their first order)")
+    // depth histogram is non-increasing: a chain of depth d has all depths < d
+    val ns = out.sortBy(_.getAs[Int]("depth")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "deeper chain positions can never outnumber shallower ones")
+  }
 }
