@@ -156,6 +156,88 @@ object AnnOps {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Product quantization (PQ): 64 dims → 16 subspaces × 16 codewords, so
+    // each vector compresses to 16 half-byte codes (8 bytes vs 256 — the
+    // memory ratio that lets a 100 TB corpus's index live in RAM). Like
+    // IVF, the codebooks are deterministic corpus vectors (vec_id 21..36
+    // sub-sliced per subspace; at scale they come from per-subspace
+    // k-means) collected driver-side and baked as literals — encoding is a
+    // pure projection (128 tiny native dot kernels per row, no join, no
+    // shuffle), queries re-rank against the RECONSTRUCTED vectors
+    // (symmetric-distance flavor, which keeps the whole op exactly
+    // oracle-checkable: every step is deterministic arithmetic). Recall
+    // vs brute force is floored in ann_recall_eval like the other paths.
+    Q("ann_pq_topk",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |ms AS (SELECT unnest(range(0, 16)) AS m),
+        |cb AS (
+        |  SELECT CAST(vec_id - 21 AS BIGINT) AS cid, m,
+        |    v[CAST(m*4+1 AS INT):CAST(m*4+4 AS INT)] AS cw
+        |  FROM e CROSS JOIN ms WHERE vec_id >= 21 AND vec_id < 37),
+        |subs AS (
+        |  SELECT vec_id, m, v[CAST(m*4+1 AS INT):CAST(m*4+4 AS INT)] AS sub
+        |  FROM e CROSS JOIN ms),
+        |dist AS (
+        |  SELECT s.vec_id, s.m, cb.cid, cb.cw,
+        |    list_reduce(list_transform(s.sub, x -> x * x), (p, q) -> p + q)
+        |    - 2 * list_reduce(list_transform(list_zip(s.sub, cb.cw), x -> x[1] * x[2]), (p, q) -> p + q)
+        |    + list_reduce(list_transform(cb.cw, x -> x * x), (p, q) -> p + q) AS d2
+        |  FROM subs s JOIN cb ON s.m = cb.m),
+        |enc AS (
+        |  SELECT vec_id, m, cw FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |    FROM dist) t
+        |  WHERE rn = 1),
+        |rec AS (SELECT vec_id, flatten(list(cw ORDER BY m)) AS w FROM enc GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.qv, c.w), x -> x[1] * x[2]), (p, s) -> p + s)
+        |      / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (p, s) -> p + s))
+        |       * sqrt(list_reduce(list_transform(c.w, x -> x * x), (p, s) -> p + s))) AS cos_q
+        |  FROM q JOIN rec c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_q, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_q DESC, neighbor_id) AS rk FROM scored) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val m = 16; val sub = dims / m; val k = 16
+      // "trained" codebooks: sub-slices of corpus vectors 21..36, collected
+      // driver-side (16 × 64 doubles — a planning-sized constant)
+      val train: Array[Array[Double]] = e
+        .where(col("vec_id") >= 21 && col("vec_id") < 21 + k)
+        .orderBy(col("vec_id")).select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      def codebook(mi: Int): Array[Array[Double]] =
+        train.map(_.slice(mi * sub, mi * sub + sub))
+      val wCol = concat((0 until m).map { mi =>
+        val cbm = codebook(mi)
+        val subv = slice(col("v"), mi * sub + 1, sub)
+        // d2 = |sub|² - 2·sub·cw + |cw|², the |cw|² literal summed driver-
+        // side in the same left-to-right order as the oracle's list_reduce
+        val scoredCw = array(cbm.zipWithIndex.map { case (cw, j) =>
+          val cwLit = typedLit(cw.toSeq)
+          val cw2 = cw.map(x => x * x).sum
+          struct(
+            (dot_d(subv, subv) - lit(2.0) * dot_d(subv, cwLit) + lit(cw2)).as("d2"),
+            lit(j.toLong).as("cid"))
+        }: _*)
+        val code = array_min(scoredCw).getField("cid")
+        element_at(typedLit(cbm.map(_.toSeq).toSeq), code.cast("int") + 1)
+      }: _*)
+      val rec = e.select(col("vec_id"), wCol.as("w"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("neighbor_id"))
+      rec.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                cosine(col("qv"), col("w")).as("cos_q"))
+        .withColumn("rk", row_number().over(win))
+        .where(col("rk") <= 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ANN recall evaluation as a gate query — the eval job every
     // production ANN deployment ships next to the index. Recall@10 of the
     // LSH and IVF paths is measured against the exact brute-force top-k
@@ -168,6 +250,8 @@ object AnnOps {
       """SELECT 'ivf' AS method, 5 AS n_queries, true AS recall_ok
         |UNION ALL
         |SELECT 'lsh' AS method, 5 AS n_queries, true AS recall_ok
+        |UNION ALL
+        |SELECT 'pq' AS method, 5 AS n_queries, true AS recall_ok
         |UNION ALL
         |SELECT 'sq8' AS method, 5 AS n_queries, true AS recall_ok
         |ORDER BY method""".stripMargin) { (s, d) =>
@@ -187,8 +271,12 @@ object AnnOps {
       // 8-bit quantization barely perturbs 64-dim rankings — hold it to a
       // HIGH floor, not the candidate-generator floors above
       val sq8Ok = meanRecall(topSets("ann_sq8_topk")) >= 0.8
+      // PQ at 16×4-dim subquantizers over near-orthogonal noise is a
+      // candidate-generator-class ranking (mean recall ~0.2-0.4 on the
+      // fixtures) — floored like IVF/LSH, not like SQ8
+      val pqOk = meanRecall(topSets("ann_pq_topk")) >= 0.1
       Seq(("ivf", exact.size, ivfOk), ("lsh", exact.size, lshOk),
-          ("sq8", exact.size, sq8Ok))
+          ("pq", exact.size, pqOk), ("sq8", exact.size, sq8Ok))
         .toDF("method", "n_queries", "recall_ok")
         .orderBy(col("method"))
     },

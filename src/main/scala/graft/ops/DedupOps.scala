@@ -453,5 +453,64 @@ object DedupOps {
         .where(col("lev") <= 16)
         .orderBy(col("d1"), col("d2"))
     },
+
+    // Incremental dedup — the continuous-crawl shape: a NEW batch of
+    // documents (upper half of the id space) deduped against the EXISTING
+    // corpus (lower half), never against itself. Candidates come from the
+    // same 5-gram inverted index as the batch dedup ops, but the join is
+    // asymmetric (new grams probe old grams), so incremental work scales
+    // with the DELTA size — the existing corpus is touched only through
+    // its (precomputable, incrementally-maintainable) gram index. Each new
+    // doc reports its best existing match (highest Jaccard, lowest old id
+    // on ties).
+    Q("dedup_incremental",
+      """WITH thr AS (SELECT (max(doc_id) + 1) // 2 AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 2))) AS u
+        |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT n.doc_id AS d_new, o.doc_id AS d_old, count(*) AS inter
+        |  FROM g n JOIN g o ON n.gram = o.gram, thr
+        |  WHERE n.doc_id >= thr.t AND o.doc_id < thr.t
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT d_new, d_old,
+        |    CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter) AS jac
+        |  FROM pairs
+        |  JOIN sizes sn ON d_new = sn.doc_id JOIN sizes so ON d_old = so.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter) >= 0.5)
+        |SELECT d_new, d_old AS matched_old, jac FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY d_new
+        |    ORDER BY jac DESC, d_old ASC) AS rn FROM jp) t
+        |WHERE rn = 1 ORDER BY d_new""".stripMargin) { (s, d) =>
+      // planning aggregate, driver-side (same role as the reference's
+      // min/max planning queries): the id watermark separating the
+      // existing corpus from the new batch
+      val thr = (documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1) / 2
+      val g = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), wordShingles("text").as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"),
+                explode(col("sh")).as("gram"))
+        .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
+      val n = g.where(col("doc_id") >= thr)
+        .select(col("doc_id").as("d_new"), col("sz").as("szn"), col("gh"))
+      val o = g.where(col("doc_id") < thr)
+        .select(col("doc_id").as("d_old"), col("sz").as("szo"), col("gh"))
+      n.join(o, Seq("gh"))
+        .groupBy(col("d_new"), col("d_old"), col("szn"), col("szo"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac",
+          col("inter").cast("double") / (col("szn") + col("szo") - col("inter")))
+        .where(col("jac") >= 0.5)
+        .groupBy(col("d_new"))
+        .agg(max_by(struct(col("d_old"), col("jac")),
+                    struct(col("jac"), (-col("d_old")).as("neg"))).as("best"))
+        .select(col("d_new"), col("best.d_old").as("matched_old"),
+                col("best.jac").as("jac"))
+        .orderBy(col("d_new"))
+    },
   )
 }

@@ -370,5 +370,38 @@ object PipelineOps {
             .as("contam_id_sum"))
         .orderBy(col("source"))
     },
+
+    // Vocabulary construction + OOV audit — the tokenizer-training precursor:
+    // rank words by corpus frequency (ties broken lexically, so the cut is a
+    // total order), keep the top 16 as the vocabulary, and measure each
+    // source's out-of-vocabulary token rate. One (word) shuffle builds the
+    // counts; the vocab cut is a top-k (TakeOrdered, never a global sort);
+    // the OOV audit joins the corpus tokens against the BROADCAST vocab —
+    // a vocabulary is small by definition, so the audit is one map-side
+    // pass at any corpus size.
+    Q("vocab_coverage",
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS wd FROM documents),
+        |wc AS (SELECT wd, count(*) AS c FROM t GROUP BY wd),
+        |v AS (SELECT wd FROM wc ORDER BY c DESC, wd LIMIT 16)
+        |SELECT t.source, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE v.wd IS NULL) AS BIGINT) AS n_oov,
+        |  count(*) FILTER (WHERE v.wd IS NULL) / count(*) AS oov_rate
+        |FROM t LEFT JOIN v ON t.wd = v.wd
+        |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      val toks = Tables.fan(s, documents(s, d))
+        .select(col("source"),
+          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("wd"))
+      val vocab = toks.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("wd")).limit(16)
+        .select(col("wd"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("wd"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+          (count(when(col("in_vocab").isNull, 1)) / count(lit(1))).as("oov_rate"))
+        .orderBy(col("source"))
+    },
+
   )
 }

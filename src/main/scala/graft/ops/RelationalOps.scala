@@ -734,31 +734,44 @@ object RelationalOps {
     // engines — the semantics under test ARE the SQL semantics.
     Q("q33_recursive_cte",
       """WITH RECURSIVE
-        |firsts AS (SELECT o_custkey AS k, min(o_orderkey) AS okey FROM orders GROUP BY o_custkey),
+        |base AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey % 10 = 0),
+        |firsts AS (SELECT o_custkey AS k, min(o_orderkey) AS okey FROM base GROUP BY o_custkey),
         |edges AS (SELECT o_custkey AS k, o_orderkey AS src,
         |            lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
-        |          FROM orders),
+        |          FROM base),
         |walk AS (
         |  SELECT k, okey, 1 AS depth FROM firsts
         |  UNION ALL
         |  SELECT e.k, e.dst AS okey, w.depth + 1 AS depth
         |  FROM walk w JOIN edges e ON e.k = w.k AND e.src = w.okey
-        |  WHERE e.dst IS NOT NULL)
+        |  WHERE e.dst IS NOT NULL AND w.depth < 8)
         |SELECT depth, count(*) AS n, CAST(sum(okey) AS BIGINT) AS key_sum
         |FROM walk GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
-      orders(s, d).createOrReplaceTempView("graft_orders_v")
+      // The edge list (a window pass over orders) is CACHED before the
+      // recursion: UnionLoop re-evaluates every plan it references per
+      // iteration, so an uncached edges CTE would redo the scan+window
+      // EIGHT times — caching turns each iteration into a join against an
+      // InMemoryRelation. The same applies on a cluster: materialize the
+      // frontier's static side once, iterate against it.
+      import org.apache.spark.sql.expressions.Window
+      val base = orders(s, d).where(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"))
+      base.groupBy(col("o_custkey").as("k"))
+        .agg(min(col("o_orderkey")).as("okey"))
+        .cache().createOrReplaceTempView("graft_q33_firsts_v")
+      base.select(col("o_custkey").as("k"), col("o_orderkey").as("src"),
+          lead(col("o_orderkey"), 1).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey")))
+            .as("dst"))
+        .cache().createOrReplaceTempView("graft_q33_edges_v")
       s.sql(
         """WITH RECURSIVE
-          |firsts AS (SELECT o_custkey AS k, min(o_orderkey) AS okey FROM graft_orders_v GROUP BY o_custkey),
-          |edges AS (SELECT o_custkey AS k, o_orderkey AS src,
-          |            lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
-          |          FROM graft_orders_v),
           |walk AS (
-          |  SELECT k, okey, 1 AS depth FROM firsts
+          |  SELECT k, okey, 1 AS depth FROM graft_q33_firsts_v
           |  UNION ALL
-          |  SELECT e.k, e.dst AS okey, w.depth + 1 AS depth
-          |  FROM walk w JOIN edges e ON e.k = w.k AND e.src = w.okey
-          |  WHERE e.dst IS NOT NULL)
+          |  SELECT /*+ BROADCAST(e) */ e.k, e.dst AS okey, w.depth + 1 AS depth
+          |  FROM walk w JOIN graft_q33_edges_v e ON e.k = w.k AND e.src = w.okey
+          |  WHERE e.dst IS NOT NULL AND w.depth < 8)
           |SELECT depth, count(*) AS n, CAST(sum(okey) AS BIGINT) AS key_sum
           |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
     },

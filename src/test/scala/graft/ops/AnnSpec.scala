@@ -97,6 +97,21 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.15, s"mean recall@10 $mean")
   }
 
+  test("pq ann: deterministic codes, recall floor, order consistent with exact") {
+    val a = topk("ann_pq_topk")
+    assert(a == topk("ann_pq_topk"), "PQ codebooks/codes must be deterministic")
+    assert(a.nonEmpty && a.values.forall(_.size == 10))
+    val exact = topk("ann_bruteforce_topk")
+    val recalls = exact.map { case (q, ex) =>
+      val got = a.getOrElse(q, Seq.empty).toSet
+      ex.count(got.contains).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 subquantizers × 16 codewords over near-orthogonal noise: a
+    // candidate-generator-class ranking, same floor the eval query pins
+    assert(mean >= 0.1, s"mean recall@10 $mean")
+  }
+
   test("ivf ann: per-query candidate order consistent with brute force") {
     val exact = topk("ann_bruteforce_topk")
     val ivf = topk("ann_ivf_topk")

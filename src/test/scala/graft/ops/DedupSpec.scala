@@ -101,6 +101,27 @@ class DedupSpec extends SparkSpec {
         "regenerate fixtures with planted pairs at jac ≥ 0.85 or widen bands")
   }
 
+  test("dedup_incremental: matches cross the watermark and agree with the batch pairs") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+    val thr = (Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1) / 2
+    out.foreach { r =>
+      assert(r.getAs[Long]("d_new") >= thr, "left side must be the new batch")
+      assert(r.getAs[Long]("matched_old") < thr, "matches come from the old corpus")
+      assert(r.getAs[Double]("jac") >= 0.5)
+    }
+    // every incremental match is also a batch-dedup pair (old < thr ≤ new
+    // implies the symmetric pair is (old, new) in d1 < d2 order)
+    val sym = DedupOps.exactJaccardPairs(spark, sf)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val p = (r.getAs[Long]("matched_old"), r.getAs[Long]("d_new"))
+      assert(sym.contains(p), s"incremental match $p missing from batch pairs")
+    }
+  }
+
   test("dedup_semantic: cells partition the corpus; dups bounded by cell size") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_vecs")).sum

@@ -111,6 +111,22 @@ class PipelineSpec extends SparkSpec {
       "per-source train counts must partition the train set")
   }
 
+  test("vocab_coverage: OOV bounded by token counts; vocabulary covers the head") {
+    val out = SparkEntry.queries("vocab_coverage")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(r.getAs[Double]("oov_rate") - oov.toDouble / n) < 1e-12)
+    }
+    // the 16-word vocab over a 31-word corpus leaves real OOV mass, but
+    // the head words dominate: overall OOV rate must be a minority share
+    val totTok = out.map(_.getAs[Long]("n_tokens")).sum
+    val totOov = out.map(_.getAs[Long]("n_oov")).sum
+    assert(totOov > 0, "fixture vocabulary cut should leave some OOV tokens")
+    assert(totOov.toDouble / totTok < 0.5, "top-16 words must cover most tokens")
+  }
+
   test("repetition fractions are well-formed quality signals") {
     val out = SparkEntry.queries("text_repetition")(spark, sf).collect()
     assert(out.nonEmpty)

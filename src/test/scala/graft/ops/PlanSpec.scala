@@ -265,6 +265,33 @@ class PlanSpec extends SparkSpec {
     assert(windows >= 2, s"expected two as-of window passes, got $windows:\n" + p)
   }
 
+  test("vocab_coverage: vocab cut is a top-k; the audit joins a broadcast vocab") {
+    val p = planOf("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocabulary cut must be a top-k, not a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the OOV audit must broadcast the vocabulary:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus tokens must never shuffle on the word key for the audit:\n" + p)
+  }
+
+  test("dedup_incremental: asymmetric inverted-index equi-join, never all-pairs") {
+    val p = planOf("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters"),
+      "the old/new watermark split must reach the scans:\n" + p)
+  }
+
+  test("ann_pq_topk: encoding is a projection — only the probe join in the plan") {
+    val p = planOf("ann_pq_topk")
+    // corpus side: scan → project(256 native sub-dots + argmin + rebuild)
+    // → broadcast probe join → window top-k; no aggregate or shuffle
+    // before the join would mean codebooks were recomputed distributively
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q33_recursive_cte plans as an iterative union loop") {
     val p = planOf("q33_recursive_cte")
     assert(p.contains("UnionLoop") || p.contains("CTERelation") || p.contains("Recursion"),

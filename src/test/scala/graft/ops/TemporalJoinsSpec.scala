@@ -141,13 +141,19 @@ class TemporalJoinsSpec extends SparkSpec {
   test("q33_recursive_cte: depth histogram partitions orders; depth-1 row counts customers") {
     import org.apache.spark.sql.functions._
     val out = graft.SparkEntry.queries("q33_recursive_cte")(spark, sf).collect()
+    // the walk covers the sampled customers (custkey % 10 = 0), capped at
+    // 8 chain positions — the histogram partitions exactly those orders
     val orders = graft.ops.Tables.orders(spark, sf)
-    assert(out.map(_.getAs[Long]("n")).sum == orders.count(),
-      "every order appears at exactly one depth of its customer's chain")
+      .where(col("o_custkey") % 10 === 0)
+    val perCust = orders.groupBy(col("o_custkey")).count()
+      .select(least(col("count"), lit(8L)).as("c"))
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n")).sum == perCust,
+      "every sampled order appears at exactly one depth ≤ 8 of its chain")
     assert(out.head.getAs[Int]("depth") == 1)
     assert(out.head.getAs[Long]("n") ==
       orders.select(countDistinct(col("o_custkey"))).head().getLong(0),
-      "depth 1 = one row per customer (their first order)")
+      "depth 1 = one row per sampled customer (their first order)")
     // depth histogram is non-increasing: a chain of depth d has all depths < d
     val ns = out.sortBy(_.getAs[Int]("depth")).map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
