@@ -230,6 +230,77 @@ object VectorOps {
     }
   }
 
+  /** Product-quantization encode+reconstruct in one native pass: for each
+    * subspace, pick the codeword minimizing ‖sub − cw‖² (expanded as
+    * ‖sub‖² − 2·sub·cw + ‖cw‖², every sum a left-to-right fold, ties to
+    * the lower codeword id — bit-identical to the array_min-over-structs
+    * formulation and the DuckDB oracle), then emit the concatenation of
+    * chosen codewords. Replaces an M×K struct-array expression tree whose
+    * generated code dominated the query's runtime with one kernel call. */
+  case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"pq_reconstruct requires array<double>, got $other")
+    }
+    override def nullSafeEval(input: Any): Any =
+      pqReconstructKernel(input.asInstanceOf[ArrayData], codebooks)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.pqReconstructKernel($a, $cb);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
+      copy(child = newChild)
+    override def prettyName: String = "pq_reconstruct"
+  }
+
+  def pqReconstructKernel(arr: ArrayData,
+      codebooks: Array[Array[Array[Double]]]): GenericArrayData = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val v = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = arr.getDouble(i); i += 1 }
+    val out = new Array[Any](m * sub)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      // ‖sub‖², left-to-right from 0.0 (matches dot_d and list_reduce)
+      var sub2 = 0.0
+      var d = 0
+      while (d < sub) { sub2 += v(off + d) * v(off + d); d += 1 }
+      val cbm = codebooks(mi)
+      var bestJ = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cbm.length) {
+        val cw = cbm(j)
+        var dot = 0.0
+        var cw2 = 0.0
+        d = 0
+        while (d < sub) { dot += v(off + d) * cw(d); d += 1 }
+        d = 0
+        while (d < sub) { cw2 += cw(d) * cw(d); d += 1 }
+        val d2 = sub2 - 2.0 * dot + cw2
+        if (d2 < bestD) { bestD = d2; bestJ = j } // strict: ties keep lower j
+        j += 1
+      }
+      val chosen = cbm(bestJ)
+      d = 0
+      while (d < sub) { out(off + d) = chosen(d); d += 1 }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pq_reconstruct(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(PqReconstruct(ColumnShim.expression(v), codebooks))
+
   def word_ngrams(tokens: Column, gram: Int): Column =
     ColumnShim.column(WordNGrams(ColumnShim.expression(tokens), gram))
 

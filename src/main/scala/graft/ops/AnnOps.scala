@@ -208,24 +208,14 @@ object AnnOps {
         .where(col("vec_id") >= 21 && col("vec_id") < 21 + k)
         .orderBy(col("vec_id")).select(col("v")).collect()
         .map(_.getSeq[Double](0).toArray)
-      def codebook(mi: Int): Array[Array[Double]] =
-        train.map(_.slice(mi * sub, mi * sub + sub))
-      val wCol = concat((0 until m).map { mi =>
-        val cbm = codebook(mi)
-        val subv = slice(col("v"), mi * sub + 1, sub)
-        // d2 = |sub|² - 2·sub·cw + |cw|², the |cw|² literal summed driver-
-        // side in the same left-to-right order as the oracle's list_reduce
-        val scoredCw = array(cbm.zipWithIndex.map { case (cw, j) =>
-          val cwLit = typedLit(cw.toSeq)
-          val cw2 = cw.map(x => x * x).sum
-          struct(
-            (dot_d(subv, subv) - lit(2.0) * dot_d(subv, cwLit) + lit(cw2)).as("d2"),
-            lit(j.toLong).as("cid"))
-        }: _*)
-        val code = array_min(scoredCw).getField("cid")
-        element_at(typedLit(cbm.map(_.toSeq).toSeq), code.cast("int") + 1)
-      }: _*)
-      val rec = e.select(col("vec_id"), wCol.as("w"))
+      val codebooks: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(mi => train.map(_.slice(mi * sub, mi * sub + sub)))
+      // encode+reconstruct in ONE native kernel (same arithmetic and
+      // tie-break as the oracle's d2/row_number formulation); the naive
+      // M×K struct-array expression tree generated so much code that
+      // compiling it dominated the query
+      val rec = e.select(col("vec_id"),
+        graft.functions.VectorOps.pq_reconstruct(col("v"), codebooks).as("w"))
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val win = org.apache.spark.sql.expressions.Window

@@ -197,6 +197,44 @@ object StreamingOps {
         .orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Stream-STREAM inner join — the last big Structured Streaming surface:
+    // each purchase joined to the same user's clicks in the preceding hour,
+    // both sides watermarked so the join state is GC-able (the range
+    // condition bounds each side's buffering horizon; without it the state
+    // grows forever). Inner-join results emit as soon as both sides arrive,
+    // so the bounded replay yields exactly the relational join the oracle
+    // recomputes. At scale this is one shuffle of each stream on user_id —
+    // the same co-partitioned shape as the batch range join.
+    Q("stream_stream_join",
+      """SELECT user_id, count(*) AS n_pairs,
+        |  CAST(sum(p_id) AS BIGINT) AS purchase_id_sum,
+        |  CAST(sum(c_id) AS BIGINT) AS click_id_sum
+        |FROM (SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+        |      FROM events p JOIN events c ON p.user_id = c.user_id
+        |       AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |       AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |       AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val p = eventStream(s, d).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "4 hours")
+      val c = eventStream(s, d).where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                col("event_id").as("c_id"))
+        .withWatermark("c_ts", "4 hours")
+      val joined = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("user_id"), col("p_id"), col("c_id"))
+      runToMemory(joined, "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("p_id")).as("purchase_id_sum"),
+             sum(col("c_id")).as("click_id_sum"))
+        .orderBy(col("user_id"))
+    },
+
     // flatMapGroupsWithState sessionization (30 min inactivity gap). The
     // streaming contract emits CLOSED sessions only — each user's final
     // session stays open in state — so the oracle's gaps-and-islands
