@@ -8,8 +8,14 @@ object Verify {
     // optional: `--only a,b,c` restricts the dump to the named queries
     // (local iteration; the driver always runs the full set)
     val only: Option[Set[String]] = args.drop(2) match {
-      case Array("--only", names) => Some(names.split(",").toSet)
-      case _ => None
+      case Array() => None
+      case Array("--only", names) =>
+        val ns = names.split(",").toSet
+        val unknown = ns -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"--only names not in SparkEntry.queries: $unknown")
+        Some(ns)
+      case other =>
+        sys.error(s"usage: Verify <sfDir> <outDir> [--only a,b,c]; got: ${other.mkString(" ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)

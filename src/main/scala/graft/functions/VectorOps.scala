@@ -245,14 +245,24 @@ object VectorOps {
       case other =>
         TypeCheckResult.TypeCheckFailure(s"pq_reconstruct requires array<double>, got $other")
     }
+    // per-codeword ‖cw‖², summed in the same left-to-right order the kernel
+    // (and the oracle's list_reduce) uses — constant across rows, so
+    // computed once here instead of per input row
+    @transient private lazy val norms: Array[Array[Double]] =
+      codebooks.map(_.map { cw =>
+        var s = 0.0; var i = 0
+        while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+        s
+      })
     override def nullSafeEval(input: Any): Any =
-      pqReconstructKernel(input.asInstanceOf[ArrayData], codebooks)
+      pqReconstructKernel(input.asInstanceOf[ArrayData], codebooks, norms)
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
       val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      val nm = ctx.addReferenceObj("pqNorms", norms, "double[][]")
       nullSafeCodeGen(ctx, ev, a =>
-        s"${ev.value} = graft.functions.VectorOps.pqReconstructKernel($a, $cb);")
+        s"${ev.value} = graft.functions.VectorOps.pqReconstructKernel($a, $cb, $nm);")
     }
     override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
       copy(child = newChild)
@@ -260,7 +270,8 @@ object VectorOps {
   }
 
   def pqReconstructKernel(arr: ArrayData,
-      codebooks: Array[Array[Array[Double]]]): GenericArrayData = {
+      codebooks: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]]): GenericArrayData = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val v = new Array[Double](arr.numElements())
@@ -278,15 +289,13 @@ object VectorOps {
       var bestJ = 0
       var bestD = Double.PositiveInfinity
       var j = 0
+      val nm = norms(mi)
       while (j < cbm.length) {
         val cw = cbm(j)
         var dot = 0.0
-        var cw2 = 0.0
         d = 0
         while (d < sub) { dot += v(off + d) * cw(d); d += 1 }
-        d = 0
-        while (d < sub) { cw2 += cw(d) * cw(d); d += 1 }
-        val d2 = sub2 - 2.0 * dot + cw2
+        val d2 = sub2 - 2.0 * dot + nm(j)
         if (d2 < bestD) { bestD = d2; bestJ = j } // strict: ties keep lower j
         j += 1
       }

@@ -97,15 +97,15 @@ object PipelineOps {
       Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
           word_rep_stats(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("st"))
-        .select(col("doc_id"), col("st.total").as("nw"), col("st.n_bg").as("n_bg"),
+        .select(col("doc_id"), col("st.n_bg").as("n_bg"),
           col("st.topc").as("topc"), col("st.total").as("total"),
           col("st.n_distinct").as("n_distinct"))
         .where(col("total") > 0)
         .select(col("doc_id"), col("total").as("n_words"),
           (col("topc") / col("total")).as("top_word_frac"),
           (col("n_distinct") / col("total")).as("distinct_frac"),
-          when(col("nw") < 2, lit(0.0))
-            .otherwise(lit(1.0) - col("n_bg") / (col("nw") - 1)).as("dup_bigram_frac"))
+          when(col("total") < 2, lit(0.0))
+            .otherwise(lit(1.0) - col("n_bg") / (col("total") - 1)).as("dup_bigram_frac"))
         .orderBy(col("doc_id")).limit(500)
     },
 

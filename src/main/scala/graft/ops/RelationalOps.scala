@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,6 +15,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object RelationalOps {
   import Tables._
+
+  /** q33's cached static relations, one set per (session, fixture) — see
+    * the query body for why they are cached at all. The views are
+    * (re-)registered from these on every invocation, so a session that
+    * alternates fixtures never reads another fixture's cache. */
+  private val q33Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
 
   // decimal casts that hold every testdata double exactly (2-decimal data)
   private val dec2 = "decimal(18,2)"
@@ -752,18 +759,24 @@ object RelationalOps {
       // iteration, so an uncached edges CTE would redo the scan+window
       // EIGHT times — caching turns each iteration into a join against an
       // InMemoryRelation. The same applies on a cluster: materialize the
-      // frontier's static side once, iterate against it.
+      // frontier's static side once, iterate against it. Memoized per
+      // (session, fixture) — re-invoking the query (bench loops) must
+      // reuse the cached relations, not stack fresh copies in the
+      // CacheManager.
       import org.apache.spark.sql.expressions.Window
-      val base = orders(s, d).where(col("o_custkey") % 10 === 0)
-        .select(col("o_custkey"), col("o_orderkey"))
-      base.groupBy(col("o_custkey").as("k"))
-        .agg(min(col("o_orderkey")).as("okey"))
-        .cache().createOrReplaceTempView("graft_q33_firsts_v")
-      base.select(col("o_custkey").as("k"), col("o_orderkey").as("src"),
-          lead(col("o_orderkey"), 1).over(
-            Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey")))
-            .as("dst"))
-        .cache().createOrReplaceTempView("graft_q33_edges_v")
+      val (firsts, edges) = RelationalOps.q33Cache.computeIfAbsent((s, d), { _ =>
+        val base = orders(s, d).where(col("o_custkey") % 10 === 0)
+          .select(col("o_custkey"), col("o_orderkey"))
+        val f = base.groupBy(col("o_custkey").as("k"))
+          .agg(min(col("o_orderkey")).as("okey")).cache()
+        val e = base.select(col("o_custkey").as("k"), col("o_orderkey").as("src"),
+            lead(col("o_orderkey"), 1).over(
+              Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey")))
+              .as("dst")).cache()
+        (f, e)
+      })
+      firsts.createOrReplaceTempView("graft_q33_firsts_v")
+      edges.createOrReplaceTempView("graft_q33_edges_v")
       s.sql(
         """WITH RECURSIVE
           |walk AS (

@@ -120,6 +120,11 @@ object TemporalJoinOps {
         |       ELSE v0 + (v1 - v0) * ((g - t0) / (t1 - t0)) END AS v_interp
         |FROM j ORDER BY user_id, g_us""".stripMargin) { (s, d) =>
       import graft.operators.TemporalJoins.asof
+      // NOTE: grid alignment uses integer `div`, which truncates toward
+      // zero, while the oracle's `//` floors — identical for the
+      // post-1970 (non-negative µs) domain the events fixtures and the
+      // archival sources guarantee; pre-epoch timestamps would need
+      // floorDiv on both sides.
       val step = 21600000000L
       val pts = events(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("t"),

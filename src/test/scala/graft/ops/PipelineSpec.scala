@@ -80,6 +80,11 @@ class PipelineSpec extends SparkSpec {
       assert(row.getLong(1) == n.toLong, "total")
       assert(row.getLong(2) == counts.size.toLong, "n_distinct")
       assert(row.getLong(3) == bigrams.size.toLong, s"n_bg for $toks")
+      // the kernel promises n_bg ≡ size(word_ngrams(w, 2)); the degenerate
+      // conventions live in two kernels, so pin their equivalence here
+      assert(row.getLong(3) ==
+        graft.functions.VectorOps.wordNGramsKernel(arr, 2).numElements().toLong,
+        s"WordRepStats and WordNGrams bigram conventions diverged for $toks")
     }
   }
 

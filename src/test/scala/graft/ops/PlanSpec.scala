@@ -228,8 +228,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("TakeOrderedAndProject"),
       "the prefix must come from a top-k, not a global sort:\n" + p)
-    // the only single-partition exchange sits ABOVE the top-k (bounded rows)
-    assert(p.indexOf("TakeOrderedAndProject") < p.indexOf("Scan parquet"),
+    // the formatted tree prints root-first, so the Window (numbering) being
+    // an ANCESTOR of the top-k — i.e. applied to its bounded output, not to
+    // the corpus — means its line appears before TakeOrderedAndProject's
+    assert(p.indexOf("Window") >= 0 &&
+           p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
       "numbering must apply to the bounded top-k output, not the corpus:\n" + p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       "text column must be pruned from the shuffle scan:\n" + p)
