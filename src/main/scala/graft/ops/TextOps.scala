@@ -161,5 +161,53 @@ object TextOps {
             .as("entropy"))
         .orderBy(col("doc_id"))
     },
+
+    // Bigram-LM cross-entropy per document — the CCNet-style LM quality
+    // filter: a corpus-trained bigram model scores each document's mean
+    // −ln p(w₂|w₁); fluent text scores low, boilerplate/garble high. At
+    // scale the LM is trained once (one (w₁,w₂) shuffle with map-side
+    // combine) and is SMALL relative to the corpus (vocab², and in
+    // practice pruned), so scoring is a BROADCAST join over the exploded
+    // bigram stream — no corpus shuffle on the word key. Cross-engine
+    // determinism follows text_char_entropy's pattern: each −ln term is
+    // cast to DECIMAL(30,12) before the per-doc sum (merge-order-proof
+    // addition), and the final mean rounds to 4 digits to absorb engine
+    // ln ulp differences.
+    Q("text_perplexity_ngram",
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(u AS INT)] AS w1, w[CAST(u+1 AS INT)] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS u FROM w) t),
+        |lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |terms AS (
+        |  SELECT b.doc_id,
+        |    -ln(CAST(lm.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)) AS t
+        |  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        |  JOIN ctx ON b.w1 = ctx.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(t AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS xent
+        |FROM terms GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      val bg = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+        .select(col("doc_id"), explode(expr(
+          // ordered bigrams WITH multiplicity (word_ngrams dedups, so not
+          // usable here); the If guards sequence() against size < 2
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+            "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
+          "ELSE array() END")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val lmp = lm.join(ctx, Seq("w1"))
+      bg.join(broadcast(lmp), Seq("w1", "w2"))
+        .select(col("doc_id"),
+          (-log(col("c12").cast("double") / col("c1").cast("double"))).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("t").cast("decimal(30,12)")).cast("double") / count(lit(1)), 4)
+            .as("xent"))
+        .orderBy(col("doc_id")).limit(500)
+    },
   )
 }

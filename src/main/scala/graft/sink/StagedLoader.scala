@@ -33,7 +33,8 @@ import org.apache.spark.sql.types.StructType
   *   interchange format warehouses bulk-load, and "parquet" is the
   *   zero-fidelity-loss fast path when the stage store allows it (binary
   *   columns, exact types, ~5× smaller than NDJSON — at 100 TB the
-  *   staging hop's bytes are the bottleneck).
+  *   staging hop's bytes are the bottleneck); "orc" is the same full-
+  *   fidelity columnar path for warehouses whose bulk loader prefers ORC.
   * @param orderedCommitKey when set, each batch is range-sorted on this
   *   column before commit and its files are renamed in ascending key
   *   order — a crash mid-commit then leaves a key-PREFIX of the batch, so
@@ -45,7 +46,7 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
     val orderedCommitKey: Option[String] = None,
     stagingFormat: String = "json") {
 
-  require(Set("json", "csv", "parquet")(stagingFormat),
+  require(Set("json", "csv", "parquet", "orc")(stagingFormat),
     s"unsupported staging format: $stagingFormat")
 
   private def hconf = spark.sessionState.newHadoopConf()
@@ -102,6 +103,11 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
         case "csv"     => w.option("header", "true")
           .option("nullValue", StagedLoader.CsvNullSentinel).csv(stagingDir)
         case "parquet" => w.parquet(stagingDir)
+        // ORC names its deflate-family codec "zlib" (no "gzip" alias), so
+        // the loader-level default maps across; other codec names pass
+        // through for callers who pick ORC-specific ones
+        case "orc"     => w.option("compression",
+          if (compression == "gzip") "zlib" else compression).orc(stagingDir)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -198,6 +204,7 @@ final class StagedLoader(spark: SparkSession, val targetDir: String,
         .option("emptyValue", "")
         .csv(stagingDir)
       case "parquet" => spark.read.parquet(stagingDir)
+      case "orc"     => spark.read.orc(stagingDir)
     }
     val aligned0 = align(raw)
     val aligned = orderedCommitKey.fold(aligned0)(k =>

@@ -293,7 +293,7 @@ class ArchiveE2ESpec extends SparkSpec {
     // time-incremental watermark) plus JSON-in-string props that stress
     // csv quoting
     val src = graft.ops.Tables.events(spark, sf)
-    Seq("json", "csv", "parquet").foreach { fmt =>
+    Seq("json", "csv", "parquet", "orc").foreach { fmt =>
       val tgt = tmpDir() + s"/t-$fmt"
       val loader = new StagedLoader(spark, tgt, src.schema, stagingFormat = fmt)
       assert(loader.ingest(src, tmpDir() + s"/stg-$fmt") == src.count(), fmt)
@@ -317,7 +317,7 @@ class ArchiveE2ESpec extends SparkSpec {
       (4L, "quotes \" and, commas,\r\nand a CRLF"),
       (5L, "plain")
     ).toDF("id", "txt")
-    Seq("json", "csv", "parquet").foreach { fmt =>
+    Seq("json", "csv", "parquet", "orc").foreach { fmt =>
       val tgt = tmpDir() + s"/t-$fmt"
       val loader = new StagedLoader(spark, tgt, src.schema, stagingFormat = fmt)
       assert(loader.ingest(src, tmpDir() + s"/stg-$fmt") == src.count(), fmt)
