@@ -112,6 +112,28 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.1, s"mean recall@10 $mean")
   }
 
+  test("pq kernel: reconstruction equals the brute-force nearest-codeword choice") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(7)
+    val m = 4; val sub = 3; val k = 5
+    val codebooks = Array.fill(m, k, sub)(rng.nextDouble() * 2 - 1)
+    val norms = codebooks.map(_.map(cw => cw.map(x => x * x).sum))
+    (0 until 100).foreach { _ =>
+      val v = Array.fill(m * sub)(rng.nextDouble() * 2 - 1)
+      val got = graft.functions.VectorOps.pqReconstructKernel(
+        new GenericArrayData(v.map(x => x: Any)), codebooks, norms)
+      val expected = (0 until m).flatMap { mi =>
+        val s = v.slice(mi * sub, mi * sub + sub)
+        // brute force: true argmin of squared L2, ties to lower id
+        val best = (0 until k).minBy(j =>
+          (s.zip(codebooks(mi)(j)).map { case (a, b) => (a - b) * (a - b) }.sum, j))
+        codebooks(mi)(best)
+      }
+      assert((0 until m * sub).forall(i => got.getDouble(i) == expected(i)),
+        "kernel codeword choice diverged from brute force")
+    }
+  }
+
   test("ivf ann: per-query candidate order consistent with brute force") {
     val exact = topk("ann_bruteforce_topk")
     val ivf = topk("ann_ivf_topk")
