@@ -134,6 +134,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_train: cells partition the corpus; training is deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("kmeans_train")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_members")).sum
+    assert(total == graft.ops.Tables.embeddings(spark, sf).count(),
+      "every vector is assigned to exactly one cluster")
+    assert(out.length <= 16 && out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("inertia") >= 0.0)
+      assert(r.getAs[Double]("centroid_norm2") > 0.0)
+    }
+    assert(out.toSeq == SparkEntry.queries("kmeans_train")(spark, sf).collect().toSeq,
+      "training must be deterministic")
+  }
+
   test("ivf ann: per-query candidate order consistent with brute force") {
     val exact = topk("ann_bruteforce_topk")
     val ivf = topk("ann_ivf_topk")

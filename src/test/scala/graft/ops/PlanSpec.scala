@@ -295,6 +295,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("kmeans_train: assignment is a literal-centroid projection, no corpus join") {
+    val p = planOf("kmeans_train")
+    // the only join is the K-row broadcast of centroid norms onto the
+    // K-row result; the corpus-side assignment must be a pure projection
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q33_recursive_cte plans as an iterative union loop") {
     val p = planOf("q33_recursive_cte")
     assert(p.contains("UnionLoop") || p.contains("CTERelation") || p.contains("Recursion"),
