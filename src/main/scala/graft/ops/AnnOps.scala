@@ -21,8 +21,11 @@ object AnnOps {
   private val dims = 64
 
   /** ann_recall_eval's collected top-k sets, keyed (session, fixture,
-    * query) — deterministic results, so safe to reuse across invocations
-    * within a session (bench runs each pipeline as its own query anyway). */
+    * query) — deterministic results over fixtures the driver contract
+    * treats as IMMUTABLE for the life of a session (regenerating a
+    * fixture in place mid-session would serve stale sets; like
+    * Tables.cache, entries live as long as their session). Bench runs
+    * each pipeline as its own query anyway. */
   private val topkCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), Map[Long, Set[Long]]]()
 

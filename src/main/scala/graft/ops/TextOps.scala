@@ -198,7 +198,9 @@ object TextOps {
           "ELSE array() END")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // context totals derive from the aggregated LM (c1 = Σ_w2 c12), not
+      // from a second full corpus bigram pass — the LM is vocab²-sized
+      val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val lmp = lm.join(ctx, Seq("w1"))
       bg.join(broadcast(lmp), Seq("w1", "w2"))
         .select(col("doc_id"),
