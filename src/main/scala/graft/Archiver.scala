@@ -183,8 +183,10 @@ object Archiver {
       pacingSleep: Long => Unit = Thread.sleep): Archiver = {
     val src = new graft.source.ParquetTableSource(spark, sourceDir)
     val loader = new StagedLoader(spark, targetDir, sinkSchema,
+      compression = cfg.stagingCompression,
       orderedCommitKey = Option(cfg.sourceSplitKey).filter(_.nonEmpty)
-        .orElse(Option(cfg.sourceSplitTimeKey).filter(_.nonEmpty)))
+        .orElse(Option(cfg.sourceSplitTimeKey).filter(_.nonEmpty)),
+      stagingFormat = cfg.stagingFormat)
     new Archiver(spark, cfg, src, loader, stagingRoot, pacingSleep,
       deleteBackFn = (db, table, where) =>
         DeleteBack.deleteFromParquet(spark, s"$sourceDir/$table.parquet", where))

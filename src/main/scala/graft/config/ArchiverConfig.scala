@@ -31,7 +31,12 @@ final case class ArchiverConfig(
     copyForce: Boolean = false,
     disableVariantCheck: Boolean = false,
     maxThread: Int = 1,
-    deleteAfterSync: Boolean = false)
+    deleteAfterSync: Boolean = false,
+    // staging FILE_FORMAT (the reference hard-codes `type = NDJSON`,
+    // ingester/ingest_databend.go:182-195; flagged §7.5-style extension):
+    // json | csv | parquet | orc, plus the staging codec
+    stagingFormat: String = "json",
+    stagingCompression: String = "gzip")
 
 object ArchiverConfig {
 
@@ -51,7 +56,9 @@ object ArchiverConfig {
     val cfg = cfg0.copy(
       userStage = if (cfg0.userStage.isEmpty) "~" else cfg0.userStage,
       maxThread = if (cfg0.maxThread == 0) 1 else cfg0.maxThread)
-    if (cfg.sourceSplitKey.nonEmpty && cfg.sourceSplitTimeKey.nonEmpty)
+    if (!Set("json", "csv", "parquet", "orc")(cfg.stagingFormat))
+      Left(s"invalid stagingFormat: ${cfg.stagingFormat}, it should be 'json', 'csv', 'parquet', or 'orc'")
+    else if (cfg.sourceSplitKey.nonEmpty && cfg.sourceSplitTimeKey.nonEmpty)
       Left("cannot set both sourceSplitKey and sourceSplitTimeKey")
     else if (cfg.sourceSplitKey.isEmpty && cfg.sourceSplitTimeKey.isEmpty)
       Left("must set one of sourceSplitKey and sourceSplitTimeKey")

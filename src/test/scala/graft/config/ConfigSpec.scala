@@ -64,4 +64,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.toOption.get.maxThread == 10)
     assert(c.toOption.get.copyPurge)
   }
+
+  test("preCheck: staging format whitelisted, defaults to NDJSON") {
+    val base = ArchiverConfig(sourceSplitKey = "id", sourceWhereCondition = "id > 0")
+    assert(preCheck(base).toOption.get.stagingFormat == "json")
+    Seq("csv", "parquet", "orc").foreach { f =>
+      assert(preCheck(base.copy(stagingFormat = f)).isRight, f)
+    }
+    assert(preCheck(base.copy(stagingFormat = "avro")).isLeft,
+      "unsupported staging formats must be rejected at config time")
+  }
 }
