@@ -512,5 +512,64 @@ object DedupOps {
                 col("best.jac").as("jac"))
         .orderBy(col("d_new"))
     },
+
+    // URL canonicalization dedup — how a crawl pipeline collapses refetches
+    // of the same page: normalize scheme/host case, drop the default port,
+    // strip the fragment and tracking (utm_*) parameters, then group on
+    // the canonical URL. The fixtures carry no URLs, so each doc
+    // synthesizes one with deterministic noise (mixed-case scheme, :443 on
+    // every 3rd, utm params around a real id param, a fragment) and
+    // doc_id % 100 aliases ~5 fetches onto each canonical page.
+    // Canonicalization is a per-row projection (regex + string algebra,
+    // identical shapes in both engines); the only shuffle is the group-by
+    // on the canonical key — at 100 TB this is a map-side-combining
+    // aggregation on a uniform key, the cheapest dedup in the suite.
+    Q("dedup_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || source || '.Example.org' || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/corpus/' || CAST(doc_id % 100 AS VARCHAR)
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+        |    || '&utm_campaign=x#sect' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    replace(regexp_replace(regexp_replace(replace(
+        |      lower(regexp_extract(url, '^[^/]+//[^/]+'))
+        |        || substr(url, length(regexp_extract(url, '^[^/]+//[^/]+')) + 1),
+        |      ':443/', '/'),
+        |      '#.*$', ''),
+        |      '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+        |      '&id=', '?id=') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, count(*) AS n_fetches,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, d) =>
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+        col("source"), lit(".Example.org"),
+        when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+        lit("/corpus/"), (col("doc_id") % 100).cast("string"),
+        lit("?utm_source=feed&id="), (col("doc_id") % 100).cast("string"),
+        lit("&utm_campaign=x#sect"), col("doc_id").cast("string"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), url.as("url"))
+        .withColumn("pre", regexp_extract(col("url"), "^[^/]+//[^/]+", 0))
+        .withColumn("c0", concat(lower(col("pre")),
+          expr("substr(url, length(pre) + 1)")))
+        .withColumn("canonical_url",
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("c0"), ":443/", "/"),
+            "#.*$", ""),
+            "[?&]utm_[a-z_]+=[^&#]*", ""),
+            "&id=", "\\?id="))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_fetches"),
+             min(col("doc_id")).as("keep_id"),
+             sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("canonical_url"))
+    },
   )
 }

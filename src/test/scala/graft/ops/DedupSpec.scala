@@ -122,6 +122,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_url_canonical: canonical form is normalized and partitions all fetches") {
+    val out = SparkEntry.queries("dedup_url_canonical")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_fetches")).sum ==
+      Tables.documents(spark, sf).count(),
+      "every fetch collapses into exactly one canonical URL")
+    out.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(u.startsWith("https://"), s"scheme not normalized: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains(":443"),
+        s"noise survived canonicalization: $u")
+      val schemeHost = u.substring(0, u.indexOf("/corpus/"))
+      assert(schemeHost == schemeHost.toLowerCase, s"host case not folded: $u")
+      assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("id_sum"))
+    }
+  }
+
   test("dedup_semantic: cells partition the corpus; dups bounded by cell size") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_vecs")).sum
