@@ -16,7 +16,8 @@ object SparkEntry {
   private def suites: Seq[Q] =
     RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all ++
       DedupOps.all ++ AnnOps.all ++ TextOps.all ++ MultimodalOps.all ++
-      TemporalJoinOps.all ++ PipelineOps.all ++ StreamingOps.all
+      TemporalJoinOps.all ++ PipelineOps.all ++ StreamingOps.all ++
+      ProfilingOps.all ++ AnalyticsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

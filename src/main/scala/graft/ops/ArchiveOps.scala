@@ -486,5 +486,77 @@ object ArchiveOps {
              sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("remaining_value"))
         .orderBy(col("l_returnflag"))
     },
+
+    // CDC MERGE (upsert/delete/insert, latest-wins) — the incremental-sync
+    // upgrade over the reference's append-plus-delete-back lifecycle
+    // (source/mysql.go:134-172 deletes; there is no update path). A
+    // change-log keyed by (key, seq) is reduced to its last operation per
+    // key (one window pass over the DELTA, which at scale is small relative
+    // to the snapshot), then applied to the base snapshot with a single
+    // full-outer join: unmatched-base rows carry over, 'D' drops, 'U'
+    // rewrites in place, 'I' appends. Output is the merged snapshot's audit
+    // summary (one row), so the oracle pins row counts per action AND the
+    // exact decimal-summed balance of the surviving snapshot.
+    Q("cdc_upsert_merge",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, o_totalprice + 100.0 AS price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT -o_orderkey, 1, 'I', o_totalprice FROM orders WHERE o_orderkey % 11 = 0),
+        |last AS (
+        |  SELECT key, op, price FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT coalesce(b.o_orderkey, c.key) AS key,
+        |    CASE WHEN c.key IS NULL THEN b.o_totalprice ELSE c.price END AS price,
+        |    CASE WHEN c.key IS NULL THEN 'keep'
+        |         WHEN c.op = 'D' THEN 'delete'
+        |         WHEN b.o_orderkey IS NULL THEN 'insert'
+        |         ELSE 'update' END AS act
+        |  FROM orders b FULL OUTER JOIN last c ON b.o_orderkey = c.key)
+        |SELECT
+        |  count(*) FILTER (WHERE act <> 'delete') AS n_rows,
+        |  count(*) FILTER (WHERE act = 'keep') AS n_kept,
+        |  count(*) FILTER (WHERE act = 'update') AS n_updated,
+        |  count(*) FILTER (WHERE act = 'delete') AS n_deleted,
+        |  count(*) FILTER (WHERE act = 'insert') AS n_inserted,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) FILTER (WHERE act <> 'delete') AS DOUBLE)
+        |    AS total_price
+        |FROM m""".stripMargin) { (s, d) =>
+      val base = orders(s, d)
+      val ch = base.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("key"), lit(1).as("seq"), lit("U").as("op"),
+                  (col("o_totalprice") + lit(100.0)).as("price"))
+        .unionAll(base.where(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), lit(2), lit("D"), lit(null).cast("double")))
+        .unionAll(base.where(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey"), lit(1), lit("D"), lit(null).cast("double")))
+        .unionAll(base.where(col("o_orderkey") % 11 === 0)
+          .select(-col("o_orderkey"), lit(1), lit("I"), col("o_totalprice")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("seq").desc)
+      val last = ch.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("key"), col("op"), col("price"))
+      base.join(last, base("o_orderkey") === last("key"), "full_outer")
+        .select(
+          when(last("key").isNull, col("o_totalprice")).otherwise(col("price")).as("price"),
+          when(last("key").isNull, "keep")
+            .when(col("op") === "D", "delete")
+            .when(col("o_orderkey").isNull, "insert")
+            .otherwise("update").as("act"))
+        .agg(
+          count(when(col("act") =!= "delete", lit(1))).as("n_rows"),
+          count(when(col("act") === "keep", lit(1))).as("n_kept"),
+          count(when(col("act") === "update", lit(1))).as("n_updated"),
+          count(when(col("act") === "delete", lit(1))).as("n_deleted"),
+          count(when(col("act") === "insert", lit(1))).as("n_inserted"),
+          sum(when(col("act") =!= "delete", col("price").cast("decimal(18,2)")))
+            .cast("double").as("total_price"))
+    },
   )
 }

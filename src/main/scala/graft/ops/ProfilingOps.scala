@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-profiling and data-quality operators — the pre-flight checks a
+  * large-scale pipeline runs before (and after) every archive/training run.
+  * The reference's only profiling is its planning aggregates (COUNT/MIN/MAX,
+  * source/mysql.go:67-132); these generalize that idea to whole-table column
+  * profiles, distribution histograms, and robust outlier screens — all
+  * single-digit-pass DataFrame programs with exact-arithmetic oracles.
+  */
+object ProfilingOps {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+
+    // Per-column profile (null count, exact distinct count, min/max) in ONE
+    // aggregate pass over the table — the generalization of the reference's
+    // per-table planning queries (A1/A3/A4). Multiple exact count(distinct)s
+    // plan as a single Expand-based aggregate: still one scan, no driver
+    // loops; at 100 TB the same plan holds (Expand multiplies rows map-side
+    // but each copy carries one column). Numeric extremes surface as DOUBLE,
+    // string/timestamp extremes as formatted strings — no cross-type
+    // stringification, so both engines emit identical cells.
+    Q("profile_columns",
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(*) - count(l_orderkey) AS n_null,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*) - count(l_quantity), count(DISTINCT l_quantity),
+        |    CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(l_linestatus), max(l_linestatus)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*) - count(l_shipdate), count(DISTINCT l_shipdate),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM lineitem
+        |) ORDER BY col_name""".stripMargin) { (s, d) =>
+      val agg = lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("nn_ok"),
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        min(col("l_orderkey")).cast("double").as("mn_ok"),
+        max(col("l_orderkey")).cast("double").as("mx_ok"),
+        count(col("l_quantity")).as("nn_qt"),
+        countDistinct(col("l_quantity")).as("nd_qt"),
+        min(col("l_quantity")).cast("double").as("mn_qt"),
+        max(col("l_quantity")).cast("double").as("mx_qt"),
+        count(col("l_extendedprice")).as("nn_ep"),
+        countDistinct(col("l_extendedprice")).as("nd_ep"),
+        min(col("l_extendedprice")).cast("double").as("mn_ep"),
+        max(col("l_extendedprice")).cast("double").as("mx_ep"),
+        count(col("l_returnflag")).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        min(col("l_returnflag")).as("mn_rf"),
+        max(col("l_returnflag")).as("mx_rf"),
+        count(col("l_linestatus")).as("nn_ls"),
+        countDistinct(col("l_linestatus")).as("nd_ls"),
+        min(col("l_linestatus")).as("mn_ls"),
+        max(col("l_linestatus")).as("mx_ls"),
+        count(col("l_shipdate")).as("nn_sd"),
+        countDistinct(col("l_shipdate")).as("nd_sd"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mn_sd"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("mx_sd"))
+      val nullS = lit(null).cast("string")
+      val nullD = lit(null).cast("double")
+      def num(name: String, k: String) = struct(
+        lit(name).as("col_name"), (col("n_rows") - col(s"nn_$k")).as("n_null"),
+        col(s"nd_$k").as("n_distinct"), col(s"mn_$k").as("min_num"),
+        col(s"mx_$k").as("max_num"), nullS.as("min_str"), nullS.as("max_str"))
+      def str(name: String, k: String) = struct(
+        lit(name).as("col_name"), (col("n_rows") - col(s"nn_$k")).as("n_null"),
+        col(s"nd_$k").as("n_distinct"), nullD.as("min_num"), nullD.as("max_num"),
+        col(s"mn_$k").as("min_str"), col(s"mx_$k").as("max_str"))
+      agg.select(explode(array(
+          num("l_orderkey", "ok"), num("l_quantity", "qt"),
+          num("l_extendedprice", "ep"), str("l_returnflag", "rf"),
+          str("l_linestatus", "ls"), str("l_shipdate", "sd"))).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
+    },
+
+    // Fixed-width distribution histogram + CDF over l_extendedprice — the
+    // "what does this column look like" primitive behind partition-size
+    // planning and skew detection. Bucketing is a projection at the scan
+    // (floor of one IEEE division — bit-identical across engines), then one
+    // small aggregate; the running CDF windows over the ~20-row bucket
+    // frame, not the data.
+    Q("f_histogram",
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |         l_extendedprice AS p
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT bucket, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n,
+        |  CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  sum_price
+        |FROM h ORDER BY bucket""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(floor(col("l_extendedprice") / lit(5000.0)).cast("bigint").as("bucket"),
+                col("l_extendedprice").as("p"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("p").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .withColumn("cum_n",
+          sum(col("n")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"))
+        .select(col("bucket"), col("n"), col("cum_n"), col("sum_price"))
+        .orderBy(col("bucket"))
+    },
+
+    // Robust per-group outlier screen: lower-median and MAD (median absolute
+    // deviation) per event_type, then flag |v − med| > 3·MAD. Median and MAD
+    // are exact data values selected by row_number (no interpolation, no
+    // engine-specific percentile) — every output cell is either an input
+    // double or an integer count, so the compare is bit-exact. Two window
+    // passes partitioned on the group key: the same key shuffle reused, and
+    // at scale each group sorts independently (per-partition sort, no global
+    // order).
+    Q("anomaly_mad",
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        |  FROM r GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.value, abs(e.value - m.med) AS dv, m.med
+        |  FROM e JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, min(d.med) AS med, min(m.mad) AS mad,
+        |  count(*) FILTER (WHERE d.dv > 3 * m.mad) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d).select(col("event_type"), col("event_id"), col("value"))
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val grp = Window.partitionBy(col("event_type"))
+      val med = e
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(grp))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("med"))
+      // few event types → the med/mad side is tiny; broadcast it so the big
+      // side is never reshuffled for the join
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dv", abs(col("value") - col("med")))
+      val byDev = Window.partitionBy(col("event_type"))
+        .orderBy(col("dv"), col("event_id"))
+      val mad = dev
+        .withColumn("rn", row_number().over(byDev))
+        .withColumn("n", count(lit(1)).over(grp))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dv"))).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+             min(col("mad")).as("mad"),
+             count(when(col("dv") > lit(3) * col("mad"), lit(1))).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+  )
+}

@@ -211,5 +211,49 @@ object TextOps {
             .as("xent"))
         .orderBy(col("doc_id")).limit(500)
     },
+
+    // Corpus TF-IDF with top-3 terms per document — the classic distinctive-
+    // term / keyword-extraction signal. One (doc,term) shuffle builds the
+    // term frequencies; document frequencies derive from the aggregated TF
+    // relation (vocabulary-sized, NOT corpus-sized), so the scoring join
+    // BROADCASTs the dictionary back over the TF stream — the corpus is
+    // never reshuffled on the term key. Ranking is exact-integer (tf desc,
+    // df asc, term asc), never by the IEEE score, so row_number is engine-
+    // identical; the displayed score rounds to 4 digits to absorb ln() ulp
+    // differences (same pattern as text_char_entropy).
+    Q("tfidf_topterms",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+        |    round(CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(n.n AS DOUBLE) / CAST(df.df_docs AS DOUBLE)), 4) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df_docs ASC, tf.term ASC) AS rn
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rn, term, tf, df_docs, score
+        |FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val docs = Tables.fan(s, documents(s, d))
+      val terms = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+      val nDocs = documents(s, d).count()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
+      tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("score",
+          round(col("tf").cast("double")
+            * log(lit(nDocs.toDouble) / col("df_docs").cast("double")), 4))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+                col("df_docs"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
   )
 }

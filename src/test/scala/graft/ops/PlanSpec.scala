@@ -309,4 +309,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UnionLoop") || p.contains("CTERelation") || p.contains("Recursion"),
       "recursive CTE must plan as the iterative fixpoint operator:\n" + p)
   }
+
+  test("profile_columns: ONE Expand-based aggregate pass, single table scan") {
+    val p = planOf("profile_columns")
+    // multiple exact count(distinct)s plan as Expand + one aggregate chain,
+    // not one scan per column (the UNION-of-scans shape the oracle uses)
+    assert(p.contains("Expand"), p)
+    // formatted explain prints each scan twice (tree node + detail header),
+    // so one physical scan = 2 occurrences; a per-column UNION would be 12
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "profile must read the table once, not once per column:\n" + p)
+  }
+
+  test("f_histogram: bucket projection at the scan, partial agg, 2-column read") {
+    val p = planOf("f_histogram")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      "histogram must scan only the bucketed column:\n" + p)
+  }
+
+  test("anomaly_mad: median/MAD frames broadcast back over the stream") {
+    val p = planOf("anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "group-stat joins must broadcast (stats are group-grained):\n" + p)
+  }
+
+  test("tfidf_topterms: DF dictionary broadcast; corpus never reshuffles on term") {
+    val p = planOf("tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cdc_upsert_merge: one outer join applies the delta, no nested loop") {
+    val p = planOf("cdc_upsert_merge")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_funnel / retention_cohort: stage joins are equi-joins on user_id") {
+    Seq("events_funnel", "retention_cohort").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on the user key, never a nested loop:\n" + p)
+    }
+  }
+
+  test("graph_pagerank: rank joins are equi-joins; no per-iteration nested loop") {
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
