@@ -235,6 +235,67 @@ object StreamingOps {
         .orderBy(col("user_id"))
     },
 
+    // Stream-stream LEFT OUTER join — the watermark-eviction contract on
+    // top of the inner join above: a purchase with no preceding-hour click
+    // emits a null-extended row only when the global watermark (max event
+    // time − the 4 h delay, ms-truncated by the engine) passes its join
+    // window and its buffered state is evicted; purchases still inside the
+    // final watermark horizon never emit. The oracle mirrors exactly that:
+    // the relational join's matched pairs, plus unmatched purchases with
+    // p_ts strictly below the final global watermark — which is the MIN
+    // over both watermark operators' ms-truncated max event times (each
+    // side tracks its own filtered stream's max, NOT the feed's overall
+    // max — visible at sf0.001 where the last click trails the last
+    // purchase by hours) minus the 4 h delay. (The closing no-data
+    // micro-batch performs the final eviction — processAllAvailable runs
+    // it once the watermark advances.)
+    Q("stream_left_outer_join",
+      """WITH mx AS (
+        |  SELECT least(
+        |    (SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+        |     FROM events WHERE event_type = 'purchase'),
+        |    (SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+        |     FROM events WHERE event_type = 'click'))
+        |    - 14400000000 AS cutoff_us FROM (SELECT 1)),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_t
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_t
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.p_id, c.c_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.c_t >= p.p_t - 3600000000 AND c.c_t <= p.p_t),
+        |unm AS (
+        |  SELECT p.user_id, p.p_id, CAST(NULL AS BIGINT) AS c_id
+        |  FROM p CROSS JOIN mx
+        |  WHERE p.p_t < mx.cutoff_us
+        |    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |          AND c.c_t >= p.p_t - 3600000000 AND c.c_t <= p.p_t))
+        |SELECT user_id, count(*) AS n_rows, count(c_id) AS n_matched,
+        |  count(*) - count(c_id) AS n_unmatched,
+        |  CAST(sum(p_id) AS BIGINT) AS purchase_id_sum
+        |FROM (SELECT * FROM j UNION ALL SELECT * FROM unm) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val p = eventStream(s, d).where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "4 hours")
+      val c = eventStream(s, d).where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                col("event_id").as("c_id"))
+        .withWatermark("c_ts", "4 hours")
+      val joined = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("user_id"), col("p_id"), col("c_id"))
+      runToMemory(joined, "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("c_id")).as("n_matched"),
+             (count(lit(1)) - count(col("c_id"))).as("n_unmatched"),
+             sum(col("p_id")).cast("bigint").as("purchase_id_sum"))
+        .orderBy(col("user_id"))
+    },
+
     // flatMapGroupsWithState sessionization (30 min inactivity gap). The
     // streaming contract emits CLOSED sessions only — each user's final
     // session stays open in state — so the oracle's gaps-and-islands
