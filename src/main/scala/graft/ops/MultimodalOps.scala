@@ -199,6 +199,60 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Shot-boundary detection — the video-curation segmentation step: a
+    // frame-feature delta above threshold starts a new shot (lag window),
+    // shots are gaps-and-islands (running sum of breaks), and the per-video
+    // summary reports shot count and the longest shot. The per-frame
+    // feature is the decode STUB's deterministic arithmetic (swap in a real
+    // frame histogram/embedding; the windowing topology is identical). Two
+    // window passes + one aggregate, all partitioned on doc_id — per-video
+    // work, embarrassingly parallel across the corpus.
+    Q("mm_shot_boundaries",
+      """WITH meta AS (
+        |  SELECT doc_id, 10 + doc_id % 110 AS duration_s
+        |  FROM documents WHERE doc_id < 200),
+        |frames AS (
+        |  SELECT doc_id, CAST(unnest(range(0, duration_s * 30, 60)) AS BIGINT) AS frame_idx
+        |  FROM meta),
+        |feat AS (
+        |  SELECT doc_id, frame_idx,
+        |    (doc_id * 131 + frame_idx * 7919) % 256 AS f
+        |  FROM frames),
+        |brk AS (
+        |  SELECT doc_id, frame_idx, f,
+        |    CASE WHEN abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 128
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM feat),
+        |sid AS (
+        |  SELECT doc_id, frame_idx,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM brk),
+        |shots AS (
+        |  SELECT doc_id, shot, count(*) AS shot_len FROM sid GROUP BY doc_id, shot)
+        |SELECT doc_id, CAST(sum(shot_len) AS BIGINT) AS n_frames,
+        |  count(*) AS n_shots, max(shot_len) AS longest_shot
+        |FROM shots GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), (lit(10) + col("doc_id") % 110).as("duration_s"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, duration_s * 30 - 1, 60)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .withColumn("f", (col("doc_id") * 131 + col("frame_idx") * 7919) % 256)
+        .withColumn("b",
+          when(abs(col("f") - lag(col("f"), 1).over(byFrame)) > 128, 1).otherwise(0))
+        .withColumn("shot", sum(col("b")).over(
+          byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("shot"))
+        .agg(count(lit(1)).as("shot_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("shot_len")).cast("bigint").as("n_frames"),
+             count(lit(1)).as("n_shots"), max(col("shot_len")).as("longest_shot"))
+        .orderBy(col("doc_id"))
+    },
+
     // Audio-style windowing: n_samples → 1024-sample frames with 512 hop;
     // per-doc window count and coverage (pure integer arithmetic).
     Q("mm_audio_windows",

@@ -403,5 +403,43 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // Z-order layout key — multi-dimensional clustering for scan locality:
+    // interleaving the bits of (l_partkey, l_suppkey) gives a single sort
+    // key under which every contiguous file of rows covers a bounded
+    // RECTANGLE in (partkey, suppkey) space, so min/max file statistics
+    // prune scans filtered on EITHER dimension (a linear sort prunes only
+    // its leading column). The contract output proves exactly that
+    // property: per coarse z-bucket, the spanned partkey and suppkey
+    // ranges are narrow tiles, not the full domain. The key itself is
+    // pure bit arithmetic at the scan — computing it costs one projection,
+    // and the clustered write is a range sort on it (the global_shuffle
+    // shape). Identical 16-bit interleave generated for both engines.
+    Q("layout_zorder", {
+      val duckZ = (0 until 16).map { i =>
+        s"((pk >> $i) & 1) * ${1L << (2 * i + 1)} + ((sk >> $i) & 1) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH k AS (
+         |  SELECT l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk FROM lineitem),
+         |zv AS (SELECT pk, sk, $duckZ AS z FROM k)
+         |SELECT CAST(z // 16384 AS BIGINT) AS z_bucket, count(*) AS n,
+         |  min(pk) AS pk_min, max(pk) AS pk_max,
+         |  min(sk) AS sk_min, max(sk) AS sk_max
+         |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      val sparkZ = (0 until 16).map { i =>
+        s"(shiftright(pk, $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"(shiftright(sk, $i) & 1) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      lineitem(s, d)
+        .select((col("l_partkey") % 65536).as("pk"),
+                (col("l_suppkey") % 65536).as("sk"))
+        .withColumn("z", expr(sparkZ))
+        .groupBy(expr("z div 16384").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+             min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+        .orderBy(col("z_bucket"))
+    },
+
   )
 }
