@@ -208,6 +208,34 @@ object ScalarOps {
     // the try_ family to degrade to NULL instead of failing the job. The
     // oracle expresses the same semantics with guard CASEs — which is
     // also what a pre-ANSI engine would write by hand.
+    // Conditional / null-handling family: nullif, coalesce over generated
+    // nulls, least/greatest clamping, tiered CASE, and division guarded by
+    // nullif — the null-algebra every cleaning pipeline leans on. Pure
+    // per-row codegen; every output is an input value, an integer, or one
+    // IEEE op on identical inputs.
+    Q("f_conditional_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_quantity, 24.0) AS nz_qty,
+        |  coalesce(nullif(l_quantity, 24.0), l_extendedprice) AS qty_or_price,
+        |  least(greatest(l_quantity, 5.0), 45.0) AS clamped,
+        |  CASE WHEN l_discount > 0.05 THEN 'H'
+        |       WHEN l_discount > 0.02 THEN 'M' ELSE 'L' END AS tier,
+        |  CAST(l_tax / nullif(l_discount, 0.0) AS DOUBLE) AS tax_per_disc
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d).where(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_quantity"), lit(24.0)).as("nz_qty"),
+          coalesce(nullif(col("l_quantity"), lit(24.0)), col("l_extendedprice"))
+            .as("qty_or_price"),
+          least(greatest(col("l_quantity"), lit(5.0)), lit(45.0)).as("clamped"),
+          when(col("l_discount") > 0.05, "H")
+            .when(col("l_discount") > 0.02, "M").otherwise("L").as("tier"),
+          (col("l_tax") / nullif(col("l_discount"), lit(0.0)))
+            .cast("double").as("tax_per_disc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     Q("f_try_funcs",
       """SELECT event_id,
         |  CASE WHEN event_id % 7 = 0 THEN NULL
