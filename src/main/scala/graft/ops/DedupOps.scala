@@ -183,7 +183,7 @@ object DedupOps {
       |ORDER BY d1, d2""".stripMargin
 
   /** The pair CTEs of the jaccard oracle, shared by two queries' SQL. */
-  private val jaccardPairsSql: String =
+  private val gramPairsSql: String =
     """  g AS (
       |  SELECT DISTINCT doc_id,
       |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
@@ -193,7 +193,10 @@ object DedupOps {
       |rawpairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardPairsSql: String =
+    s"""$gramPairsSql,
       |jpairs AS (
       |  SELECT d1, d2, inter,
       |    CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
@@ -233,6 +236,49 @@ object DedupOps {
          |$jaccardPairsSql
          |SELECT d1, d2, inter, jac FROM jpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
       jaccardPairs(s, d).orderBy(col("d1"), col("d2"))
+    },
+
+    // Asymmetric CONTAINMENT dedup — |grams(A) ∩ grams(B)| / min(|A|,|B|):
+    // the quote/boilerplate-inclusion detector. A short document embedded
+    // in a long one has low Jaccard (the union is dominated by the long
+    // doc) but containment ≈ 1, so this catches exactly the near-dup class
+    // the symmetric measure misses. Same inverted-index candidate
+    // machinery as dedup_ngram_jaccard — work still tracks gram
+    // collisions, never all-pairs — with the contained (smaller-gram-set)
+    // side identified per pair.
+    Q("dedup_containment",
+      s"""WITH
+         |$gramPairsSql,
+         |cpairs AS (
+         |  SELECT d1, d2, inter,
+         |    CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) AS cont,
+         |    CASE WHEN s1.sz < s2.sz THEN d1
+         |         WHEN s2.sz < s1.sz THEN d2 ELSE least(d1, d2) END AS contained_doc
+         |  FROM rawpairs
+         |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) >= 0.8)
+         |SELECT d1, d2, inter, cont, contained_doc
+         |FROM cpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val g = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), wordShingles("text").as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"),
+                explode(col("sh")).as("gram"))
+        .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
+      val a = g.as("a"); val b = g.as("b")
+      a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+                 col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("cont",
+          col("inter").cast("double") / least(col("sz1"), col("sz2")))
+        .where(col("cont") >= 0.8)
+        .withColumn("contained_doc",
+          when(col("sz1") < col("sz2"), col("d1"))
+            .when(col("sz2") < col("sz1"), col("d2"))
+            .otherwise(least(col("d1"), col("d2"))))
+        .select(col("d1"), col("d2"), col("inter"), col("cont"),
+                col("contained_doc"))
+        .orderBy(col("d1"), col("d2"))
     },
 
     // Dedup clustering: near-dup pairs are only half the operator a real

@@ -190,5 +190,43 @@ object ProfilingOps {
              count(when(col("dv") > lit(3) * col("mad"), lit(1))).as("n_outliers"))
         .orderBy(col("event_type"))
     },
+
+    // Join-key skew diagnosis — the DETECT half of the hot-key story
+    // (o2_salted_join is the remediation): per-key frequencies for a
+    // prospective join/shuffle key, ranked hot keys with their share of
+    // the table and their multiple of the mean key load. One partial-agg
+    // shuffle on the key + a TakeOrdered top-10; the global totals ride
+    // along as a 1-row broadcast. A key with skew_x ≫ 1 is the one that
+    // would pin a single executor in a shuffle join — and the number that
+    // decides between plain AQE skew-split and explicit salting.
+    Q("profile_skew",
+      """WITH kc AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM kc)
+        |SELECT rank, key, cnt,
+        |  CAST(cnt AS DOUBLE) / n_rows AS share,
+        |  CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_x,
+        |  n_keys, n_rows
+        |FROM (
+        |  SELECT key, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |  FROM kc) r CROSS JOIN tot
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
+      val kc = lineitem(s, d)
+        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+      val tot = kc.agg(count(lit(1)).as("n_keys"),
+                       sum(col("cnt")).cast("bigint").as("n_rows"))
+      val top = kc.orderBy(col("cnt").desc, col("key")).limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("key"))))
+      top.crossJoin(broadcast(tot))
+        .select(col("rank"), col("key"), col("cnt"),
+          (col("cnt").cast("double") / col("n_rows")).as("share"),
+          (col("cnt").cast("double") * col("n_keys") / col("n_rows")).as("skew_x"),
+          col("n_keys"), col("n_rows"))
+        .orderBy(col("rank"))
+    },
   )
 }
