@@ -208,6 +208,32 @@ object ScalarOps {
     // the try_ family to degrade to NULL instead of failing the job. The
     // oracle expresses the same semantics with guard CASEs — which is
     // also what a pre-ANSI engine would write by hand.
+    // NULL-ordering portability pin: Spark sorts NULLS FIRST on ASC and
+    // NULLS LAST on DESC by default; DuckDB does the OPPOSITE (NULLS LAST
+    // on ASC). Every ordered contract output elsewhere dodges this with
+    // non-null sort keys; this query pins the explicit NULLS FIRST/LAST
+    // forms that make ordered output portable when the key CAN be null.
+    Q("f_null_ordering",
+      """WITH v AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val
+        |  FROM events WHERE event_id < 300)
+        |SELECT event_id, val,
+        |  row_number() OVER (ORDER BY val ASC NULLS LAST, event_id) AS rn_asc_nl,
+        |  row_number() OVER (ORDER BY val DESC NULLS FIRST, event_id) AS rn_desc_nf
+        |FROM v ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      events(s, d).where(col("event_id") < 300)
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("val"))
+        .withColumn("rn_asc_nl", row_number().over(
+          Window.orderBy(col("val").asc_nulls_last, col("event_id"))))
+        .withColumn("rn_desc_nf", row_number().over(
+          Window.orderBy(col("val").desc_nulls_first, col("event_id"))))
+        .orderBy(col("event_id"))
+    },
+
     // Conditional / null-handling family: nullif, coalesce over generated
     // nulls, least/greatest clamping, tiered CASE, and division guarded by
     // nullif — the null-algebra every cleaning pipeline leans on. Pure
