@@ -25,6 +25,19 @@ object ArchiveOps {
   private def one(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
 
+  /** Temp staging dirs for queries that exercise write→read paths; removed
+    * on JVM exit so repeated bench/verify runs don't accumulate. */
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.values().forEach(p => rm(new java.io.File(p)))))
+  }
+
   /** Planning aggregate A3/A1: min/max/count of the split key under the user
     * predicate — a single driver-side job with a 1-row result. */
   private def keyStats(df: DataFrame, key: String): (BigInt, BigInt, BigInt) = {
@@ -484,6 +497,45 @@ object ArchiveOps {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("remaining"),
              sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("remaining_value"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // K2/F7 extension — schema EVOLUTION across archive generations: an
+    // early batch written without a later column must stay readable after
+    // the column is added (the dual of FIELD_DEFAULT alignment, which
+    // handles the sink being wider). Two generations are staged to
+    // parquet (v1 lacks l_extendedprice), then ONE mergeSchema read
+    // reconciles them — old rows surface NULL for the added column, and
+    // the aggregate proves both the row preservation and the null
+    // semantics. At scale this is how a years-deep archive tolerates
+    // source DDL without rewriting history.
+    Q("k8_schema_evolution",
+      """WITH evolved AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END AS l_extendedprice
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  count(l_extendedprice) AS n_with_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM evolved GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-schema-evo").toString
+      tmpDirs.put(root, root)
+      val li = lineitem(s, d)
+      li.where(col("l_orderkey") % 2 === 0)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      li.where(col("l_orderkey") % 2 === 1)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      s.read.option("mergeSchema", "true").option("recursiveFileLookup", "true")
+        .parquet(root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("l_extendedprice")).as("n_with_price"),
+             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price_sum"))
         .orderBy(col("l_returnflag"))
     },
 
