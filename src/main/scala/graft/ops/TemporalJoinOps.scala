@@ -154,5 +154,69 @@ object TemporalJoinOps {
             .as("v_interp"))
         .orderBy(col("user_id"), col("g_us"))
     },
+
+    // NEAREST as-of — completes the family (backward = asof_join_events,
+    // forward+backward = q34's interpolation): each purchase matched to
+    // its temporally closest click either direction, ties to the earlier
+    // (backward) side. Composed from TWO passes of the same as-of
+    // operator (forward = backward over negated time), then a purchase-
+    // grained pick — still no inequality join anywhere; the oracle is the
+    // per-user all-pairs argmin, which the operator must equal. Purchases
+    // with no click at all keep a NULL match (left semantics).
+    Q("asof_nearest_events",
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_t
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_t
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.p_id, c.c_id, c.c_t - p.p_t AS delta,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY abs(c.c_t - p.p_t),
+        |               CASE WHEN c.c_t <= p.p_t THEN 0 ELSE 1 END, c.c_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT p.p_id, p.user_id, p.p_t,
+        |  n.c_id AS near_c_id, CAST(n.delta AS BIGINT) AS delta_us
+        |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) n ON p.p_id = n.p_id
+        |ORDER BY p.p_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                col("event_id").as("p_id"), col("event_id").as("tb"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                col("event_id").as("c_id"), unix_micros(col("ts")).as("c_t"),
+                col("event_id").as("tb"))
+      // ties among equal-ts clicks: asof keeps the greatest tiebreak, the
+      // oracle's rn the smallest c_id — unreachable on µs-unique fixtures,
+      // negate the tiebreak if a source ever quantizes timestamps
+      val back = graft.operators.TemporalJoins
+        .asof(p, c, keys = Seq("user_id"), tsCol = "t",
+              valueCols = Seq("c_id", "c_t"), tiebreak = "tb")
+        .select(col("p_id"), col("user_id"), col("t").as("p_t"),
+                col("asof_c_id").as("b_id"), col("asof_c_t").as("b_t"))
+      val fwd = graft.operators.TemporalJoins
+        .asof(p.withColumn("t", -col("t")), c.withColumn("t", -col("t")),
+              keys = Seq("user_id"), tsCol = "t",
+              valueCols = Seq("c_id", "c_t"), tiebreak = "tb")
+        .select(col("p_id"), col("asof_c_id").as("f_id"),
+                col("asof_c_t").as("f_t"))
+      back.join(fwd, "p_id")
+        .select(col("p_id"), col("user_id"), col("p_t"),
+          expr("""CASE
+                 |  WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                 |  WHEN f_id IS NULL THEN b_id
+                 |  WHEN b_id IS NULL THEN f_id
+                 |  WHEN abs(b_t - p_t) <= abs(f_t - p_t) THEN b_id
+                 |  ELSE f_id END""".stripMargin).as("near_c_id"),
+          expr("""CAST(CASE
+                 |  WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                 |  WHEN f_id IS NULL THEN b_t - p_t
+                 |  WHEN b_id IS NULL THEN f_t - p_t
+                 |  WHEN abs(b_t - p_t) <= abs(f_t - p_t) THEN b_t - p_t
+                 |  ELSE f_t - p_t END AS BIGINT)""".stripMargin).as("delta_us"))
+        .orderBy(col("p_id"))
+    },
   )
 }
