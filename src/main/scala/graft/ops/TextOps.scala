@@ -255,5 +255,38 @@ object TextOps {
                 col("df_docs"), col("score"))
         .orderBy(col("doc_id"), col("rn"))
     },
+
+    // The BPE-training inner step: corpus-wide adjacent-symbol-pair counts
+    // (here: character pairs within lowercase words), ranked — the top
+    // pair is the next merge a byte-pair tokenizer would learn. One
+    // explode to (pair) rows with map-side combine into the single count
+    // shuffle; the candidate table is alphabet²-bounded, so the top-k is
+    // a TakeOrdered over a tiny aggregate. Iterating merges re-runs the
+    // same shape over re-segmented text — each iteration is this exact
+    // job.
+    Q("bpe_pair_counts",
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd FROM documents),
+        |pairs AS (
+        |  SELECT substr(wd, CAST(u AS INT), 2) AS pair
+        |  FROM (SELECT wd, unnest(range(1, len(wd))) AS u FROM w) t
+        |  WHERE len(wd) >= 2)
+        |SELECT pair, count(*) AS n,
+        |  row_number() OVER (ORDER BY count(*) DESC, pair) AS rank
+        |FROM pairs GROUP BY pair ORDER BY rank LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.fan(s, documents(s, d))
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("wd"))
+        .where(length(col("wd")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), u -> substr(wd, u, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        // top-k BEFORE numbering (TakeOrdered over the alphabet²-bounded
+        // aggregate); row_number then runs on 20 rows, not the full table
+        .orderBy(col("n").desc, col("pair")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pair"))))
+        .orderBy(col("rank"))
+    },
   )
 }
