@@ -191,6 +191,79 @@ object ProfilingOps {
         .orderBy(col("event_type"))
     },
 
+    // Cross-generation drift monitor — the data-quality check between two
+    // archive generations (here: lineitem split at a ship-date pivot):
+    // per-column row counts, exact distincts, and decimal-exact means for
+    // each generation, with a relative-mean-shift flag. ONE scan computes
+    // both generations' stats via conditional aggregation (no second pass,
+    // no join of two profile runs); the comparison frame is
+    // columns-per-table sized. At 100 TB this is the nightly "did the
+    // source distribution move" gate before a delta is accepted.
+    Q("profile_drift",
+      """WITH s AS (
+        |  SELECT CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |              THEN 0 ELSE 1 END AS gen,
+        |         l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT 'l_quantity' AS col_name,
+        |    count(*) FILTER (WHERE gen = 0) AS n1, count(*) FILTER (WHERE gen = 1) AS n2,
+        |    count(DISTINCT CASE WHEN gen = 0 THEN l_quantity END) AS nd1,
+        |    count(DISTINCT CASE WHEN gen = 1 THEN l_quantity END) AS nd2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE gen = 0) AS DOUBLE)
+        |      / count(*) FILTER (WHERE gen = 0) AS mean1,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE gen = 1) AS DOUBLE)
+        |      / count(*) FILTER (WHERE gen = 1) AS mean2
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |    count(*) FILTER (WHERE gen = 0), count(*) FILTER (WHERE gen = 1),
+        |    count(DISTINCT CASE WHEN gen = 0 THEN l_extendedprice END),
+        |    count(DISTINCT CASE WHEN gen = 1 THEN l_extendedprice END),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE gen = 0) AS DOUBLE)
+        |      / count(*) FILTER (WHERE gen = 0),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE gen = 1) AS DOUBLE)
+        |      / count(*) FILTER (WHERE gen = 1)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |    count(*) FILTER (WHERE gen = 0), count(*) FILTER (WHERE gen = 1),
+        |    count(DISTINCT CASE WHEN gen = 0 THEN l_discount END),
+        |    count(DISTINCT CASE WHEN gen = 1 THEN l_discount END),
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) FILTER (WHERE gen = 0) AS DOUBLE)
+        |      / count(*) FILTER (WHERE gen = 0),
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) FILTER (WHERE gen = 1) AS DOUBLE)
+        |      / count(*) FILTER (WHERE gen = 1)
+        |  FROM s)
+        |SELECT col_name, n1, n2, nd1, nd2, mean1, mean2,
+        |  abs(mean2 - mean1) / abs(mean1) AS rel_mean_shift,
+        |  abs(mean2 - mean1) / abs(mean1) > 0.01 AS drifted
+        |FROM a ORDER BY col_name""".stripMargin) { (s, d) =>
+      val gen0 = col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+      def stats(c: String) = Seq(
+        count(when(gen0, 1)).as(s"n1_$c"),
+        count(when(!gen0, 1)).as(s"n2_$c"),
+        countDistinct(when(gen0, col(c))).as(s"nd1_$c"),
+        countDistinct(when(!gen0, col(c))).as(s"nd2_$c"),
+        (sum(when(gen0, col(c).cast("decimal(18,2)"))).cast("double")
+          / count(when(gen0, 1))).as(s"mean1_$c"),
+        (sum(when(!gen0, col(c).cast("decimal(18,2)"))).cast("double")
+          / count(when(!gen0, 1))).as(s"mean2_$c"))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val agg = lineitem(s, d).agg(cols.flatMap(stats).head,
+        cols.flatMap(stats).tail: _*)
+      def row(c: String) = struct(
+        lit(c).as("col_name"), col(s"n1_$c").as("n1"), col(s"n2_$c").as("n2"),
+        col(s"nd1_$c").as("nd1"), col(s"nd2_$c").as("nd2"),
+        col(s"mean1_$c").as("mean1"), col(s"mean2_$c").as("mean2"))
+      agg.select(explode(array(cols.map(row): _*)).as("p"))
+        .select(col("p.*"))
+        .withColumn("rel_mean_shift",
+          abs(col("mean2") - col("mean1")) / abs(col("mean1")))
+        .withColumn("drifted", col("rel_mean_shift") > 0.01)
+        .orderBy(col("col_name"))
+    },
+
     // Join-key skew diagnosis — the DETECT half of the hot-key story
     // (o2_salted_join is the remediation): per-key frequencies for a
     // prospective join/shuffle key, ranked hot keys with their share of
