@@ -403,6 +403,35 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // Exact-n stratified sampling — eval/holdout-set construction: exactly
+    // 10 documents per language stratum, chosen by splitmix64(doc_id)
+    // order so the sample is deterministic, uniform within the stratum,
+    // and STABLE under corpus growth (a doc's rank only changes if
+    // earlier-hashed docs enter its stratum — no reshuffling of the whole
+    // sample when new data lands, unlike random-sort sampling). One window
+    // per stratum over the hash order; the rate-based sibling is
+    // corpus_mix_sample.
+    Q("stratified_exact_n",
+      s"""WITH s0 AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents),
+         |${SqlKernels.smixCtes("x", "s0", "doc_id, lang")},
+         |r AS (
+         |  SELECT lang, doc_id, CAST(z % 9223372036854775808 AS BIGINT) AS h,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY z % 9223372036854775808, doc_id) AS rn
+         |  FROM x6)
+         |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 10
+         |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          splitmix64(col("doc_id")).bitwiseAND(lit(Long.MaxValue)).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .where(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
     // Z-order layout key — multi-dimensional clustering for scan locality:
     // interleaving the bits of (l_partkey, l_suppkey) gives a single sort
     // key under which every contiguous file of rows covers a bounded

@@ -155,6 +155,57 @@ object TemporalJoinOps {
         .orderBy(col("user_id"), col("g_us"))
     },
 
+    // SCD Type-2 temporal dimension join — each fact row joined to the
+    // dimension VERSION effective at its event time (the warehouse pattern
+    // for slowly-changing attributes). Dimension versions are synthesized
+    // deterministically (base segment at T0; an upgrade at T0+10d for
+    // custkey%3=0, another at T0+20d for custkey%5=0), the join is the
+    // SAME reusable as-of operator — one key shuffle, no inequality join —
+    // and because the version schedule is regular, the oracle states the
+    // effective attribute in CLOSED FORM per event (the mm_av_alignment
+    // pattern: operator must equal the arithmetic ideal).
+    Q("scd2_dim_join",
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+        |  FROM events WHERE user_id >= 1),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |eff AS (
+        |  SELECT f.user_id, f.value,
+        |    CASE WHEN f.user_id % 5 = 0 AND f.t >= epoch_us(TIMESTAMP '2024-01-21 00:00:00')
+        |         THEN 'UPGRADED2'
+        |         WHEN f.user_id % 3 = 0 AND f.t >= epoch_us(TIMESTAMP '2024-01-11 00:00:00')
+        |         THEN 'UPGRADED1'
+        |         ELSE c.c_mktsegment END AS seg
+        |  FROM f JOIN c ON f.user_id = c.c_custkey)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM eff GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+      val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+      val day = 86400000000L
+      val facts = events(s, d).where(col("user_id") >= 1)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+                col("value"), col("event_id").as("tb"))
+      val dim = customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val versions = dim
+        .select(col("user_id"), lit(t0).as("t"),
+                col("c_mktsegment").as("seg"), lit(0L).as("tb"))
+        .unionAll(dim.where(col("user_id") % 3 === 0)
+          .select(col("user_id"), lit(t0 + 10 * day),
+                  lit("UPGRADED1"), lit(1L)))
+        .unionAll(dim.where(col("user_id") % 5 === 0)
+          .select(col("user_id"), lit(t0 + 20 * day),
+                  lit("UPGRADED2"), lit(2L)))
+      graft.operators.TemporalJoins
+        .asof(facts, versions, keys = Seq("user_id"), tsCol = "t",
+              valueCols = Seq("seg"), tiebreak = "tb")
+        .where(col("asof_seg").isNotNull)
+        .groupBy(col("asof_seg").as("seg"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        .orderBy(col("seg"))
+    },
+
     // NEAREST as-of — completes the family (backward = asof_join_events,
     // forward+backward = q34's interpolation): each purchase matched to
     // its temporally closest click either direction, ties to the earlier
