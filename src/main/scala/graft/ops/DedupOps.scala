@@ -33,7 +33,11 @@ object DedupOps {
   private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, d)
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** Shared inverted-index candidate machinery (the Scala twin of
+    * `gramPairsSql`): distinct word shingles → xxhash64 → equi-self-join →
+    * per-pair intersection counts with both shingle-set sizes. Jaccard and
+    * containment are one projection each on top. */
+  private def gramPairs(s: SparkSession, d: String): DataFrame = {
     val g = Tables.fan(s, documents(s, d))
       .select(col("doc_id"), wordShingles("text").as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"),
@@ -44,11 +48,14 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
                col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    gramPairs(s, d)
       .withColumn("jac",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jac") >= 0.5)
       .select(col("d1"), col("d2"), col("inter"), col("jac"))
-  }
 
   /** MinHash-LSH candidate pairs (d1 < d2) with their signature-estimated
     * Jaccard: 64 minhash values over word 5-gram shingles (fully-native
@@ -259,16 +266,7 @@ object DedupOps {
          |  WHERE CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) >= 0.8)
          |SELECT d1, d2, inter, cont, contained_doc
          |FROM cpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val g = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), wordShingles("text").as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("sz"),
-                explode(col("sh")).as("gram"))
-        .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
-      val a = g.as("a"); val b = g.as("b")
-      a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-                 col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-        .agg(count(lit(1)).as("inter"))
+      gramPairs(s, d)
         .withColumn("cont",
           col("inter").cast("double") / least(col("sz1"), col("sz2")))
         .where(col("cont") >= 0.8)

@@ -250,8 +250,8 @@ object ProfilingOps {
         (sum(when(!gen0, col(c).cast("decimal(18,2)"))).cast("double")
           / count(when(!gen0, 1))).as(s"mean2_$c"))
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val agg = lineitem(s, d).agg(cols.flatMap(stats).head,
-        cols.flatMap(stats).tail: _*)
+      val ss = cols.flatMap(stats)
+      val agg = lineitem(s, d).agg(ss.head, ss.tail: _*)
       def row(c: String) = struct(
         lit(c).as("col_name"), col(s"n1_$c").as("n1"), col(s"n2_$c").as("n2"),
         col(s"nd1_$c").as("nd1"), col(s"nd2_$c").as("nd2"),

@@ -23,28 +23,17 @@ object StreamingOps {
 
   private val runId = new AtomicLong(0)
 
-  private val streamDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  locally {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      streamDirs.values().forEach(d => rm(new java.io.File(d)))))
-  }
-
   /** Bounded streaming read of the events fixture. The file source wants a
     * DIRECTORY, so the µs-converted events are materialized once per
-    * fixture into a temp dir (memoized per process) — the stand-in for
-    * the landing directory a live deployment tails. */
+    * fixture into a temp dir (memoized per process via [[TempDirs]]) — the
+    * stand-in for the landing directory a live deployment tails. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
-    val dir = streamDirs.computeIfAbsent(d, { _ =>
+    val dir = TempDirs.memo(s"stream-events:$d") {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-stream-events").toString
       Tables.events(s, d).write.mode("overwrite").parquet(tmp)
       tmp
-    })
+    }
     s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
   }
 
@@ -146,9 +135,8 @@ object StreamingOps {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val schema = Tables.events(s, d).schema
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-archive").toString
-      streamDirs.put(root, root) // shutdown-hook cleanup
+      val root = TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-archive").toString)
       val tgt = s"$root/target"
       // uncompressed staging: this query times the COMMIT PROTOCOL, and
       // gzip of a 200k-row NDJSON hop is pure codec CPU on a local disk

@@ -180,6 +180,12 @@ object TemporalJoinOps {
         |SELECT seg, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM eff GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+      // FIXTURE PRECONDITION (shared with the oracle's closed form): every
+      // event time is >= t0, so the base version always applies and the
+      // as-of side never yields NULL — the isNotNull filter below is the
+      // same inner-join the oracle's JOIN performs. An event before t0
+      // would be dropped here but keep the base segment in the oracle;
+      // events start 2024-01-01 00:00:07 at every SF.
       val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
       val day = 86400000000L
       val facts = events(s, d).where(col("user_id") >= 1)
@@ -235,13 +241,13 @@ object TemporalJoinOps {
       val p = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("t"),
                 col("event_id").as("p_id"), col("event_id").as("tb"))
+      // NEGATED tiebreak: asof keeps the greatest tiebreak among equal-ts
+      // right rows, the oracle's rn prefers the SMALLEST c_id — negating
+      // aligns them even if a source quantizes timestamps into collisions
       val c = ev.where(col("event_type") === "click")
         .select(col("user_id"), unix_micros(col("ts")).as("t"),
                 col("event_id").as("c_id"), unix_micros(col("ts")).as("c_t"),
-                col("event_id").as("tb"))
-      // ties among equal-ts clicks: asof keeps the greatest tiebreak, the
-      // oracle's rn the smallest c_id — unreachable on µs-unique fixtures,
-      // negate the tiebreak if a source ever quantizes timestamps
+                (-col("event_id")).as("tb"))
       val back = graft.operators.TemporalJoins
         .asof(p, c, keys = Seq("user_id"), tsCol = "t",
               valueCols = Seq("c_id", "c_t"), tiebreak = "tb")
