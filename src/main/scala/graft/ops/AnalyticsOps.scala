@@ -16,9 +16,27 @@ object AnalyticsOps {
     * and uncached each iteration would re-run the lineitem scan + distinct
     * + degree aggregation (the q33 lesson — materialize the static side of
     * an iteration once). Memoized so bench/verify re-invocations reuse the
-    * cache instead of stacking copies. */
+    * cache instead of stacking copies. Entries are evicted (and their RDD
+    * blocks unpersisted) when their session's SparkContext ends, so a
+    * long-lived JVM that cycles sessions does not pin cached blocks or
+    * strongly retain dead sessions. */
   private val prEdgeCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private val evictorInstalled =
+    java.util.Collections.newSetFromMap(new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def installEvictor(s: org.apache.spark.sql.SparkSession): Unit =
+    if (evictorInstalled.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          prEdgeCache.keySet.removeIf(_._1 eq s)
+          evictorInstalled.remove(s): Unit
+        }
+      })
+    }
 
   val all: Seq[Q] = Seq(
 
@@ -87,9 +105,10 @@ object AnalyticsOps {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // integer floor division end-to-end (positive epochs), mirroring the
+      // oracle's exact `//` — no IEEE rounding anywhere near a week boundary
       val e = events(s, d).select(col("user_id"),
-        (unix_micros(col("ts")).cast("bigint") / lit(604800000000L))
-          .cast("bigint").as("wk"))
+        expr("unix_micros(ts) div 604800000000").as("wk"))
       val f = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
       e.join(f, "user_id")
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
@@ -133,6 +152,7 @@ object AnalyticsOps {
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin
     }) { (s, d) =>
       val nodes = supplier(s, d).select(col("s_suppkey").as("node"))
+      AnalyticsOps.installEvictor(s)
       val ew = AnalyticsOps.prEdgeCache.computeIfAbsent((s, d), { _ =>
         val edges = lineitem(s, d)
           .select(col("l_suppkey").as("src"),

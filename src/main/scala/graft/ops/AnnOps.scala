@@ -37,6 +37,15 @@ object AnnOps {
     array((0 until dims).map(_ => lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
   }
 
+  /** The SAME seeded hyperplanes as DuckDB rows (j, h): the oracle replays
+    * the signature computation against identical ±1 literals, so LSH is
+    * exactly hash-checkable end-to-end like SQ8/PQ. */
+  private def planesSql: String = (0 until 16).map { j =>
+    val rnd = new scala.util.Random(1234 + j)
+    val xs = (0 until dims).map(_ => if (rnd.nextBoolean()) "1" else "-1").mkString(",")
+    s"  SELECT $j AS j, list_transform([$xs], t -> CAST(t AS DOUBLE)) AS h"
+  }.mkString("\n  UNION ALL\n")
+
   import graft.functions.VectorOps.dot_d
 
   private def cosine(a: Column, b: Column): Column =
@@ -77,7 +86,42 @@ object AnnOps {
 
     // LSH path: signature = 16 sign-bits of hyperplane projections; bucket
     // join on 4-bit bands (multi-probe), exact cosine re-rank of candidates.
-    Q.rowsOnly("ann_lsh_topk") { (s, d) =>
+    // Fully deterministic (seeded hyperplanes), so the oracle rebuilds the
+    // identical signatures/bands/candidates in DuckDB: same left-to-right
+    // dot-product folds, same >= 0 sign test on identical doubles, same
+    // (cos DESC, neighbor_id) tie-break.
+    Q("ann_lsh_topk",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |planes AS (
+         |$planesSql),
+         |bits AS (
+         |  SELECT e.vec_id, pl.j,
+         |    CASE WHEN list_reduce(list_transform(list_zip(e.v, pl.h), z -> z[1] * z[2]),
+         |                          (a, b) -> a + b) >= 0
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes pl),
+         |sigs AS (
+         |  SELECT vec_id, CAST(sum(bit * (1 << (15 - j))) AS BIGINT) AS sig
+         |  FROM bits GROUP BY vec_id),
+         |banded AS (
+         |  SELECT vec_id, bd AS band, (sig >> CAST(bd * 4 AS INT)) & 15 AS bkey
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) t),
+         |qb AS (SELECT vec_id AS query_id, band, bkey FROM banded WHERE vec_id < 5),
+         |cands AS (
+         |  SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
+         |  FROM banded c JOIN qb ON c.band = qb.band AND c.bkey = qb.bkey
+         |  WHERE c.vec_id <> qb.query_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    list_reduce(list_transform(list_zip(qe.v, ce.v), z -> z[1] * z[2]), (a, b) -> a + b)
+         |      / (sqrt(list_reduce(list_transform(qe.v, x -> x * x), (a, b) -> a + b))
+         |       * sqrt(list_reduce(list_transform(ce.v, x -> x * x), (a, b) -> a + b))) AS cos
+         |  FROM cands cd JOIN e qe ON qe.vec_id = cd.query_id
+         |                JOIN e ce ON ce.vec_id = cd.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored) t2
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       val nPlanes = 16; val bandBits = 4
       val e = vecs(s, d)
       val projected = e.withColumn("sigbits", array((0 until nPlanes).map { j =>
@@ -297,7 +341,40 @@ object AnnOps {
     // nprobe instead of corpus × queries; the cell column is the natural
     // partitioning key for a 100 TB corpus (each cell's postings co-located
     // and pruned by the probe list). Recall vs brute force pinned in AnnSpec.
-    Q.rowsOnly("ann_ivf_topk") { (s, d) =>
+    // Centroids are corpus vectors, so the oracle derives them straight from
+    // the parquet: identical cell-assignment argmax (struct compare = cs
+    // DESC, cid DESC), identical probe top-4, identical cosine re-rank.
+    Q("ann_ivf_topk",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 5 AND vec_id < 21),
+        |scores AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b))) AS cs
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, cid DESC) AS rn FROM scores) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, cid DESC) AS rn FROM scores WHERE vec_id < 5) t
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(qe.v, ce.v), z -> z[1] * z[2]), (a2, b2) -> a2 + b2)
+        |      / (sqrt(list_reduce(list_transform(qe.v, x -> x * x), (a2, b2) -> a2 + b2))
+        |       * sqrt(list_reduce(list_transform(ce.v, x -> x * x), (a2, b2) -> a2 + b2))) AS cos
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |       JOIN e qe ON qe.vec_id = p.query_id
+        |       JOIN e ce ON ce.vec_id = a.vec_id)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored) t2
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
       val nprobe = 4
       val e = vecs(s, d)
       val cents: Array[(Long, Array[Double])] =

@@ -507,12 +507,10 @@ object ArchiveOps {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM evolved GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // generations staged ONCE per fixture (TempDirs.memo) — the op under
-      // test is the mergeSchema READ; re-staging identical data per bench
-      // pass would only accumulate /tmp copies
-      val root = TempDirs.memo(s"schema-evo:$d") {
-        val r = java.nio.file.Files
-          .createTempDirectory("graft-schema-evo").toString
+      // generations staged ONCE per fixture (TempDirs.memoStaged) — the op
+      // under test is the mergeSchema READ; re-staging identical data per
+      // bench pass would only accumulate /tmp copies
+      val root = TempDirs.memoStaged(s"schema-evo:$d", "graft-schema-evo") { r =>
         val li = lineitem(s, d)
         li.where(col("l_orderkey") % 2 === 0)
           .select(col("l_returnflag"), col("l_quantity"))
@@ -520,7 +518,6 @@ object ArchiveOps {
         li.where(col("l_orderkey") % 2 === 1)
           .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
           .write.mode("overwrite").parquet(s"$r/gen2")
-        r
       }
       s.read.option("mergeSchema", "true").option("recursiveFileLookup", "true")
         .parquet(root)

@@ -28,11 +28,8 @@ object StreamingOps {
     * fixture into a temp dir (memoized per process via [[TempDirs]]) — the
     * stand-in for the landing directory a live deployment tails. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
-    val dir = TempDirs.memo(s"stream-events:$d") {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-stream-events").toString
-      Tables.events(s, d).write.mode("overwrite").parquet(tmp)
-      tmp
+    val dir = TempDirs.memoStaged(s"stream-events:$d", "graft-stream-events") {
+      tmp => Tables.events(s, d).write.mode("overwrite").parquet(tmp)
     }
     s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
   }
@@ -55,6 +52,13 @@ object StreamingOps {
     // pinned at query start (baked into the checkpoint thereafter), so
     // override just around start() and restore for the batch queries.
     // Results are partition-count-invariant.
+    //
+    // SINGLE-THREADED ASSUMPTION: this set/restore mutates the SHARED
+    // session conf, which is only safe because the bench/verify drivers
+    // and the test suites run queries sequentially on a session. If
+    // parallel execution on one session is ever enabled, scope the
+    // override with a dedicated `s.newSession()` clone (own SQLConf,
+    // shared SparkContext) instead of restoring.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     val q =

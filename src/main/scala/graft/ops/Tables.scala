@@ -46,9 +46,19 @@ object Tables {
     * rejects; read it as long nanos (legacy conf) and truncate to a real
     * microsecond TimestampType column — the same ns→µs truncation DuckDB
     * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracles align.
+    *
+    * The conf is a SESSION-LEVEL requirement, not a per-read one: Spark's
+    * parquet source re-reads `nanosAsLong` from the session's SQLConf at
+    * EVERY action's physical planning (the value is copied into the scan's
+    * hadoopConf when the reader is built), so a save/restore around this
+    * call would make every later execution of the returned frame throw
+    * "Illegal Parquet type". Hence: set once, idempotently, and never
+    * restored for the life of the session — the same contract a production
+    * job would declare in its SparkSession builder.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
     t(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

@@ -25,10 +25,32 @@ object TempDirs {
   /** Register an existing path for exit-time removal; returns it. */
   def register(path: String): String = { dirs.put(path, path); path }
 
-  /** Memoized dir per logical key: `create` runs once per JVM, its result
-    * is registered for cleanup, and later callers get the same path —
+  private val staged = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Memoized staged directory per logical key: `write` runs once per JVM —
     * repeated bench/verify invocations reuse the staged data instead of
-    * accumulating copies in /tmp. */
-  def memo(key: String)(create: => String): String =
-    dirs.computeIfAbsent(key, _ => create)
+    * accumulating copies in /tmp. The directory is created and REGISTERED
+    * for exit-time removal before `write` runs, so a failed write (full
+    * disk, interrupted bench) cannot leak it; and the (possibly long)
+    * Spark write executes outside the registry's map lock — concurrent
+    * callers of the same key block on the future, not on a map bin. A
+    * failed write is un-memoized so the next caller can retry. */
+  def memoStaged(key: String, prefix: String)(write: String => Unit): String = {
+    val fut = new java.util.concurrent.CompletableFuture[String]()
+    val prev = staged.putIfAbsent(key, fut)
+    if (prev != null) return prev.join()
+    try {
+      val dir = register(
+        java.nio.file.Files.createTempDirectory(prefix).toString)
+      write(dir)
+      fut.complete(dir): Unit
+      dir
+    } catch {
+      case t: Throwable =>
+        staged.remove(key, fut)
+        fut.completeExceptionally(t): Unit
+        throw t
+    }
+  }
 }
