@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   *   symmetrization) collect to the driver and run union-find — near-dup
   *   graphs are usually a tiny fraction of the corpus, and a driver pass
   *   beats N distributed rounds of scheduling overhead;
-  * - large graphs run distributed min-label propagation: each round joins
-  *   labels across edges, takes the min per vertex, and localCheckpoints
-  *   (lineage truncation); rounds = component diameter. The label sum is
-  *   strictly monotone decreasing, so an O(V) aggregate is the convergence
-  *   test — no join-based change count. At pathological diameters the same
-  *   loop structure upgrades to large-star/small-star contraction.
+  * - large graphs run ALTERNATING LARGE-STAR / SMALL-STAR contraction
+  *   (the Connected Components in MapReduce and Beyond algorithm): each
+  *   round is two groupBy-min + join passes that rewire every node toward
+  *   its neighborhood minimum, and the edge set provably converges to a
+  *   forest of stars rooted at each component's minimum in O(log n)
+  *   rounds — independent of component DIAMETER, unlike plain min-label
+  *   propagation, which needs diameter-many rounds and dies on long
+  *   chains (exactly the shape near-dup graphs take when doc A ~ B ~ C
+  *   without A ~ C). Each round localCheckpoints (lineage truncation) and
+  *   converges on a deterministic (count, hash-sum) edge checksum.
   */
 object DedupClustering {
 
@@ -52,21 +56,62 @@ object DedupClustering {
       }
       parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
     } else {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")).localCheckpoint(true)
-      def labelSum(): Long = labels.agg(sum(col("comp"))).head().getLong(0)
-      var prevSum = -1L
-      var curSum = labelSum()
-      while (curSum != prevSum) {
-        val prop = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("comp"))
-        labels = labels.union(prop)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint(true)
-        prevSum = curSum
-        curSum = labelSum()
+      // ---- alternating star contraction ----
+      // edges held as undirected pairs; each op re-orients as it needs.
+
+      // large-star(u): m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor
+      // v > u to m. Over the symmetric edge set, so high-degree hubs fan
+      // their neighborhoods toward the minimum in one round.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val mins = sym.groupBy(col("src"))
+          .agg(min(col("dst")).as("mnd"))
+          .select(col("src"), least(col("src"), col("mnd")).as("m"))
+        sym.join(mins, "src")
+          .where(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .where(col("src") =!= col("dst"))
+          .distinct()
       }
-      labels
+
+      // small-star(u): orient big→small, m = min of u's smaller
+      // neighborhood; rewire every smaller neighbor AND u itself to m.
+      def smallStar(e: DataFrame): DataFrame = {
+        val o = e.select(greatest(col("src"), col("dst")).as("u"),
+                         least(col("src"), col("dst")).as("v"))
+          .where(col("u") =!= col("v")).distinct()
+        val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+        o.join(mins, "u")
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(mins.select(col("u").as("src"), col("m").as("dst")))
+          .where(col("src") =!= col("dst"))
+          .distinct()
+      }
+
+      // deterministic edge-set checksum — O(E) aggregate, no join-based
+      // change count; (count, exact decimal hash sum — ANSI mode forbids
+      // wrap-around long sums) collision-proof enough for a fixpoint test
+      // on a monotone contraction
+      def checksum(e: DataFrame): (Long, String) = {
+        val r = e.agg(count(lit(1)),
+          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+      }
+
+      var cur = edges.where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      var prev = (-1L, "")
+      var sig = checksum(cur)
+      while (sig != prev) {
+        cur = smallStar(largeStar(cur)).localCheckpoint(true)
+        prev = sig
+        sig = checksum(cur)
+      }
+      // fixpoint = forest of stars oriented (child > root): child labels
+      // come straight off the edges, roots label themselves
+      cur.select(col("src").as("id"), col("dst").as("comp"))
+        .union(cur.select(col("dst").as("id"), col("dst").as("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
     }
   }
 }

@@ -9,77 +9,92 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: batch-shaped, partition-preserving, schema declared
   * up-front).
   *
-  * The codec itself is a clearly-marked STUB (no image/audio libraries in
-  * this container): `FakeCodec.decode` derives deterministic
-  * pseudo-metadata and features from the raw bytes. Everything around the
-  * stub — binary column handling, partitioning, the typed row shape, the
-  * downstream relational use of the extracted features — is real, which is
-  * what the DuckDB oracle checks (the fixtures are ASCII, so byte values
-  * equal character codes and the stub's arithmetic is SQL-replicable).
+  * The IMAGE path is real end-to-end: `javax.imageio` (JDK-native) encodes
+  * deterministic RGB fixtures to PNG in one executor pass and decodes them
+  * back in another — actual binary codec work on the executors, with a
+  * closed-form oracle derived from the generator arithmetic (PNG is
+  * lossless). Audio/video features remain arithmetic stand-ins: the JDK
+  * ships no codec for those; swap the per-partition lambda for a real
+  * library and the plumbing (binary in, fixed-schema features out,
+  * partition-preserving) stays identical.
   */
 object MultimodalOps {
   import Tables._
 
-  /** STUB decoder: stands in for an image codec. Real integration point —
-    * swap `decode` for an actual library; the Spark plumbing (binary in,
-    * fixed-schema features out, executed per-partition) stays identical. */
-  object FakeCodec {
-    final case class Decoded(
-        doc_id: Long, width: Int, height: Int, channels: Int,
-        n_bytes: Long, head_sum: Long, mean_byte: Double, max_byte: Int)
-
-    def decode(docId: Long, payload: Array[Byte]): Decoded = {
-      val n = payload.length
-      // ??? real codec goes here — deterministic fake below
-      val head = payload.take(128)
-      val sum = head.foldLeft(0L)((a, b) => a + (b & 0xFF))
-      Decoded(
-        doc_id = docId,
-        width = 64 + n % 577,
-        height = 64 + (n * 7) % 479,
-        channels = 3,
-        n_bytes = n.toLong,
-        head_sum = sum,
-        mean_byte = if (head.isEmpty) 0.0 else sum.toDouble / head.length,
-        max_byte = if (head.isEmpty) 0 else head.map(_ & 0xFF).max)
-    }
-  }
-
   val all: Seq[Q] = Seq(
 
-    // Binary ingest → per-partition decode → typed features → relational agg.
+    // Binary ingest → per-partition REAL PNG decode → typed features.
+    // Pipeline: render deterministic RGB images + PNG-encode on the
+    // executors (mapPartitions #1: the binary-column producer a crawl
+    // would hand us), then ImageIO-decode and extract width/height/
+    // channel statistics (mapPartitions #2: the decode stage under
+    // test). PNG round-trips TYPE_INT_RGB losslessly, so every decoded
+    // pixel equals the generator formula and the oracle rebuilds the
+    // exact features from arithmetic alone.
     Q("mm_image_features",
-      """WITH dec AS (
-        |  SELECT doc_id, source,
-        |    64 + length(text) % 577 AS width,
-        |    64 + (length(text) * 7) % 479 AS height,
-        |    CAST(length(text) AS BIGINT) AS n_bytes,
-        |    list_reduce(list_transform(string_split_regex(substr(text, 1, 128), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS head_sum,
-        |    list_reduce(list_transform(string_split_regex(substr(text, 1, 128), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> greatest(a, b)) AS max_byte
-        |  FROM documents)
-        |SELECT source, count(*) AS n_images,
-        |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
-        |  CAST(sum(head_sum * n_bytes) AS BIGINT) AS brightness_weight,
-        |  max(max_byte) AS peak_byte
-        |FROM dec GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+        |dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS width,
+        |         CAST(8 + doc_id % 7 AS INT) AS height
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |    (x * 7 + y * 13 + d.doc_id) % 256 AS r,
+        |    (x * 3 + y * 5 + 2 * d.doc_id) % 256 AS g,
+        |    (x + y + 3 * d.doc_id) % 256 AS b
+        |  FROM dims d
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 14)) AS y) ys
+        |  WHERE x < d.width AND y < d.height)
+        |SELECT doc_id, any_value(width) AS width, any_value(height) AS height,
+        |  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+        |  CAST(max(greatest(r, g, b)) AS INT) AS max_channel
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val binary = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), col("source"),
-                encode(col("text"), "UTF-8").as("payload"))
-      val decoded = binary
-        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => FakeCodec.decode(id, bytes) })
-        .toDF()
-      decoded
-        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_images"),
-             sum(col("width").cast("long") * col("height")).as("total_pixels"),
-             sum(col("head_sum") * col("n_bytes")).as("brightness_weight"),
-             max(col("max_byte")).as("peak_byte"))
-        .orderBy(col("source"))
+      val ids = Tables.fan(s,
+        documents(s, d).where(col("doc_id") < 20).select(col("doc_id")))
+      val encoded = ids.as[Long].mapPartitions(_.map { id =>
+        val w = (8 + id % 5).toInt; val h = (8 + id % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((x * 7 + y * 13 + id) % 256).toInt
+            val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+            val b = ((x + y + 3 * id) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (id, baos.toByteArray)
+      }).toDF("doc_id", "payload")
+      val decoded = encoded.as[(Long, Array[Byte])].mapPartitions(_.map {
+        case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          var pxSum = 0L; var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              pxSum += r + g + b
+              mx = math.max(mx, math.max(r, math.max(g, b)))
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, pxSum, mx)
+      }).toDF("doc_id", "width", "height", "px_sum", "max_channel")
+      decoded.orderBy(col("doc_id"))
     },
 
     // Video-style frame sampling: metadata → sampled frame index expansion

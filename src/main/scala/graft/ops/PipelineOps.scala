@@ -258,9 +258,19 @@ object PipelineOps {
 
     // Token-budget sequence packing: within each source, documents in
     // doc_id order fill 4096-token bins (bin = floor(tokens-before /
-    // budget) — the streaming-friendly first-fit-in-order packing). The
-    // window is partitioned by source, so at 100 TB each source packs
-    // independently after one shuffle; bins then aggregate map-side.
+    // budget) — the streaming-friendly first-fit-in-order packing).
+    //
+    // The running sum is a TWO-PHASE distributed prefix sum, because a
+    // window partitioned by source alone serializes each source onto one
+    // task — fatal at 100 TB with a handful of sources. Phase 1 splits
+    // each source into ≤256 order-contiguous chunks of the sort key and
+    // aggregates per-chunk token subtotals (map-side combine, one tiny
+    // shuffle); the exclusive cumulative offsets over that
+    // chunks-per-source-sized frame are computed with a window whose
+    // input is planning-sized (≤256 rows/source) and BROADCAST back.
+    // Phase 2 runs the running sum within each (source, chunk) —
+    // parallelism = sources × chunks, independent of per-source volume —
+    // and adds the chunk's offset. Identical cum values, same oracle.
     Q("pack_sequences",
       """WITH t AS (
         |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS toks
@@ -273,14 +283,33 @@ object PipelineOps {
         |SELECT source, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                     org.apache.spark.sql.expressions.Window.currentRow)
-      documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d)
         .select(col("doc_id"), col("source"),
           size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
-        .withColumn("cum", sum(col("toks")).over(w))
+      // planning-sized action (one max over a pruned scan): chunk width
+      // giving ≤256 order-contiguous chunks across the id domain
+      val maxId = documents(s, d).agg(max(col("doc_id"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      val chunkW = math.max(1L, (maxId + 256L) / 256L)
+      val c = t.withColumn("chunk", expr(s"doc_id div ${chunkW}L"))
+      // phase 1: per-(source, chunk) subtotals → exclusive running offsets
+      // over the tiny subtotal frame only
+      val offs = c.groupBy(col("source"), col("chunk"))
+        .agg(sum(col("toks")).as("sub"))
+        .withColumn("off", coalesce(
+          sum(col("sub")).over(Window.partitionBy(col("source"))
+            .orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("chunk"), col("off"))
+      // phase 2: intra-chunk running sum + broadcast offset
+      val inChunk = Window.partitionBy(col("source"), col("chunk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.join(broadcast(offs), Seq("source", "chunk"))
+        .withColumn("cum", col("off") + sum(col("toks")).over(inChunk))
         .select(col("source"),
           expr("(cum - toks) div 4096").as("bin"), col("toks"))
         .groupBy(col("source"), col("bin"))

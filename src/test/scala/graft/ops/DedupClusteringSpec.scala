@@ -25,6 +25,35 @@ class DedupClusteringSpec extends SparkSpec {
     assert(dist == expect)
   }
 
+  test("star contraction handles a long chain in O(log n) rounds (diameter-independent)") {
+    import spark.implicits._
+    // a 200-edge chain is the worst case for min-label propagation
+    // (rounds = diameter = 200); star contraction must converge fast AND
+    // produce exactly the union-find answer
+    val n = 200
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
+    val local = DedupClustering.connectedComponents(pairs, Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val dist = DedupClustering.connectedComponents(pairs, 0)
+      .as[(Long, Long)].collect().toMap
+    val expect = (0L to n.toLong).map(i => i -> 0L).toMap
+    assert(local == expect)
+    assert(dist == expect)
+  }
+
+  test("star contraction: two chains + hub component, threshold 0") {
+    import spark.implicits._
+    // hub 50 connected to 60..70, chain 100..110, isolated pair (7, 9)
+    val pairs = ((60L to 70L).map(v => (50L, v)) ++
+      (100L until 110L).map(i => (i, i + 1)) ++ Seq((7L, 9L))).toDF("d1", "d2")
+    val local = DedupClustering.connectedComponents(pairs, Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val dist = DedupClustering.connectedComponents(pairs, 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(dist(70L) == 50L && dist(110L) == 100L && dist(9L) == 7L)
+  }
+
   test("paths agree on the real jaccard pair graph (sf0.001)") {
     import spark.implicits._
     val pairs = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)

@@ -118,15 +118,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "per-doc stats must ride the explode, not join back:\n" + p)
   }
 
-  test("pack_sequences: one window pass; the bin aggregate reuses its partitioning") {
+  test("pack_sequences: two-phase prefix sum — no per-source serial window") {
     val p = planOf("pack_sequences")
+    val norm = p.replaceAll("#\\d+L?", "")
+    // exactly two windows: the exclusive-offset scan over the tiny
+    // per-(source, chunk) subtotal frame, and the intra-chunk running sum —
+    // NEVER a corpus-sized window partitioned by source alone (that
+    // serializes each source's entire prefix sum onto one task)
     val windows = """Window\s+\(\d+\)""".r.findAllIn(p).size
-    assert(windows == 1, s"expected one window, got $windows:\n" + p)
-    // two exchanges only: hash(source) feeding the window, range for the
-    // final ORDER BY — groupBy(source, bin) must reuse the window's
-    // partitioning instead of shuffling a third time
-    val exchanges = """Exchange\s+\(\d+\)""".r.findAllIn(p).size
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" + p)
+    assert(windows == 2, s"expected two windows (offsets + intra-chunk), got $windows:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "chunk offsets must broadcast back to the corpus side:\n" + p)
+    // the corpus-side running sum is keyed on (source, chunk): parallelism
+    // scales with chunk count, not with the number of sources
+    assert(norm.contains("windowspecdefinition(source, chunk, doc_id ASC"),
+      "intra-chunk window must be partitioned by (source, chunk):\n" + p)
+    assert(norm.contains("windowspecdefinition(source, chunk ASC"),
+      "offset window must order the subtotal frame by chunk within source:\n" + p)
   }
 
   test("q25_percentile_disc: both windows share one hash exchange; 4-column scan") {
