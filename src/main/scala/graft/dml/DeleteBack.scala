@@ -39,6 +39,21 @@ object DeleteBack {
       case None    => s"DELETE FROM $db.$table WHERE $where"
     }
 
+  /** Live-JDBC DML execution: one statement, returns the update count.
+    * The non-mysql delete-back path is exactly one unbatched statement
+    * from [[deleteSql]]; the mysql path feeds [[batchPlan]]'s LIMIT
+    * batches through here one statement at a time with the pacing sleep
+    * between them. Runs on the DRIVER by design — delete-back is a
+    * planning-sized control action (one statement per table), never a
+    * per-row distributed job. */
+  def executeJdbc(url: String, props: java.util.Properties, sql: String): Long = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql).toLong finally st.close()
+    } finally conn.close()
+  }
+
   /** Sandbox execution over a parquet "table": rewrite keeping every row
     * where the predicate is NOT TRUE. SQL DELETE removes only rows where
     * the predicate evaluates to TRUE — a NULL predicate (e.g. a NULL key

@@ -88,6 +88,31 @@ class TypeFixtureSpec extends SparkSpec {
     assert(vals == Map(1 -> 0, 2 -> 1, 3 -> 0, 4 -> 1)) // true/false → 1/0
   }
 
+  test("uint64 max survives the STAGED LOAD hop in every staging format") {
+    // the edge SURVEY §7.4 calls out (reference source/mysql.go:410-458):
+    // 18446744073709551615 is representable by NO long/double — only the
+    // DECIMAL(20,0) lane carries it, and it must survive the text formats'
+    // serialize→parse round-trip, not just the columnar ones
+    val uMax = BigDecimal("18446744073709551615")
+    val row = Seq(Row(uMax, 7, "umax", 1.0f, true, BigDecimal("0.000001"),
+      java.sql.Date.valueOf("2022-01-01"),
+      java.sql.Timestamp.valueOf("2022-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-06-30 20:00:00")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(row, 1), schema)
+    Seq("json", "csv", "parquet", "orc").foreach { fmt =>
+      val root = Files.createTempDirectory(s"graft-umax-$fmt").toString
+      val loader = new graft.sink.StagedLoader(spark, s"$root/t", schema,
+        stagingFormat = fmt)
+      assert(loader.ingest(df, s"$root/stg") == 1L, s"$fmt: ingest count")
+      val got = spark.read.schema(schema).parquet(s"$root/t")
+        .select("id").head().getDecimal(0)
+      assert(BigDecimal(got) == uMax, s"$fmt staging lost uint64 max")
+      // the incremental watermark must carry the full unsigned range too
+      assert(loader.maxKey("id").contains(BigInt("18446744073709551615")),
+        s"$fmt: maxKey watermark")
+    }
+  }
+
   test("uint64 max id survives the pipeline as DECIMAL(20,0)") {
     val uMax = BigDecimal("18446744073709551615")
     val row = Seq(Row(uMax, 1, "max", 1.0f, true, BigDecimal("0.000001"),
