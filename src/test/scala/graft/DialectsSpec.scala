@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.source.{JdbcDialect, MySqlDialect, OracleDialect, PostgresDialect, SqlServerDialect}
+import graft.source.{DerbyDialect, JdbcDialect, MySqlDialect, OracleDialect, PostgresDialect, SqlServerDialect}
 
 /** Dialect URL/credential handling (SURVEY.md §2 S1): credentials with
   * reserved characters must survive each dialect's URL syntax, and the
@@ -46,5 +46,6 @@ class DialectsSpec extends AnyFunSuite {
     assert(JdbcDialect.forType("pg") == PostgresDialect)
     assert(JdbcDialect.forType("mssql") == SqlServerDialect)
     assert(JdbcDialect.forType("oracle") == OracleDialect)
+    assert(JdbcDialect.forType("derby") == DerbyDialect)
   }
 }
