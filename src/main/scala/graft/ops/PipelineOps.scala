@@ -284,12 +284,19 @@ object PipelineOps {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // materialize the narrow (id, source, toks) projection ONCE (eager
+      // localCheckpoint): phase 1's subtotals, the chunk-width probe, and
+      // phase 2's running sum all scan it, and re-deriving it would
+      // tokenize the corpus once per consumer. A few bytes per doc —
+      // the standard cluster-cacheable materialization of a distributed
+      // prefix-sum input.
       val t = documents(s, d)
         .select(col("doc_id"), col("source"),
           size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
-      // planning-sized action (one max over a pruned scan): chunk width
-      // giving ≤256 order-contiguous chunks across the id domain
-      val maxId = documents(s, d).agg(max(col("doc_id"))).head() match {
+        .localCheckpoint(true)
+      // planning-sized action (one max over the cached narrow frame):
+      // chunk width giving ≤256 order-contiguous chunks across the id domain
+      val maxId = t.agg(max(col("doc_id"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r                  => r.getLong(0)
       }
