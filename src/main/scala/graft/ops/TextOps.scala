@@ -242,13 +242,18 @@ object TextOps {
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
-      val nDocs = documents(s, d).count()
+      // nDocs rides the plan as a broadcast 1-row frame (no separate
+      // count() action — one job end-to-end, same pattern as the oracle's
+      // CROSS JOIN n)
+      val nDocs = documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
       tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf").cast("double")
-            * log(lit(nDocs.toDouble) / col("df_docs").cast("double")), 4))
+            * log(col("n_docs") / col("df_docs").cast("double")), 4))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("term"), col("tf"),
