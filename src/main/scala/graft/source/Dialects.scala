@@ -100,7 +100,15 @@ case object OracleDialect extends JdbcDialect {
   * a live JDBC engine — the tier the reference covers with live-DBMS CI
   * (cmd/main_test.go:25-59, ci.yaml:12-44). Derby's unit of discovery is
   * the schema (Oracle-style); `db` carries the database locator (e.g.
-  * "memory:graftdb"), host/port are unused by the embedded driver. */
+  * "memory:graftdb"), host/port are unused by the embedded driver.
+  *
+  * Known limit, shared with strict-typing DBMSes: the planner's TIME-window
+  * predicates render timestamps as bare `'yyyy-MM-dd HH:mm:ss'` strings
+  * (the reference's mysql-shaped format, source/source.go:130-162), which
+  * Derby will not implicitly compare against a TIMESTAMP column — key-split
+  * and incremental key-watermark modes are fully supported (JdbcE2ESpec);
+  * time-split mode on Derby would need dialect-typed literals
+  * (`TIMESTAMP('...')`). */
 case object DerbyDialect extends JdbcDialect {
   val name = "derby"
   def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =

@@ -147,4 +147,46 @@ class JdbcE2ESpec extends SparkSpec {
     val again = intercept[IllegalArgumentException](archiver.run())
     assert(again.getMessage.contains("refusing to run"))
   }
+
+  test("incremental high-watermark sync against the live source: " +
+       "initial load, source grows, delta run picks up only new keys") {
+    withConn { c =>
+      val st = c.createStatement()
+      try { st.execute("DROP TABLE ARCHDB.ORDERS_DELTA"): Unit }
+      catch { case _: java.sql.SQLException => () }
+      st.execute("""CREATE TABLE ARCHDB.ORDERS_DELTA (
+                   |  ID BIGINT NOT NULL PRIMARY KEY, V INT)""".stripMargin)
+      st.close()
+      val ps = c.prepareStatement("INSERT INTO ARCHDB.ORDERS_DELTA VALUES (?, ?)")
+      (1 to 100).foreach { i => ps.setLong(1, i.toLong); ps.setInt(2, i * 3); ps.addBatch() }
+      ps.executeBatch(); ps.close()
+    }
+    val src = source
+    val root = Files.createTempDirectory("graft-jdbc-inc").toString
+    val schema = src.scan("ARCHDB", "ORDERS_DELTA", Seq.empty, "1=1").schema
+    val loader = new StagedLoader(spark, s"$root/target", schema,
+      orderedCommitKey = Some("ID"))
+    val icfg = cfg.copy(sourceTable = "ORDERS_DELTA",
+      sourceWhereCondition = "ID >= 1", batchSize = 40)
+    val archiver = new Archiver(spark, icfg, src, loader, s"$root/staging",
+      pacingSleep = _ => ())
+    val r1 = archiver.runIncremental()
+    assert(r1.reconciliation.correct && r1.reconciliation.targetRows == 100L)
+    assert(loader.maxKey("ID").contains(BigInt(100)))
+    // the source grows; the delta run must load ONLY keys past the watermark
+    withConn { c =>
+      val ps = c.prepareStatement("INSERT INTO ARCHDB.ORDERS_DELTA VALUES (?, ?)")
+      (101 to 150).foreach { i => ps.setLong(1, i.toLong); ps.setInt(2, i * 3); ps.addBatch() }
+      ps.executeBatch(); ps.close()
+    }
+    val r2 = archiver.runIncremental()
+    assert(r2.reconciliation.correct && r2.reconciliation.targetRows == 150L)
+    assert(r2.tables.map(_.rowsLoaded).sum == 50L,
+      s"delta run must load only the 50 new rows: $r2")
+    assert(loader.maxKey("ID").contains(BigInt(150)))
+    // no duplicates through the two staged commits
+    val tgt = spark.read.schema(schema).parquet(s"$root/target")
+    assert(tgt.count() == 150L)
+    assert(tgt.select("ID").distinct().count() == 150L)
+  }
 }
