@@ -107,7 +107,7 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
     val key = cfg.sourceSplitTimeKey
     require(key.nonEmpty, "time-incremental sync requires sourceSplitTimeKey")
     runDelta(key, loader.maxTime(key).map { w =>
-      (s"$key > TIMESTAMP '$w'", "delta-ts-" + w.replaceAll("[^0-9]", ""))
+      (s"$key > ${src.timestampLiteral(w)}", "delta-ts-" + w.replaceAll("[^0-9]", ""))
     })
   }
 

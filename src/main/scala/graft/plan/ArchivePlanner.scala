@@ -33,7 +33,8 @@ object ArchivePlanner {
       val (mnT, mxT) = src.minMaxTime(db, table, cfg.sourceSplitTimeKey, cfg.sourceWhereCondition)
       if (mnT.isEmpty || mxT.isEmpty) EmptyTablePlan
       else TimeSplitPlan(
-        SplitPlanner.timeWindows(cfg.sourceSplitTimeKey, cfg.timeSplitUnit, mnT, mxT)
+        SplitPlanner.timeWindows(cfg.sourceSplitTimeKey, cfg.timeSplitUnit, mnT, mxT,
+            quote = src.timestampLiteral)
           .fold(e => throw new IllegalArgumentException(e.getMessage), identity))
     }
 }

@@ -163,8 +163,15 @@ object SplitPlanner {
   /** Tumbling-window predicates over `[min, max]`: half-open `[t, t+w)`
     * windows, then a closed final window; when the last step overshoots, the
     * trailing closed window is degenerate (start > end → matches nothing) —
-    * reference behavior, preserved. Empty when min > max. */
-  def timeWindows(key: String, unit: String, minStr: String, maxStr: String): Try[Seq[String]] =
+    * reference behavior, preserved. Empty when min > max.
+    *
+    * @param quote renders a formatted timestamp as an engine literal. The
+    *   default — a bare quoted string — is the reference's mysql-shaped
+    *   form (source/source.go:130-162), which mysql/pg implicitly cast;
+    *   strict-typing engines (Derby, Oracle) pass their dialect's typed
+    *   form via `TableSource.timestampLiteral`. */
+  def timeWindows(key: String, unit: String, minStr: String, maxStr: String,
+      quote: String => String = s => s"'$s'"): Try[Seq[String]] =
     for {
       minT <- parseTimeDynamic(minStr)
       maxT <- parseTimeDynamic(maxStr)
@@ -178,11 +185,11 @@ object SplitPlanner {
         var done = false
         while (!done) {
           if (t.isAfter(maxT) || t.isEqual(maxT)) {
-            out += s"($key >= '${t.format(TimeFormat)}' and $key <= '${maxT.format(TimeFormat)}')"
+            out += s"($key >= ${quote(t.format(TimeFormat))} and $key <= ${quote(maxT.format(TimeFormat))})"
             done = true
           } else {
             val next = t.plus(width)
-            out += s"($key >= '${t.format(TimeFormat)}' and $key < '${next.format(TimeFormat)}')"
+            out += s"($key >= ${quote(t.format(TimeFormat))} and $key < ${quote(next.format(TimeFormat))})"
             t = next
           }
         }

@@ -27,6 +27,9 @@ sealed trait JdbcDialect {
     s"SELECT MIN($key), MAX($key) FROM ${qualify(db, table)} WHERE $where"
   def minMaxTimeSql(key: String, db: String, table: String, where: String): String =
     s"SELECT MIN($key), MAX($key) FROM ${qualify(db, table)} WHERE $where"
+  /** Typed timestamp literal for WHERE predicates against timestamp
+    * columns (time windows, time watermarks). ANSI form by default. */
+  def timestampLiteral(ts: String): String = s"TIMESTAMP '$ts'"
   /** Extra options for spark.read.jdbc (isolation, fetchsize). */
   def scanOptions: Map[String, String] = Map("fetchsize" -> "10000")
   /** Credentials that must NOT ride in the URL (dialects whose URL syntax
@@ -102,13 +105,11 @@ case object OracleDialect extends JdbcDialect {
   * the schema (Oracle-style); `db` carries the database locator (e.g.
   * "memory:graftdb"), host/port are unused by the embedded driver.
   *
-  * Known limit, shared with strict-typing DBMSes: the planner's TIME-window
-  * predicates render timestamps as bare `'yyyy-MM-dd HH:mm:ss'` strings
-  * (the reference's mysql-shaped format, source/source.go:130-162), which
-  * Derby will not implicitly compare against a TIMESTAMP column — key-split
-  * and incremental key-watermark modes are fully supported (JdbcE2ESpec);
-  * time-split mode on Derby would need dialect-typed literals
-  * (`TIMESTAMP('...')`). */
+  * Strict typing: Derby will not implicitly compare a TIMESTAMP column
+  * against a bare string, so time predicates go through
+  * [[timestampLiteral]] (`TIMESTAMP('...')`) — all four archival modes
+  * (key-split, time-split, key- and time-incremental) run live in
+  * JdbcE2ESpec. */
 case object DerbyDialect extends JdbcDialect {
   val name = "derby"
   def driverUrl(h: String, p: Int, u: String, pw: String, db: String) =
@@ -127,8 +128,18 @@ case object DerbyDialect extends JdbcDialect {
     s"SELECT CAST(count(*) AS BIGINT) AS n FROM ${qualify(db, table)} WHERE $where"
   override def minMaxSql(key: String, db: String, table: String, where: String) =
     s"SELECT MIN($key) AS mn, MAX($key) AS mx FROM ${qualify(db, table)} WHERE $where"
+  /** Second-precision strings in the planner's lenient layouts — Derby's
+    * TIMESTAMP renders "yyyy-MM-dd HH:mm:ss.f" (space + fraction), which
+    * none of the reference's four layouts parse. Second truncation matches
+    * the reference's own planning precision (its Go format string is
+    * second-grained too). */
   override def minMaxTimeSql(key: String, db: String, table: String, where: String) =
-    s"SELECT MIN($key) AS mn, MAX($key) AS mx FROM ${qualify(db, table)} WHERE $where"
+    s"""SELECT SUBSTR(CAST(MIN($key) AS VARCHAR(29)), 1, 19) AS mn,
+       |  SUBSTR(CAST(MAX($key) AS VARCHAR(29)), 1, 19) AS mx
+       |FROM ${qualify(db, table)} WHERE $where""".stripMargin
+  /** Derby rejects the ANSI `TIMESTAMP '...'` literal; it has a TIMESTAMP()
+    * conversion function instead. */
+  override def timestampLiteral(ts: String): String = s"TIMESTAMP('$ts')"
   /** Spark resolves the driver from the URL via DriverManager; pin the
     * embedded driver class explicitly so the scan never depends on
     * service-loader ordering when multiple Derby jars are present. */

@@ -41,6 +41,12 @@ trait TableSource {
   def count(db: String, table: String, where: String): Long
   def minMaxKey(db: String, table: String, key: String, where: String): (BigInt, BigInt)
   def minMaxTime(db: String, table: String, key: String, where: String): (String, String)
+
+  /** Render a `yyyy-MM-dd HH:mm:ss[.SSSSSS]` timestamp as a literal this
+    * source's engine compares against a timestamp column. The ANSI typed
+    * form is the default (Spark, mysql, pg, oracle all accept it);
+    * dialects with their own syntax override via their profile. */
+  def timestampLiteral(ts: String): String = s"TIMESTAMP '$ts'"
 }
 
 /** Parquet-backed source: `rootDir/<table>.parquet`, database name = the
@@ -135,4 +141,6 @@ final class JdbcTableSource(spark: SparkSession, dialect: JdbcDialect,
     (Option(r.get(0)).map(_.toString).getOrElse(""),
      Option(r.get(1)).map(_.toString).getOrElse(""))
   }
+
+  override def timestampLiteral(ts: String): String = dialect.timestampLiteral(ts)
 }

@@ -189,4 +189,60 @@ class JdbcE2ESpec extends SparkSpec {
     assert(tgt.count() == 150L)
     assert(tgt.select("ID").distinct().count() == 150L)
   }
+
+  test("time-split archival + time-incremental sync against the live source " +
+       "(dialect-typed timestamp literals)") {
+    def insertRows(range: Range, baseSec: Int): Unit = withConn { c =>
+      val ps = c.prepareStatement("INSERT INTO ARCHDB.EVENTS_TS VALUES (?, ?, ?)")
+      range.foreach { i =>
+        ps.setLong(1, i.toLong)
+        ps.setTimestamp(2, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 3, 1, 0, 0, 0)
+            .plusSeconds(baseSec + (i - range.head) * 30L)))
+        ps.setInt(3, i)
+        ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    }
+    withConn { c =>
+      val st = c.createStatement()
+      try { st.execute("DROP TABLE ARCHDB.EVENTS_TS"): Unit }
+      catch { case _: java.sql.SQLException => () }
+      st.execute("""CREATE TABLE ARCHDB.EVENTS_TS (
+                   |  ID BIGINT NOT NULL PRIMARY KEY, TS TIMESTAMP, V INT)""".stripMargin)
+      st.close()
+    }
+    insertRows(1 to 60, 0) // 30 minutes of 30 s ticks
+    val src = source
+    val root = Files.createTempDirectory("graft-jdbc-ts").toString
+    val schema = src.scan("ARCHDB", "EVENTS_TS", Seq.empty, "1=1").schema
+    val loader = new StagedLoader(spark, s"$root/target", schema,
+      orderedCommitKey = Some("TS"))
+    val tcfg = cfg.copy(sourceTable = "EVENTS_TS",
+      sourceWhereCondition = "ID >= 1",
+      sourceSplitKey = "", sourceSplitTimeKey = "TS",
+      timeSplitUnit = "minute", batchMaxInterval = 0, maxThread = 1)
+    // the plan the live engine will execute: 10-minute tumbling windows
+    // with Derby's TIMESTAMP('...') literals (bare strings don't compare
+    // against TIMESTAMP columns on strict-typing engines)
+    ArchivePlanner.plan(src, tcfg, "ARCHDB", "EVENTS_TS") match {
+      case graft.plan.TimeSplitPlan(ws) =>
+        assert(ws.size == 4, ws.toString) // 3 real windows + degenerate tail
+        assert(ws.head.contains("TIMESTAMP('2024-03-01 00:00:00')"), ws.head)
+      case other => fail(s"expected TimeSplitPlan, got $other")
+    }
+    val archiver = new Archiver(spark, tcfg, src, loader, s"$root/staging",
+      pacingSleep = _ => ())
+    val r1 = archiver.run()
+    assert(r1.reconciliation.correct && r1.reconciliation.targetRows == 60L)
+    // µs-precision time watermark, then a live delta over the typed literal
+    assert(loader.maxTime("TS").contains("2024-03-01 00:29:30.000000"))
+    insertRows(61 to 70, 30 * 60)
+    val r2 = archiver.runIncrementalTime()
+    assert(r2.reconciliation.correct && r2.reconciliation.targetRows == 70L)
+    assert(r2.tables.map(_.rowsLoaded).sum == 10L,
+      s"time-delta run must load only the 10 new rows: $r2")
+    val tgt = spark.read.schema(schema).parquet(s"$root/target")
+    assert(tgt.count() == 70L && tgt.select("ID").distinct().count() == 70L)
+  }
 }
