@@ -70,6 +70,10 @@ case object SqlServerDialect extends JdbcDialect {
       |  AND name NOT IN ('master', 'tempdb', 'model', 'msdb')""".stripMargin
   def listTablesSql(db: String) =
     s"SELECT SCHEMA_NAME(schema_id) + '.' + name FROM [$db].sys.tables"
+  /** T-SQL has no ANSI `TIMESTAMP '...'` literal; a quoted string
+    * implicitly converts against datetime columns (the reference's own
+    * predicate shape). */
+  override def timestampLiteral(ts: String): String = s"'$ts'"
   /** Dirty-read scan (reference WITH (NOLOCK), sql_server.go:231,291).
     * Spark's JDBC `isolationLevel` option applies only to the WRITE path —
     * for reads the session itself must be switched, which

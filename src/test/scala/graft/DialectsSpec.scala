@@ -48,4 +48,13 @@ class DialectsSpec extends AnyFunSuite {
     assert(JdbcDialect.forType("oracle") == OracleDialect)
     assert(JdbcDialect.forType("derby") == DerbyDialect)
   }
+
+  test("timestamp literals per dialect: ANSI default, Derby function form, T-SQL bare string") {
+    val ts = "2024-03-01 00:29:30.000000"
+    assert(MySqlDialect.timestampLiteral(ts) == s"TIMESTAMP '$ts'")
+    assert(PostgresDialect.timestampLiteral(ts) == s"TIMESTAMP '$ts'")
+    assert(OracleDialect.timestampLiteral(ts) == s"TIMESTAMP '$ts'")
+    assert(SqlServerDialect.timestampLiteral(ts) == s"'$ts'")
+    assert(DerbyDialect.timestampLiteral(ts) == s"TIMESTAMP('$ts')")
+  }
 }
