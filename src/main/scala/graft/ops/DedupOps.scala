@@ -283,8 +283,8 @@ object DedupOps {
     // pipeline needs — documents then have to be grouped into clusters and
     // one canonical representative kept. Connected components over the
     // jaccard pair graph (graft.operators.DedupClustering: driver-side
-    // union-find for small graphs, distributed min-label propagation
-    // beyond the threshold). Canonical = min doc_id of the component.
+    // union-find for small graphs, distributed large-star/small-star
+    // contraction beyond the threshold). Canonical = min doc_id.
     Q("dedup_cluster_canonical",
       s"""WITH RECURSIVE
          |$jaccardPairsSql,
@@ -302,6 +302,35 @@ object DedupOps {
          |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
       graft.operators.DedupClustering.connectedComponents(pairs)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"))
+        .orderBy(col("canonical_id"))
+    },
+
+    // The DISTRIBUTED clustering path under the driver's oracle gate:
+    // identical contract to dedup_cluster_canonical, but threshold 0
+    // forces alternating large-star/small-star contraction — the path a
+    // 100 TB pair graph takes — so the O(log n) star algorithm itself is
+    // hash-verified against the recursive-CTE components every round,
+    // not just spec-compared against union-find.
+    Q("dedup_cluster_starjoin",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM jpairs
+         |  UNION ALL SELECT d2, d1 FROM jpairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         |comps AS (SELECT id, min(comp) AS canonical FROM walk GROUP BY id)
+         |SELECT canonical AS canonical_id,
+         |  count(*) AS n_members,
+         |  CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      graft.operators.DedupClustering
+        .connectedComponents(pairs, smallGraphThreshold = 0)
         .groupBy(col("comp").as("canonical_id"))
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"))
         .orderBy(col("canonical_id"))
