@@ -404,9 +404,29 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     },
 
-    // Embedding-cosine near-dup (baseline all-pairs; LSH scale path in
-    // AnnOps). Dot/norms are left folds in double → engine-identical; the
-    // pair scoring runs through the native dot_d expression, norms are
+    // Embedding-cosine near-dup, production shape: candidate pairs come
+    // from centroid cells with EXACT angular pruning, then exact cosine
+    // re-verify — never an all-pairs join. Every vector is assigned to
+    // its nearest centroid (map-side argmax over the broadcast centroid
+    // set, one shuffled row per vector); per-cell angular radii r(c) =
+    // max angle(v, c) aggregate to K rows. By the spherical triangle
+    // inequality, cos(u,w) ≥ t forces angle(cell(u), cell(w)) ≤ acos(t)
+    // + r(cell(u)) + r(cell(w)), so cell PAIRS outside that bound are
+    // pruned with zero recall loss — the oracle match is a theorem, not
+    // a fixture property (unlike the banded-LSH ops, which document
+    // their miss probability). The surviving compatible-cell-pair list
+    // is K²-bounded, computed driver-side from the K-row radii aggregate
+    // (planning-sized, same convention as AnnOps' codebook collects) and
+    // broadcast; pair generation is then two equi-joins on the cell key
+    // — work ∝ Σ over compatible cell pairs |c1|·|c2|, which at 100 TB
+    // (√n trained centroids, clustered real embeddings, high dedup
+    // thresholds) prunes the quadratic term the way IVF prunes ANN
+    // probes. On this fixture (near-orthogonal random vectors, t=0.4,
+    // K=8 stand-in centroids) radii are wide so no cell pair prunes —
+    // the cost honestly degrades to all candidate pairs — but the PLAN
+    // stays equi-join-shaped (PlanSpec pins zero CartesianProduct).
+    // Dot/norms are left folds in double → engine-identical; the pair
+    // scoring runs through the native dot_d expression, norms are
     // precomputed once per vector.
     Q("dedup_embedding_cosine",
       """WITH e AS (
@@ -423,11 +443,48 @@ object DedupOps {
         |              (p, q) -> p + q) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       import graft.functions.VectorOps.dot_d
+      import s.implicits._
       val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
-      val a = e.as("a"); val b = e.as("b")
-      a.join(b, col("a.vec_id") < col("b.vec_id"))
+      // stand-in centroids (vec_id < 8), same convention as dedup_semantic;
+      // at scale these come from kmeans_train and are literal arrays
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val asg = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (dot_d(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v"), col("nrm"), col("cos")),
+                    struct(col("cos"), (-col("cid")).as("neg"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cell"),
+                col("best.v").as("v"), col("best.nrm").as("nrm"),
+          acos(least(lit(1.0), greatest(lit(-1.0), col("best.cos")))).as("theta"))
+      // planning-sized driver work: K angular radii + K centroid vectors →
+      // the compatible ORDERED cell-pair list (a pair (u,w) appears through
+      // exactly one ordered cell pair, so no candidate dedup is needed)
+      val radii: Map[Long, Double] = asg.groupBy(col("cell"))
+        .agg(max(col("theta")).as("r")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val cvecs: Array[(Long, Array[Double], Double)] = cents.collect().map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      val tau = math.acos(0.4)
+      val compat = for {
+        (c1, v1, n1) <- cvecs.toSeq if radii.contains(c1)
+        (c2, v2, n2) <- cvecs.toSeq if radii.contains(c2)
+        ang = math.acos(math.max(-1.0, math.min(1.0,
+          v1.zip(v2).map { case (x, y) => x * y }.sum / (n1 * n2))))
+        // 1e-9 slack absorbs fold-order ulps between the driver-side
+        // centroid dot and the executor-side dot_d — pruning stays
+        // strictly conservative
+        if ang <= tau + radii(c1) + radii(c2) + 1e-9
+      } yield (c1, c2)
+      val compatDf = compat.toDF("c1", "c2")
+      val a = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("a")
+      val b = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("b")
+      a.join(broadcast(compatDf), col("a.cell") === col("c1"))
+        .join(b, col("b.cell") === col("c2") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
           (dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") >= 0.4)

@@ -47,9 +47,8 @@ object StreamingOps {
     *   NoTimeout-session emissions happen on data batches — so the
     *   bounded-replay bench skips it (~1 store commit per partition per
     *   query saved; a live deployment leaves it on for state cleanup). */
-  private def runToMemory(df: DataFrame, mode: String,
-      noDataBatch: Boolean = true): DataFrame = {
-    val s = df.sparkSession
+  private def runToMemory(s: SparkSession, mode: String,
+      noDataBatch: Boolean = true)(build: SparkSession => DataFrame): DataFrame = {
     val table = s"graft_stream_${runId.incrementAndGet()}"
     // Stateful streaming creates one state-store instance PER shuffle
     // partition PER micro-batch commit (stream-stream joins create FOUR
@@ -58,34 +57,26 @@ object StreamingOps {
     // measured at sf0.1: 8→2 partitions cuts the join queries ~0.6 s each
     // and sessionize ~0.4 s, with no query slower. A live deployment
     // sizes this to its state volume instead. The partition count is
-    // pinned at query start (baked into the checkpoint thereafter), so
-    // override just around start() and restore for the batch queries.
-    // Results are partition-count-invariant.
+    // pinned at query start (baked into the checkpoint thereafter).
     //
-    // SINGLE-THREADED ASSUMPTION: this set/restore mutates the SHARED
-    // session conf, which is only safe because the bench/verify drivers
-    // and the test suites run queries sequentially on a session. If
-    // parallel execution on one session is ever enabled, scope the
-    // override with a dedicated `s.newSession()` clone (own SQLConf,
-    // shared SparkContext) instead of restoring.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prevNd = s.conf.get(ndKey, "true")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    s.conf.set(ndKey, noDataBatch.toString)
-    // both confs are cloned into the stream's own session at start()
-    val q =
-      try df.writeStream.outputMode(mode).format("memory")
-        .queryName(table).start()
-      finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        s.conf.set(ndKey, prevNd)
-      }
+    // The override lives on a SESSION CLONE (`newSession()`: own SQLConf,
+    // shared SparkContext), never on the caller's shared conf — the stream
+    // is BUILT against the clone so `start()` captures the clone's conf,
+    // and the caller's session is untouched regardless of how many
+    // harness threads share it. The memory-sink temp view registers in
+    // the clone's catalog and dies with it; the (small, final) result is
+    // detached into a local DataFrame on the caller's session first.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatch.toString)
+    val q = build(s2).writeStream.outputMode(mode).format("memory")
+      .queryName(table).start()
     try q.processAllAvailable() finally q.stop()
-    val sink = s.table(table)
+    val sink = s2.table(table)
     val rows = sink.collect().toSeq
     val schema = sink.schema
-    s.catalog.dropTempView(table)
+    s2.catalog.dropTempView(table)
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
@@ -100,8 +91,9 @@ object StreamingOps {
         |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 7200000000 * 7200000000 + 7200000000 AS BIGINT) AS win_end_us,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
-      val counts = StreamingArchiver.windowedCounts(eventStream(s, d), "ts", "2 hours")
-      runToMemory(counts, "complete", noDataBatch = false)
+      runToMemory(s, "complete", noDataBatch = false) { s2 =>
+        StreamingArchiver.windowedCounts(eventStream(s2, d), "ts", "2 hours")
+      }
         .select(unix_micros(col("win_start")).as("win_start_us"),
                 unix_micros(col("win_end")).as("win_end_us"), col("n"))
         .orderBy(col("win_start_us"))
@@ -115,12 +107,12 @@ object StreamingOps {
     Q("stream_dedup_counts",
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      val st = eventStream(s, d)
-      val replayed = st.union(eventStream(s, d))
-      val deduped = StreamingArchiver.dedupStream(
-        replayed, "ts", Seq("event_id"), "960 hours")
-      val counts = deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      runToMemory(counts, "complete", noDataBatch = false).orderBy(col("event_type"))
+      runToMemory(s, "complete", noDataBatch = false) { s2 =>
+        val replayed = eventStream(s2, d).union(eventStream(s2, d))
+        val deduped = StreamingArchiver.dedupStream(
+          replayed, "ts", Seq("event_id"), "960 hours")
+        deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      }.orderBy(col("event_type"))
     },
 
     // Stream-static enrichment: the streaming side joins a STATIC dimension
@@ -133,15 +125,16 @@ object StreamingOps {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val enriched = eventStream(s, d)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).cast("double")
-               .as("value_sum"))
-      runToMemory(enriched, "complete", noDataBatch = false).orderBy(col("segment"))
+      runToMemory(s, "complete", noDataBatch = false) { s2 =>
+        val dim = Tables.customer(s2, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        eventStream(s2, d)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast("decimal(18,2)")).cast("double")
+                 .as("value_sum"))
+      }.orderBy(col("segment"))
     },
 
     // The PRODUCT path under the gate: stream → foreachBatch → staged
@@ -227,19 +220,20 @@ object StreamingOps {
         |       AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         |       AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      val p = eventStream(s, d).where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-        .withWatermark("p_ts", "4 hours")
-      val c = eventStream(s, d).where(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-                col("event_id").as("c_id"))
-        .withWatermark("c_ts", "4 hours")
-      val joined = p.join(c,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-        .select(col("user_id"), col("p_id"), col("c_id"))
-      runToMemory(joined, "append", noDataBatch = false)
+      runToMemory(s, "append", noDataBatch = false) { s2 =>
+        val p = eventStream(s2, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+          .withWatermark("p_ts", "4 hours")
+        val c = eventStream(s2, d).where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                  col("event_id").as("c_id"))
+          .withWatermark("c_ts", "4 hours")
+        p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("user_id"), col("p_id"), col("c_id"))
+      }
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
              sum(col("p_id")).as("purchase_id_sum"),
@@ -287,20 +281,21 @@ object StreamingOps {
         |  CAST(sum(p_id) AS BIGINT) AS purchase_id_sum
         |FROM (SELECT * FROM j UNION ALL SELECT * FROM unm) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      val p = eventStream(s, d).where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-        .withWatermark("p_ts", "4 hours")
-      val c = eventStream(s, d).where(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-                col("event_id").as("c_id"))
-        .withWatermark("c_ts", "4 hours")
-      val joined = p.join(c,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"),
-        "left_outer")
-        .select(col("user_id"), col("p_id"), col("c_id"))
-      runToMemory(joined, "append")
+      runToMemory(s, "append") { s2 =>
+        val p = eventStream(s2, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+          .withWatermark("p_ts", "4 hours")
+        val c = eventStream(s2, d).where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                  col("event_id").as("c_id"))
+          .withWatermark("c_ts", "4 hours")
+        p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+          .select(col("user_id"), col("p_id"), col("c_id"))
+      }
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_rows"), count(col("c_id")).as("n_matched"),
              (count(lit(1)) - count(col("c_id"))).as("n_unmatched"),
@@ -329,11 +324,12 @@ object StreamingOps {
         |FROM mx WHERE sid < maxsid
         |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
       import s.implicits._
-      val events = eventStream(s, d)
-        .select(col("user_id"), col("ts"), col("event_type"))
-        .as[StreamingArchiver.Event]
-      val sessions = StreamingArchiver.sessionize(events, 30 * 60 * 1000L).toDF()
-      runToMemory(sessions, "append", noDataBatch = false)
+      runToMemory(s, "append", noDataBatch = false) { s2 =>
+        val events = eventStream(s2, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .as[StreamingArchiver.Event]
+        StreamingArchiver.sessionize(events, 30 * 60 * 1000L).toDF()
+      }
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start_us"),
           unix_micros(col("session_end")).as("session_end_us"),

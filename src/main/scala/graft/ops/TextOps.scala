@@ -215,11 +215,15 @@ object TextOps {
     // Corpus TF-IDF with top-3 terms per document — the classic distinctive-
     // term / keyword-extraction signal. One (doc,term) shuffle builds the
     // term frequencies; document frequencies derive from the aggregated TF
-    // relation (vocabulary-sized, NOT corpus-sized), so the scoring join
-    // BROADCASTs the dictionary back over the TF stream — the corpus is
-    // never reshuffled on the term key. Ranking is exact-integer (tf desc,
-    // df asc, term asc), never by the IEEE score, so row_number is engine-
-    // identical; the displayed score rounds to 4 digits to absorb ln() ulp
+    // relation. The dictionary is deliberately NOT hint-broadcast: a web
+    // corpus's vocabulary (typos, URLs, code tokens) is 10⁸-10⁹ rows —
+    // far beyond broadcastable — so the scoring join shuffles the
+    // *aggregated* tf frame on `term` (one extra exchange of the post-
+    // groupBy relation, never the raw corpus), and AQE is free to demote
+    // that exchange to a runtime broadcast when the measured vocab is
+    // actually small. Ranking is exact-integer (tf desc, df asc, term
+    // asc), never by the IEEE score, so row_number is engine-identical;
+    // the displayed score rounds to 4 digits to absorb ln() ulp
     // differences (same pattern as text_char_entropy).
     Q("tfidf_topterms",
       """WITH t AS (
@@ -249,7 +253,7 @@ object TextOps {
         .agg(count(lit(1)).cast("double").as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
-      tf.join(broadcast(dfreq), Seq("term"))
+      tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf").cast("double")

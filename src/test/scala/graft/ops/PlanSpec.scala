@@ -343,10 +343,35 @@ class PlanSpec extends SparkSpec {
       "group-stat joins must broadcast (stats are group-grained):\n" + p)
   }
 
-  test("tfidf_topterms: DF dictionary broadcast; corpus never reshuffles on term") {
-    val p = planOf("tfidf_topterms")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+  test("tfidf_topterms: DF dictionary broadcast is size-based, never hint-forced") {
+    // A web corpus's vocabulary is 10⁸-10⁹ distinct terms — a HINT-forced
+    // broadcast of the df table OOMs the driver at scale regardless of
+    // measured size. Size-based broadcast is fine (tiny fixture vocab →
+    // planner broadcasts; 100-TB vocab → over threshold → shuffle join).
+    // Proof there is no hint: with auto-broadcast disabled the term join
+    // must revert to SortMergeJoin — a hinted join would stay broadcast.
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val p = planOf("tfidf_topterms")
+      assert(p.contains("SortMergeJoin"),
+        "term join must fall back to a shuffle join when broadcast is off:\n" + p)
+      assert(!p.contains("BroadcastHashJoin"),
+        "df dictionary must not carry a broadcast hint (vocab-sized at scale):\n" + p)
+    } finally spark.conf.set(k, prev)
+  }
+
+  test("dedup_embedding_cosine: cell-pruned candidates, zero cartesian pair join") {
+    // The pair generator must be an equi-join on the cell key (triangle-
+    // inequality-pruned compatible cell pairs), never the old all-pairs
+    // vec_id < vec_id inequality join, which is a CartesianProduct /
+    // corpus-sized nested loop under the hood. The only nested-loop the
+    // plan may carry is the 8-row broadcast centroid expansion.
+    val p = planOf("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "corpus pair join must shuffle on the cell key:\n" + p)
   }
 
   test("cdc_upsert_merge: one outer join applies the delta, no nested loop") {
