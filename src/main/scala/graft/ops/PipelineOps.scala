@@ -25,6 +25,96 @@ object PipelineOps {
 
   import SqlKernels.smixCtes
 
+  private val packSequencesOracle =
+    """WITH t AS (
+      |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, toks,
+      |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  /** Below this row count a single per-source window prefix sum is cheaper
+    * than the two-phase machinery (probe + checkpoint + subtotal shuffle);
+    * above it, a window partitioned by source alone serializes each source
+    * onto one task — fatal at 100 TB with a handful of sources. Same
+    * hybrid-threshold pattern as DedupClustering's small-graph path. */
+  private val packTwoPhaseMinRows = 1L << 20
+
+  /** Token-budget packing prefix sum, hybrid small/large path.
+    *
+    * The path decision reads the documents table's row count from the
+    * parquet FOOTERS driver-side (Tables.parquetRowCount — no Spark job,
+    * no tokenization). Small path: one window partitioned by
+    * source — correct and fastest when every source fits a task. Large
+    * path (or forced): TWO-PHASE distributed prefix sum — phase 1 splits
+    * each source into ≤256 order-contiguous chunks of the sort key and
+    * aggregates per-chunk token subtotals (map-side combine, one tiny
+    * shuffle); the exclusive cumulative offsets over that planning-sized
+    * frame are BROADCAST back; phase 2 runs the running sum within each
+    * (source, chunk) — parallelism = sources × chunks, independent of
+    * per-source volume — and adds the chunk's offset. Identical cum
+    * values either way, same oracle. */
+  private def packedBins(s: org.apache.spark.sql.SparkSession, d: String,
+      forceTwoPhase: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .cast("long").as("toks")
+    val twoPhase = forceTwoPhase ||
+      Tables.parquetRowCount(s, d, "documents") >= packTwoPhaseMinRows
+    val binned =
+      if (!twoPhase) {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d).select(col("doc_id"), col("source"), toksCol)
+          .withColumn("cum", sum(col("toks")).over(w))
+      } else {
+        // materialize the narrow (id, source, toks) projection ONCE (eager
+        // localCheckpoint): phase 1's subtotals, the chunk-width probe, and
+        // phase 2's running sum all scan it, and re-deriving it would
+        // tokenize the corpus once per consumer. A few bytes per doc —
+        // the standard cluster-cacheable materialization of a distributed
+        // prefix-sum input.
+        val t = documents(s, d)
+          .select(col("doc_id"), col("source"), toksCol)
+          .localCheckpoint(true)
+        // planning-sized action (one max over the cached narrow frame):
+        // chunk width giving ≤256 order-contiguous chunks across the id
+        // domain
+        val maxId = t.agg(max(col("doc_id"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r                  => r.getLong(0)
+        }
+        val chunkW = math.max(1L, (maxId + 256L) / 256L)
+        val c = t.withColumn("chunk", expr(s"doc_id div ${chunkW}L"))
+        // phase 1: per-(source, chunk) subtotals → exclusive running
+        // offsets over the tiny subtotal frame only
+        val offs = c.groupBy(col("source"), col("chunk"))
+          .agg(sum(col("toks")).as("sub"))
+          .withColumn("off", coalesce(
+            sum(col("sub")).over(Window.partitionBy(col("source"))
+              .orderBy(col("chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("chunk"), col("off"))
+        // phase 2: intra-chunk running sum + broadcast offset
+        val inChunk = Window.partitionBy(col("source"), col("chunk"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c.join(broadcast(offs), Seq("source", "chunk"))
+          .withColumn("cum", col("off") + sum(col("toks")).over(inChunk))
+      }
+    binned
+      .select(col("source"), expr("(cum - toks) div 4096").as("bin"),
+              col("toks"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // PII redaction: synthesize deterministic PII into each document (the
@@ -259,69 +349,19 @@ object PipelineOps {
     // Token-budget sequence packing: within each source, documents in
     // doc_id order fill 4096-token bins (bin = floor(tokens-before /
     // budget) — the streaming-friendly first-fit-in-order packing).
-    //
-    // The running sum is a TWO-PHASE distributed prefix sum, because a
-    // window partitioned by source alone serializes each source onto one
-    // task — fatal at 100 TB with a handful of sources. Phase 1 splits
-    // each source into ≤256 order-contiguous chunks of the sort key and
-    // aggregates per-chunk token subtotals (map-side combine, one tiny
-    // shuffle); the exclusive cumulative offsets over that
-    // chunks-per-source-sized frame are computed with a window whose
-    // input is planning-sized (≤256 rows/source) and BROADCAST back.
-    // Phase 2 runs the running sum within each (source, chunk) —
-    // parallelism = sources × chunks, independent of per-source volume —
-    // and adds the chunk's offset. Identical cum values, same oracle.
-    Q("pack_sequences",
-      """WITH t AS (
-        |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, toks,
-        |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t)
-        |SELECT source, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
-        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // materialize the narrow (id, source, toks) projection ONCE (eager
-      // localCheckpoint): phase 1's subtotals, the chunk-width probe, and
-      // phase 2's running sum all scan it, and re-deriving it would
-      // tokenize the corpus once per consumer. A few bytes per doc —
-      // the standard cluster-cacheable materialization of a distributed
-      // prefix-sum input.
-      val t = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
-        .localCheckpoint(true)
-      // planning-sized action (one max over the cached narrow frame):
-      // chunk width giving ≤256 order-contiguous chunks across the id domain
-      val maxId = t.agg(max(col("doc_id"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r                  => r.getLong(0)
-      }
-      val chunkW = math.max(1L, (maxId + 256L) / 256L)
-      val c = t.withColumn("chunk", expr(s"doc_id div ${chunkW}L"))
-      // phase 1: per-(source, chunk) subtotals → exclusive running offsets
-      // over the tiny subtotal frame only
-      val offs = c.groupBy(col("source"), col("chunk"))
-        .agg(sum(col("toks")).as("sub"))
-        .withColumn("off", coalesce(
-          sum(col("sub")).over(Window.partitionBy(col("source"))
-            .orderBy(col("chunk"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("source"), col("chunk"), col("off"))
-      // phase 2: intra-chunk running sum + broadcast offset
-      val inChunk = Window.partitionBy(col("source"), col("chunk"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.join(broadcast(offs), Seq("source", "chunk"))
-        .withColumn("cum", col("off") + sum(col("toks")).over(inChunk))
-        .select(col("source"),
-          expr("(cum - toks) div 4096").as("bin"), col("toks"))
-        .groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
-        .orderBy(col("source"), col("bin"))
+    // Hybrid prefix sum (see packedBins): single per-source window below
+    // the row threshold, two-phase distributed prefix sum above it; the
+    // forced-two-phase sibling query keeps the scale path itself under
+    // the oracle gate (the dedup_cluster_starjoin pattern).
+    Q("pack_sequences", packSequencesOracle) { (s, d) =>
+      packedBins(s, d, forceTwoPhase = false)
+    },
+
+    // The SAME contract, two-phase path FORCED (threshold 0): pins the
+    // 100-TB shape — per-(source, chunk) subtotals, broadcast offsets,
+    // parallelism = sources × chunks — against the identical oracle.
+    Q("pack_sequences_twophase", packSequencesOracle) { (s, d) =>
+      packedBins(s, d, forceTwoPhase = true)
     },
 
     // Deterministic global corpus shuffle — the "shuffle the training data"

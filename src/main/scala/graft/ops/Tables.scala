@@ -26,6 +26,35 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
 
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact table row count from the parquet FOOTERS, read driver-side —
+    * the metadata probe a planner uses for path decisions (e.g.
+    * pack_sequences' hybrid prefix sum). No Spark job: a `df.count()`
+    * schedules a scan stage (~150 ms warm at sf0.1) where the footers
+    * already carry the answer; footer reads are planning-sized (one
+    * ~KB-range read per file) and memoized per path. */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$dir/$name.parquet", { path =>
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Seq(fs.getFileStatus(p))
+      java.lang.Long.valueOf(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    })
+
   /** Spread a scan across the session's parallelism. The fixtures are
     * single-row-group parquet files, so Spark cannot split them — every
     * scan is one partition, and CPU-heavy per-row work (JSON codec,

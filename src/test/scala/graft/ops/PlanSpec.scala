@@ -118,8 +118,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "per-doc stats must ride the explode, not join back:\n" + p)
   }
 
-  test("pack_sequences: two-phase prefix sum — no per-source serial window") {
-    val p = planOf("pack_sequences")
+  test("pack_sequences_twophase: two-phase prefix sum — no per-source serial window") {
+    // pack_sequences itself is hybrid (single window below the row
+    // threshold); the forced-two-phase sibling pins the scale shape.
+    val p = planOf("pack_sequences_twophase")
     val norm = p.replaceAll("#\\d+L?", "")
     // exactly two windows: the exclusive-offset scan over the tiny
     // per-(source, chunk) subtotal frame, and the intra-chunk running sum —
