@@ -460,6 +460,12 @@ object DedupOps {
         .select(col("vec_id"), col("best.cid").as("cell"),
                 col("best.v").as("v"), col("best.nrm").as("nrm"),
           acos(least(lit(1.0), greatest(lit(-1.0), col("best.cos")))).as("theta"))
+        // materialize the assignment ONCE (eager localCheckpoint): the
+        // radii action and both sides of the pair join scan it — without
+        // this the K-way argmax recomputes three times. Narrow frame
+        // (id, cell, vec, norm, angle), the standard cluster-cacheable
+        // materialization of an IVF assignment.
+        .localCheckpoint(true)
       // planning-sized driver work: K angular radii + K centroid vectors →
       // the compatible ORDERED cell-pair list (a pair (u,w) appears through
       // exactly one ordered cell pair, so no candidate dedup is needed)

@@ -27,11 +27,20 @@ object StreamingOps {
     * DIRECTORY, so the µs-converted events are materialized once per
     * fixture into a temp dir (memoized per process via [[TempDirs]]) — the
     * stand-in for the landing directory a live deployment tails. */
+  private val stagedSchema =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val dir = TempDirs.memoStaged(s"stream-events:$d", "graft-stream-events") {
       tmp => Tables.events(s, d).write.mode("overwrite").parquet(tmp)
     }
-    s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+    // schema memoized per staged dir: the batch-read probe re-lists files
+    // and re-reads footers (~50-100 ms), and the join queries open two
+    // streams over the same staging
+    val schema = stagedSchema.computeIfAbsent(dir,
+      dd => s.read.parquet(dd).schema)
+    s.readStream.schema(schema).parquet(dir)
   }
 
   /** Run a streaming frame to completion into a uniquely-named memory
