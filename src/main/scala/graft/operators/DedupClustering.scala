@@ -89,18 +89,24 @@ object DedupClustering {
       }
 
       // deterministic edge-set checksum — O(E) aggregate, no join-based
-      // change count; (count, exact decimal hash sum — ANSI mode forbids
-      // wrap-around long sums) collision-proof enough for a fixpoint test
-      // on a monotone contraction
-      def checksum(e: DataFrame): (Long, String) = {
+      // change count. Three independent aggregates (count, exact decimal
+      // hash sum, exact decimal endpoint sum — ANSI mode forbids
+      // wrap-around long sums): a premature fixpoint needs two distinct
+      // edge sets agreeing on ALL of cardinality, a keyed-hash sum, and
+      // the raw endpoint sum, which the monotone contraction cannot
+      // produce short of engineered xxhash64 collisions
+      def checksum(e: DataFrame): (Long, String, String) = {
         val r = e.agg(count(lit(1)),
-          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
-        (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          sum((col("src") + col("dst")).cast("decimal(38,0)"))).head()
+        (r.getLong(0),
+         if (r.isNullAt(1)) "0" else r.getDecimal(1).toString,
+         if (r.isNullAt(2)) "0" else r.getDecimal(2).toString)
       }
 
       var cur = edges.where(col("src") =!= col("dst")).distinct()
         .localCheckpoint(true)
-      var prev = (-1L, "")
+      var prev = (-1L, "", "")
       var sig = checksum(cur)
       while (sig != prev) {
         cur = smallStar(largeStar(cur)).localCheckpoint(true)

@@ -16,10 +16,13 @@ object AnalyticsOps {
     * and uncached each iteration would re-run the lineitem scan + distinct
     * + degree aggregation (the q33 lesson — materialize the static side of
     * an iteration once). Memoized so bench/verify re-invocations reuse the
-    * cache instead of stacking copies. Entries are evicted (and their RDD
-    * blocks unpersisted) when their session's SparkContext ends, so a
-    * long-lived JVM that cycles sessions does not pin cached blocks or
-    * strongly retain dead sessions. */
+    * cache instead of stacking copies. Eviction is two-tier: entries whose
+    * SparkContext has STOPPED are dropped on every access (covers a
+    * long-lived JVM cycling contexts), and the application-end listener
+    * clears a context's entries when it shuts down. Sessions cycled on one
+    * LIVE context stay retained until that context ends — their `.cache()`
+    * blocks are context-level and would be reusable anyway; the map entry
+    * itself is two references. */
   private val prEdgeCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
 
@@ -27,7 +30,12 @@ object AnalyticsOps {
     java.util.Collections.newSetFromMap(new java.util.concurrent.ConcurrentHashMap[
       org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
-  private def installEvictor(s: org.apache.spark.sql.SparkSession): Unit =
+  private def installEvictor(s: org.apache.spark.sql.SparkSession): Unit = {
+    // access-time sweep: a stopped context cannot serve its cached frames
+    // (and holds no blocks to unpersist — stop() dropped the executors),
+    // so retaining its sessions would leak both map entries and sessions
+    prEdgeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    evictorInstalled.removeIf(_.sparkContext.isStopped)
     if (evictorInstalled.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
@@ -37,6 +45,7 @@ object AnalyticsOps {
         }
       })
     }
+  }
 
   val all: Seq[Q] = Seq(
 

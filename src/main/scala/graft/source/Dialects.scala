@@ -70,10 +70,15 @@ case object SqlServerDialect extends JdbcDialect {
       |  AND name NOT IN ('master', 'tempdb', 'model', 'msdb')""".stripMargin
   def listTablesSql(db: String) =
     s"SELECT SCHEMA_NAME(schema_id) + '.' + name FROM [$db].sys.tables"
-  /** T-SQL has no ANSI `TIMESTAMP '...'` literal; a quoted string
-    * implicitly converts against datetime columns (the reference's own
-    * predicate shape). */
-  override def timestampLiteral(ts: String): String = s"'$ts'"
+  /** T-SQL has no ANSI `TIMESTAMP '...'` literal, and a bare quoted
+    * string breaks against `datetime` columns when the value carries the
+    * µs-precision watermark (max 3 fractional digits implicitly convert
+    * to datetime — 6 raise error 241). CAST to datetime2 instead:
+    * datetime2 accepts 7 fractional digits and has higher type
+    * precedence, so a datetime column converts UP and the comparison is
+    * done at datetime2 precision regardless of the column's type. */
+  override def timestampLiteral(ts: String): String =
+    s"CAST('$ts' AS datetime2)"
   /** Dirty-read scan (reference WITH (NOLOCK), sql_server.go:231,291).
     * Spark's JDBC `isolationLevel` option applies only to the WRITE path —
     * for reads the session itself must be switched, which
@@ -136,10 +141,16 @@ case object DerbyDialect extends JdbcDialect {
     * TIMESTAMP renders "yyyy-MM-dd HH:mm:ss.f" (space + fraction), which
     * none of the reference's four layouts parse. Second truncation matches
     * the reference's own planning precision (its Go format string is
-    * second-grained too). */
+    * second-grained too) — but MIN truncates DOWN while MAX must round UP:
+    * the planner's final window is CLOSED at mx, so a max with a
+    * fractional-second tail beyond the truncated value would fall outside
+    * every window and a time-split scan would silently drop it. Adding one
+    * second before truncating makes the ceiling (an extra empty second
+    * when the max was already whole — harmless, nothing exists past the
+    * true max). TIMESTAMPADD is JDBC-escape-only in Derby, hence {fn}. */
   override def minMaxTimeSql(key: String, db: String, table: String, where: String) =
     s"""SELECT SUBSTR(CAST(MIN($key) AS VARCHAR(29)), 1, 19) AS mn,
-       |  SUBSTR(CAST(MAX($key) AS VARCHAR(29)), 1, 19) AS mx
+       |  SUBSTR(CAST({fn TIMESTAMPADD(SQL_TSI_SECOND, 1, MAX($key))} AS VARCHAR(29)), 1, 19) AS mx
        |FROM ${qualify(db, table)} WHERE $where""".stripMargin
   /** Derby rejects the ANSI `TIMESTAMP '...'` literal; it has a TIMESTAMP()
     * conversion function instead. */

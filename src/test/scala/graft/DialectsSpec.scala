@@ -49,12 +49,23 @@ class DialectsSpec extends AnyFunSuite {
     assert(JdbcDialect.forType("derby") == DerbyDialect)
   }
 
-  test("timestamp literals per dialect: ANSI default, Derby function form, T-SQL bare string") {
+  test("timestamp literals per dialect: ANSI default, Derby function form, T-SQL datetime2 cast") {
     val ts = "2024-03-01 00:29:30.000000"
     assert(MySqlDialect.timestampLiteral(ts) == s"TIMESTAMP '$ts'")
     assert(PostgresDialect.timestampLiteral(ts) == s"TIMESTAMP '$ts'")
     assert(OracleDialect.timestampLiteral(ts) == s"TIMESTAMP '$ts'")
-    assert(SqlServerDialect.timestampLiteral(ts) == s"'$ts'")
+    // a bare quoted µs-precision string raises T-SQL error 241 against
+    // datetime (max 3 fractional digits); the datetime2 cast compares at
+    // datetime2 precedence for both column types
+    assert(SqlServerDialect.timestampLiteral(ts) == s"CAST('$ts' AS datetime2)")
     assert(DerbyDialect.timestampLiteral(ts) == s"TIMESTAMP('$ts')")
+  }
+
+  test("Derby time min/max: MAX rounds UP to the next whole second (closed final window)") {
+    val sql = DerbyDialect.minMaxTimeSql("ts", "DB", "T", "1=1")
+    assert(sql.contains("SUBSTR(CAST(MIN(ts) AS VARCHAR(29)), 1, 19)"), sql)
+    assert(sql.contains("{fn TIMESTAMPADD(SQL_TSI_SECOND, 1, MAX(ts))}"),
+      "sub-second tails beyond a truncated MAX would fall outside every " +
+      "closed window and be silently dropped by a time-split scan:\n" + sql)
   }
 }

@@ -150,6 +150,7 @@ class JdbcE2ESpec extends SparkSpec {
 
   test("incremental high-watermark sync against the live source: " +
        "initial load, source grows, delta run picks up only new keys") {
+    seed() // idempotent ARCHDB bootstrap — keeps the test runnable in isolation
     withConn { c =>
       val st = c.createStatement()
       try { st.execute("DROP TABLE ARCHDB.ORDERS_DELTA"): Unit }
@@ -204,6 +205,7 @@ class JdbcE2ESpec extends SparkSpec {
       }
       ps.executeBatch(); ps.close()
     }
+    seed() // idempotent ARCHDB bootstrap — keeps the test runnable in isolation
     withConn { c =>
       val st = c.createStatement()
       try { st.execute("DROP TABLE ARCHDB.EVENTS_TS"): Unit }

@@ -113,6 +113,32 @@ class TypeFixtureSpec extends SparkSpec {
     }
   }
 
+  test("HTML metacharacters round-trip the staged load byte-exactly in every format") {
+    // Go's json.Marshal escapes `<` `>` `&` to </>/& by
+    // default (reference source/source.go:164-189); Spark's JSON writer
+    // emits them raw. Both are valid JSON encodings of the SAME string —
+    // what the archival contract requires is that the decoded value is
+    // byte-identical after the staged load, which this pins across all
+    // four staging formats (plus quotes, backslash, and a tab for the
+    // CSV/JSON escape paths).
+    val tricky = "<a href=\"x?a=1&b=2\">T&C's</a> \\ <script> &amp; \t end"
+    val row = Seq(Row(BigDecimal(1), 1, tricky, 1.0f, true,
+      BigDecimal("0.000001"), java.sql.Date.valueOf("2022-01-01"),
+      java.sql.Timestamp.valueOf("2022-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-06-30 20:00:00")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(row, 1), schema)
+    Seq("json", "csv", "parquet", "orc").foreach { fmt =>
+      val root = Files.createTempDirectory(s"graft-esc-$fmt").toString
+      val loader = new graft.sink.StagedLoader(spark, s"$root/t", schema,
+        stagingFormat = fmt)
+      assert(loader.ingest(df, s"$root/stg") == 1L, s"$fmt: ingest count")
+      val got = spark.read.schema(schema).parquet(s"$root/t")
+        .select("varchar_col").head().getString(0)
+      assert(got == tricky,
+        s"$fmt staging corrupted HTML metacharacters: got <$got>")
+    }
+  }
+
   test("uint64 max id survives the pipeline as DECIMAL(20,0)") {
     val uMax = BigDecimal("18446744073709551615")
     val row = Seq(Row(uMax, 1, "max", 1.0f, true, BigDecimal("0.000001"),
