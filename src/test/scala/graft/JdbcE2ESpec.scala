@@ -247,4 +247,82 @@ class JdbcE2ESpec extends SparkSpec {
     val tgt = spark.read.schema(schema).parquet(s"$root/target")
     assert(tgt.count() == 70L && tgt.select("ID").distinct().count() == 70L)
   }
+
+  test("multi-schema db@table regex archives several LIVE tables into one " +
+       "target: summed reconciliation, NULL wave intact") {
+    // The reference's multi-table loop (cmd/main.go:83-101) with its
+    // two-wave seed shape (cmd/main_test.go:448-510): wave 1 is fully
+    // populated, wave 2 (ids i*11+100) NULLs int/varchar/timestamp on odd
+    // i. Two schemas of different sizes so the summed golden counts
+    // (cmd/main_test.go:852-895) can't pass by accident, and the two
+    // tables carry OVERLAPPING id ranges — the shared target must keep
+    // both copies and reconcile on the SUM, not a distinct count.
+    def seedWave(db: String, wave2N: Int): Unit = withConn { c =>
+      val st = c.createStatement()
+      def tryRun(sql: String): Unit =
+        try { st.execute(sql): Unit }
+        catch { case _: java.sql.SQLException => () }
+      tryRun(s"CREATE SCHEMA $db")
+      tryRun(s"DROP TABLE $db.ORDERS_WAVE")
+      st.execute(s"""CREATE TABLE $db.ORDERS_WAVE (
+                    |  ID BIGINT NOT NULL PRIMARY KEY,
+                    |  INT_COL INT,
+                    |  VARCHAR_COL VARCHAR(32),
+                    |  TS TIMESTAMP)""".stripMargin)
+      st.close()
+      val ps = c.prepareStatement(
+        s"INSERT INTO $db.ORDERS_WAVE VALUES (?, ?, ?, ?)")
+      val base = java.time.LocalDateTime.of(2024, 3, 1, 0, 0, 0)
+      def ts(i: Int) = java.sql.Timestamp.valueOf(base.plusMinutes(i.toLong))
+      (1 to 10).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setInt(2, i)
+        ps.setString(3, s"varchar $i"); ps.setTimestamp(4, ts(i))
+        ps.addBatch()
+      }
+      (1 to wave2N).foreach { i =>
+        ps.setLong(1, i * 11L + 100L)
+        if (i % 2 == 1) {
+          ps.setNull(2, java.sql.Types.INTEGER)
+          ps.setNull(3, java.sql.Types.VARCHAR)
+          ps.setNull(4, java.sql.Types.TIMESTAMP)
+        } else {
+          ps.setInt(2, i); ps.setString(3, s"varchar ${i * 11}")
+          ps.setTimestamp(4, ts(i))
+        }
+        ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    }
+    seedWave("WAVEDB1", 10) // 20 rows, 5 NULL-wave rows
+    seedWave("WAVEDB2", 5)  // 15 rows, 3 NULL-wave rows
+    val src = source
+    val root = Files.createTempDirectory("graft-jdbc-multi").toString
+    val mcfg = ArchiverConfig(
+      databaseType = "derby",
+      sourceDbTables = Seq("WAVEDB.*@ORDERS.*"),
+      sourceWhereCondition = "ID >= 1", sourceSplitKey = "ID",
+      batchSize = 7, maxThread = 3)
+    val schema = src.scan("WAVEDB1", "ORDERS_WAVE", Seq.empty, "1=1").schema
+    val loader = new StagedLoader(spark, s"$root/target", schema)
+    val archiver = new Archiver(spark, mcfg, src, loader, s"$root/staging",
+      pacingSleep = _ => ())
+    val r = archiver.run()
+    assert(r.tables.map(t => (t.db, t.table, t.rowsLoaded)).toSet ==
+      Set(("WAVEDB1", "ORDERS_WAVE", 20L), ("WAVEDB2", "ORDERS_WAVE", 15L)),
+      r.toString)
+    assert(r.reconciliation.correct, r.toString)
+    assert(r.reconciliation.sourceRows == 35L &&
+           r.reconciliation.targetRows == 35L, r.toString)
+    val tgt = spark.read.schema(schema).parquet(s"$root/target")
+    assert(tgt.count() == 35L)
+    // overlapping ids stayed duplicated (two tables' worth), not merged
+    assert(tgt.where("ID = 5").count() == 2L)
+    // the NULL wave survived the staged NDJSON hop: 5 + 3 all-NULL rows,
+    // and NULLs never leaked into wave 1
+    assert(tgt.where("INT_COL IS NULL AND VARCHAR_COL IS NULL AND TS IS NULL")
+      .count() == 8L)
+    assert(tgt.where("ID <= 10 AND INT_COL IS NULL").count() == 0L)
+    // fidelity of a populated wave-2 row through the text staging
+    assert(tgt.where("ID = 122 AND VARCHAR_COL = 'varchar 22'").count() == 2L)
+  }
 }
