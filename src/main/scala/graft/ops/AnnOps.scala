@@ -84,6 +84,60 @@ object AnnOps {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Exact cosine RANGE search — every corpus vector with cos ≥ t of each
+    // probe — in IVF topology with a PROVABLE probe set: probes scan only
+    // cells whose centroid angle passes the spherical triangle-inequality
+    // bound angle(p, c) ≤ acos(t) + r(c) (AngularCells scaladoc), so the
+    // brute-force oracle equality is a theorem, not a recall measurement
+    // (the contrast with ann_lsh/ann_ivf, whose misses are probabilistic).
+    // The corpus-side work is one equi-join of the cell-keyed assignment
+    // against the broadcast probe×cell list; at scale `cell` is the
+    // storage partition key, so compatible cells prune at the SCAN
+    // (IvfStorageSpec pins that property for the shared layout).
+    Q("ann_range_exact",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS pv, nrm AS pnrm FROM e WHERE vec_id < 4)
+        |SELECT p.query_id, e.vec_id,
+        |  list_reduce(list_transform(list_zip(p.pv, e.v), x -> x[1] * x[2]),
+        |              (a, b) -> a + b) / (p.pnrm * e.nrm) AS cos
+        |FROM p JOIN e ON e.vec_id <> p.query_id
+        |WHERE list_reduce(list_transform(list_zip(p.pv, e.v), x -> x[1] * x[2]),
+        |              (a, b) -> a + b) / (p.pnrm * e.nrm) >= 0.35
+        |ORDER BY query_id, vec_id""".stripMargin) { (s, d) =>
+      import graft.operators.AngularCells
+      import s.implicits._
+      val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+                col("nrm").as("cnrm"))
+      val asg = AngularCells.assign(e, cents)
+      val radii = AngularCells.radii(asg)
+      val cvecs = AngularCells.collectVecs(cents)
+      val probes = AngularCells.collectVecs(
+        e.where(col("vec_id") < 4).select(col("vec_id"), col("v"), col("nrm")))
+      val tau = math.acos(0.35)
+      // probes × K driver-side bound check → the broadcast probe-cell list
+      val probeCells = for {
+        (qid, pv, pn) <- probes.toSeq
+        (cid, cv, cn) <- cvecs.toSeq if radii.contains(cid)
+        if AngularCells.angle(pv, pn, cv, cn) <=
+          tau + radii(cid) + AngularCells.slack
+      } yield (qid, cid, pv, pn)
+      val pc = probeCells.toDF("query_id", "cell", "pv", "pnrm")
+      asg.join(broadcast(pc), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot_d(col("pv"), col("v")) / (col("pnrm") * col("nrm"))).as("cos"))
+        .where(col("cos") >= 0.35)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // LSH path: signature = 16 sign-bits of hyperplane projections; bucket
     // join on 4-bit bands (multi-probe), exact cosine re-rank of candidates.
     // Fully deterministic (seeded hyperplanes), so the oracle rebuilds the

@@ -443,6 +443,7 @@ object DedupOps {
         |              (p, q) -> p + q) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       import graft.functions.VectorOps.dot_d
+      import graft.operators.AngularCells
       import s.implicits._
       val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -451,40 +452,18 @@ object DedupOps {
       // at scale these come from kmeans_train and are literal arrays
       val cents = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val asg = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          (dot_d(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cid"), col("v"), col("nrm"), col("cos")),
-                    struct(col("cos"), (-col("cid")).as("neg"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cell"),
-                col("best.v").as("v"), col("best.nrm").as("nrm"),
-          acos(least(lit(1.0), greatest(lit(-1.0), col("best.cos")))).as("theta"))
-        // materialize the assignment ONCE (eager localCheckpoint): the
-        // radii action and both sides of the pair join scan it — without
-        // this the K-way argmax recomputes three times. Narrow frame
-        // (id, cell, vec, norm, angle), the standard cluster-cacheable
-        // materialization of an IVF assignment.
-        .localCheckpoint(true)
+      val asg = AngularCells.assign(e, cents)
       // planning-sized driver work: K angular radii + K centroid vectors →
       // the compatible ORDERED cell-pair list (a pair (u,w) appears through
       // exactly one ordered cell pair, so no candidate dedup is needed)
-      val radii: Map[Long, Double] = asg.groupBy(col("cell"))
-        .agg(max(col("theta")).as("r")).collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val cvecs: Array[(Long, Array[Double], Double)] = cents.collect().map { r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-      }
+      val radii = AngularCells.radii(asg)
+      val cvecs = AngularCells.collectVecs(cents)
       val tau = math.acos(0.4)
       val compat = for {
         (c1, v1, n1) <- cvecs.toSeq if radii.contains(c1)
         (c2, v2, n2) <- cvecs.toSeq if radii.contains(c2)
-        ang = math.acos(math.max(-1.0, math.min(1.0,
-          v1.zip(v2).map { case (x, y) => x * y }.sum / (n1 * n2))))
-        // 1e-9 slack absorbs fold-order ulps between the driver-side
-        // centroid dot and the executor-side dot_d — pruning stays
-        // strictly conservative
-        if ang <= tau + radii(c1) + radii(c2) + 1e-9
+        if AngularCells.angle(v1, n1, v2, n2) <=
+          tau + radii(c1) + radii(c2) + AngularCells.slack
       } yield (c1, c2)
       val compatDf = compat.toDF("c1", "c2")
       val a = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("a")

@@ -265,6 +265,64 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // Exact-n WEIGHTED sampling without replacement — the missing corner of
+    // the sampling family (split_assign routes, corpus_mix_sample is
+    // Bernoulli-by-rate, stratified_exact_n is exact-n UNweighted). The
+    // classic A-ES exponential race (key = u^(1/w), take top-n) needs ln()
+    // — engine-divergent at the ulp level, fatal for a hash oracle — so
+    // this uses the integer-exact equivalent: each document draws
+    // w independent uniforms (splitmix64 streams doc_id*16+j+3, an
+    // independent lane vs the split/mix hashes) and races on the MINIMUM.
+    // P(doc takes the global minimum) = w/Σw exactly (min of w iid
+    // uniforms ~ Beta(1, w)); the bottom-n keys generalize to
+    // without-replacement sampling the same way A-ES does. Deterministic,
+    // pure integer arithmetic, reproducible in DuckDB's HUGEINT kernel.
+    // Scale shape: one explode(≤w_max) projection at the scan, a map-side-
+    // combined min per doc, then TakeOrdered(n) — no global sort, no
+    // shuffle beyond the one min aggregation. Integer weights 1/2/4/8
+    // derive from the source name so the oracle states them identically.
+    Q("sample_weighted_topn",
+      s"""WITH wsrc AS (
+         |  SELECT doc_id, source,
+         |    CASE length(source) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+         |                            WHEN 2 THEN 4 ELSE 8 END AS w
+         |  FROM documents),
+         |s0 AS (
+         |  SELECT doc_id, source, w,
+         |    CAST(doc_id * 16 + u + 3 AS HUGEINT) AS z
+         |  FROM (SELECT doc_id, source, w, unnest(range(0, w)) AS u FROM wsrc) t),
+         |${smixCtes("wk", "s0", "doc_id, source, w")},
+         |keys AS (
+         |  SELECT doc_id, source, w,
+         |    CAST(min(z % 9223372036854775808) AS BIGINT) AS k
+         |  FROM wk6 GROUP BY doc_id, source, w),
+         |top AS (
+         |  SELECT doc_id, source, w, k,
+         |    row_number() OVER (ORDER BY k, doc_id) AS rank
+         |  FROM keys ORDER BY k, doc_id LIMIT 100)
+         |SELECT rank, doc_id, source, w, k FROM top ORDER BY rank""".stripMargin) {
+      (s, d) =>
+      val w = when(length(col("source")) % 4 === 0, 1)
+        .when(length(col("source")) % 4 === 1, 2)
+        .when(length(col("source")) % 4 === 2, 4).otherwise(8)
+      val keys = documents(s, d)
+        .select(col("doc_id"), col("source"), w.as("w"))
+        .withColumn("j", explode(sequence(lit(0), col("w") - 1)))
+        .withColumn("lane",
+          splitmix64((col("doc_id") * 16 + col("j") + 3).cast("long"))
+            .bitwiseAND(lit(Long.MaxValue)))
+        .groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(min(col("lane")).as("k"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("doc_id"))
+      // orderBy+limit plans as TakeOrderedAndProject; the row_number window
+      // runs over the 100-row prefix only
+      keys.orderBy(col("k"), col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(rw))
+        .select(col("rank"), col("doc_id"), col("source"), col("w"), col("k"))
+        .orderBy(col("rank"))
+    },
+
     // The composed corpus-cleaning decision a training pipeline actually
     // ships: length gate ∧ repetition gates ∧ exact-dup canonicalization,
     // as ONE mask. Everything except the canonical check is a per-row

@@ -376,6 +376,22 @@ class PlanSpec extends SparkSpec {
       "corpus pair join must shuffle on the cell key:\n" + p)
   }
 
+  test("ann_range_exact: probe-cell pruned scan, zero cartesian, top-k-free") {
+    // the corpus side must reach the probes through the broadcast
+    // probe-cell equi-join — never a corpus×probes nested loop
+    val p = planOf("ann_range_exact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-cell list must broadcast onto the cell-keyed assignment:\n" + p)
+  }
+
+  test("sample_weighted_topn: TakeOrdered prefix, no global sort of the key frame") {
+    val p = planOf("sample_weighted_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-n keys must be a TakeOrdered prefix:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("cdc_upsert_merge: one outer join applies the delta, no nested loop") {
     val p = planOf("cdc_upsert_merge")
     assert(p.contains("FullOuter"), p)
