@@ -297,5 +297,40 @@ object TextOps {
             .orderBy(col("n").desc, col("pair"))))
         .orderBy(col("rank"))
     },
+
+    // Fixed-window document chunking with overlap — the context-window
+    // restructuring every training pipeline runs before sequence packing
+    // (200-char chunks, stride 168 → 32-char overlap carries boundary
+    // context into the next chunk). Pure per-row offset generation +
+    // substring at the scan (sequence+explode, one codegen stage), then a
+    // per-doc audit aggregate; the md5 over first||last chunk pins the
+    // exact chunk CONTENT cross-engine without shipping every chunk
+    // through the compare. Spark's inclusive sequence(0, len-1, 168)
+    // enumerates exactly DuckDB's exclusive range(0, len, 168); both
+    // substr are 1-based.
+    Q("chunk_documents",
+      """WITH c AS (
+        |  SELECT doc_id, u AS off,
+        |    substr(text, CAST(u + 1 AS INT), 200) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, greatest(len(text), 1), 168)) AS u
+        |        FROM documents) t)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(len(chunk)) AS BIGINT) AS chunk_chars,
+        |  md5(arg_min(chunk, off) || '|' || arg_max(chunk, off)) AS boundary_md5
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            greatest(length(col("text")) - 1, lit(0)), lit(168))).as("off"),
+          col("text"))
+        .withColumn("chunk", expr("substr(text, off + 1, 200)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk"))).cast("long").as("chunk_chars"),
+          md5(concat(min_by(col("chunk"), col("off")), lit("|"),
+                     max_by(col("chunk"), col("off")))).as("boundary_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 }
