@@ -49,22 +49,14 @@ trait TableSource {
   def timestampLiteral(ts: String): String = s"TIMESTAMP '$ts'"
 }
 
-/** Parquet-backed source: `rootDir/<table>.parquet`, database name = the
-  * directory's base name. */
-class ParquetTableSource(spark: SparkSession, rootDir: String)
-    extends TableSource {
-  private val dir = new java.io.File(rootDir)
-  private val dbName = dir.getName
-
-  override def listDatabases(): Seq[String] = Seq(dbName)
-
-  override def listTables(db: String): Seq[String] =
-    if (db != dbName) Seq.empty
-    else dir.listFiles((_, n) => n.endsWith(".parquet")).toSeq
-      .map(_.getName.stripSuffix(".parquet")).sorted
-
-  private def table(t: String): DataFrame =
-    spark.read.parquet(s"$rootDir/$t.parquet")
+/** Shared implementation for sources whose tables materialize as Spark
+  * DataFrames (parquet fixtures, file landing zones): the planning
+  * aggregates and the predicate scan run through Catalyst on the same
+  * relation — predicates become partition filters instead of remote
+  * cursors, everything above (catalog regex, planner, loader, reconciler,
+  * delete-back) is source-agnostic. */
+trait DataFrameTableSource extends TableSource {
+  protected def table(t: String): DataFrame
 
   override def scan(db: String, t: String, predicates: Seq[String],
       userPred: String): DataFrame = {
@@ -88,6 +80,65 @@ class ParquetTableSource(spark: SparkSession, rootDir: String)
       .agg(date_format(min(col(key)), "yyyy-MM-dd HH:mm:ss"),
            date_format(max(col(key)), "yyyy-MM-dd HH:mm:ss")).head()
     (Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse(""))
+  }
+}
+
+/** Parquet-backed source: `rootDir/<table>.parquet`, database name = the
+  * directory's base name. */
+class ParquetTableSource(spark: SparkSession, rootDir: String)
+    extends DataFrameTableSource {
+  private val dir = new java.io.File(rootDir)
+  private val dbName = dir.getName
+
+  override def listDatabases(): Seq[String] = Seq(dbName)
+
+  override def listTables(db: String): Seq[String] =
+    if (db != dbName) Seq.empty
+    else dir.listFiles((_, n) => n.endsWith(".parquet")).toSeq
+      .map(_.getName.stripSuffix(".parquet")).sorted
+
+  protected def table(t: String): DataFrame =
+    spark.read.parquet(s"$rootDir/$t.parquet")
+}
+
+/** File-landing-zone source: `rootDir/<table>.<json|csv>` — the ingestion
+  * topology where an upstream producer drops NDJSON or CSV batches in a
+  * landing directory and the archiver sweeps them into the warehouse.
+  * Table schemas come from the landing CONTRACT when provided (the
+  * production shape — text formats carry no types; µs-precision
+  * timestamps parse via the same `timestampFormat` the staged loader
+  * writes), else from inference (one extra planning-time pass, fine for
+  * exploration, not for the scan loop). Everything above the relation —
+  * catalog regex, key/time-split planning, staged load, reconciliation —
+  * is inherited unchanged from [[DataFrameTableSource]]. */
+final class FileTableSource(spark: SparkSession, rootDir: String,
+    format: String = "json",
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+    extends DataFrameTableSource {
+  require(Set("json", "csv")(format), s"unsupported landing format: $format")
+  private val dir = new java.io.File(rootDir)
+  private val dbName = dir.getName
+
+  override def listDatabases(): Seq[String] = Seq(dbName)
+
+  override def listTables(db: String): Seq[String] =
+    if (db != dbName) Seq.empty
+    else dir.listFiles((_, n) => n.endsWith(s".$format")).toSeq
+      .map(_.getName.stripSuffix(s".$format")).sorted
+
+  protected def table(t: String): DataFrame = {
+    val path = s"$rootDir/$t.$format"
+    var r = spark.read
+      .option("timestampFormat", graft.sink.StagedLoader.MicrosTimestampFormat)
+    r = schemas.get(t) match {
+      case Some(sc) => r.schema(sc)
+      case None if format == "csv" => r.option("inferSchema", "true")
+      case None => r
+    }
+    format match {
+      case "json" => r.json(path)
+      case "csv"  => r.option("header", "true").csv(path)
+    }
   }
 }
 

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.config.ArchiverConfig
+import graft.sink.StagedLoader
+import graft.source.FileTableSource
+
+/** The file-landing-zone source (NDJSON/CSV drops swept into the
+  * warehouse): discovery, planning aggregates, key-split archival, and the
+  * incremental watermark all running over text relations with a schema
+  * contract — the third TableSource implementation next to parquet and
+  * live JDBC. */
+class FileSourceSpec extends SparkSpec {
+
+  private def stageLanding(): (String, org.apache.spark.sql.DataFrame) = {
+    val root = Files.createTempDirectory("graft-landing").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.write.mode("overwrite")
+      .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+      .json(s"$root/orders.json")
+    (root, orders)
+  }
+
+  test("landing-dir discovery + planning aggregates over NDJSON relations") {
+    val (root, orders) = stageLanding()
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root,
+      schemas = Map("orders" -> orders.schema))
+    assert(src.listDatabases() == Seq(dbName))
+    assert(src.listTables(dbName) == Seq("orders"))
+    assert(src.expandDbTables(Seq("graft-landing.*@ord.*")) ==
+      Map(dbName -> Seq("orders")))
+    assert(src.count(dbName, "orders", "1=1") == orders.count())
+    val (mn, mx) = src.minMaxKey(dbName, "orders", "o_orderkey", "1=1")
+    val exp = orders.agg(
+      org.apache.spark.sql.functions.min("o_orderkey"),
+      org.apache.spark.sql.functions.max("o_orderkey")).head()
+    assert(mn == BigInt(exp.getLong(0)) && mx == BigInt(exp.getLong(1)))
+    // empty-predicate sentinel (reference A3)
+    assert(src.minMaxKey(dbName, "orders", "o_orderkey", "o_orderkey < 0") ==
+      (BigInt(0), BigInt(0)))
+  }
+
+  test("key-split archival + incremental watermark over the NDJSON landing zone") {
+    val (root, orders) = stageLanding()
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root,
+      schemas = Map("orders" -> orders.schema))
+    val out = Files.createTempDirectory("graft-landing-out").toString
+    val cfg = ArchiverConfig(
+      sourceDB = dbName, sourceTable = "orders",
+      sourceWhereCondition = "o_totalprice > 0",
+      sourceSplitKey = "o_orderkey", batchSize = 300, maxThread = 4)
+    val loader = new StagedLoader(spark, s"$out/target", orders.schema,
+      orderedCommitKey = Some("o_orderkey"))
+    val archiver = new Archiver(spark, cfg, src, loader, s"$out/staging",
+      pacingSleep = _ => ())
+    val r1 = archiver.runIncremental() // empty target → full load
+    val n = orders.where("o_totalprice > 0").count()
+    assert(r1.reconciliation.correct && r1.reconciliation.targetRows == n,
+      r1.toString)
+    // a second NDJSON drop lands in the same directory; the delta run
+    // must sweep ONLY the new keys
+    val maxKey = orders.agg(
+      org.apache.spark.sql.functions.max("o_orderkey")).head().getLong(0)
+    // deterministic second drop: the lowest key range (keys are 0-based),
+    // shifted STRICTLY past the watermark — maxKey + 1, because key 0
+    // shifted by maxKey alone would land ON the watermark and be
+    // (correctly) excluded by the strict delta predicate
+    val wave2 = orders.where("o_orderkey <= 120")
+      .withColumn("o_orderkey",
+        org.apache.spark.sql.functions.col("o_orderkey") + maxKey + 1)
+    wave2.write.mode("append")
+      .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+      .json(s"$root/orders.json")
+    val r2 = archiver.runIncremental()
+    assert(r2.reconciliation.correct, r2.toString)
+    assert(r2.tables.map(_.rowsLoaded).sum ==
+      wave2.where("o_totalprice > 0").count(),
+      s"delta must sweep only the second drop: $r2")
+    val tgt = spark.read.schema(orders.schema).parquet(s"$out/target")
+    assert(tgt.count() == n + wave2.where("o_totalprice > 0").count())
+    assert(tgt.select("o_orderkey").distinct().count() == tgt.count())
+  }
+
+  test("CSV landing flavor: schema contract carries types through the text relation") {
+    val root = Files.createTempDirectory("graft-landing-csv").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.mode("overwrite").option("header", "true")
+      .csv(s"$root/nation.csv")
+    val src = new FileTableSource(spark, root, format = "csv",
+      schemas = Map("nation" -> nation.schema))
+    val dbName = new java.io.File(root).getName
+    assert(src.listTables(dbName) == Seq("nation"))
+    assert(src.count(dbName, "nation", "1=1") == nation.count())
+    val df = src.scan(dbName, "nation", Seq("n_nationkey < 10"), "1=1")
+    assert(df.schema == nation.schema)
+    assert(df.count() == nation.where("n_nationkey < 10").count())
+  }
+}
