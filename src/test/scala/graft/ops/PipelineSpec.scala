@@ -43,6 +43,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted_topn: selection frequency tracks the weights") {
+    // min-of-w-uniforms race: P(a doc beats the field) ∝ w, so the top-100
+    // must over-represent high-weight sources relative to their corpus
+    // share. Deterministic on the fixture (seeded hash), so the margins
+    // are exact replays, not flaky statistics.
+    val out = SparkEntry.queries("sample_weighted_topn")(spark, sf).collect()
+    assert(out.length == 100)
+    // ranks are 1..100 in order, keys non-decreasing
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 100))
+    val keys = out.map(_.getAs[Long]("k"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+      "selection must be the bottom-n of the race keys")
+    val corpus = graft.ops.Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source")).collect()
+      .map(_.getString(0))
+    def wOf(src: String) = Seq(1, 2, 4, 8)(src.length % 4)
+    val corpusMeanW = corpus.map(wOf(_).toDouble).sum / corpus.length
+    val sampleMeanW = out.map(_.getAs[Int]("w").toDouble).sum / out.length
+    assert(sampleMeanW > corpusMeanW,
+      s"weighted sample must skew heavy: sample=$sampleMeanW corpus=$corpusMeanW")
+  }
+
   test("pii redaction finds and strips the synthesized identifiers") {
     val out = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
     assert(out.nonEmpty)
