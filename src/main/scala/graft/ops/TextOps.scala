@@ -301,13 +301,16 @@ object TextOps {
     // Fixed-window document chunking with overlap — the context-window
     // restructuring every training pipeline runs before sequence packing
     // (200-char chunks, stride 168 → 32-char overlap carries boundary
-    // context into the next chunk). Pure per-row offset generation +
-    // substring at the scan (sequence+explode, one codegen stage), then a
-    // per-doc audit aggregate; the md5 over first||last chunk pins the
-    // exact chunk CONTENT cross-engine without shipping every chunk
-    // through the compare. Spark's inclusive sequence(0, len-1, 168)
-    // enumerates exactly DuckDB's exclusive range(0, len, 168); both
-    // substr are 1-based.
+    // context into the next chunk). The per-doc audit (chunk count, total
+    // chars, boundary-content md5) computes as SCALAR higher-order
+    // functions over the offset sequence — ZERO shuffle: where the naive
+    // explode→groupBy shape would reshuffle 1.2× the corpus text on
+    // doc_id, this stays a pure projection in one codegen stage (the only
+    // exchange is the output-sized per-doc sort the compare needs). The
+    // md5 over first||last chunk pins exact chunk CONTENT cross-engine
+    // without shipping every chunk through the compare. Spark's inclusive
+    // sequence(0, len-1, 168) enumerates exactly DuckDB's exclusive
+    // range(0, len, 168); both substr are 1-based.
     Q("chunk_documents",
       """WITH c AS (
         |  SELECT doc_id, u AS off,
@@ -321,15 +324,17 @@ object TextOps {
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
-          explode(sequence(lit(0),
-            greatest(length(col("text")) - 1, lit(0)), lit(168))).as("off"),
+          expr("sequence(0, greatest(length(text) - 1, 0), 168)").as("offs"),
           col("text"))
-        .withColumn("chunk", expr("substr(text, off + 1, 200)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(length(col("chunk"))).cast("long").as("chunk_chars"),
-          md5(concat(min_by(col("chunk"), col("off")), lit("|"),
-                     max_by(col("chunk"), col("off")))).as("boundary_md5"))
+        .select(col("doc_id"),
+          size(col("offs")).cast("long").as("n_chunks"),
+          expr("""aggregate(offs, 0L,
+                 |  (a, o) -> a + length(substr(text, o + 1, 200)))"""
+            .stripMargin).as("chunk_chars"),
+          md5(concat(
+            expr("substr(text, 1, 200)"), lit("|"),
+            expr("substr(text, element_at(offs, -1) + 1, 200)")))
+            .as("boundary_md5"))
         .orderBy(col("doc_id"))
     },
   )

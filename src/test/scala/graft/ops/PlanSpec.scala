@@ -392,6 +392,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("chunk_documents: scalar chunk audit — no chunk shuffle, no aggregate") {
+    // the per-doc audit rides higher-order functions at the scan; an
+    // explode→groupBy shape would reshuffle 1.2× the corpus text
+    val p = planOf("chunk_documents")
+    assert(!p.contains("HashAggregate") && !p.contains("Generate"),
+      "chunk audit must be a scalar projection, not explode+aggregate:\n" + p)
+    // tree-node form only — formatted explain prints each node twice
+    // (tree line + detail header), same caveat as the scan-count test
+    val exchanges = """Exchange\s+\(\d+\)""".r.findAllIn(p).size
+    assert(exchanges <= 2, // fan round-robin + output-sized sort only
+      s"expected no data exchange beyond fan + final sort, got $exchanges:\n" + p)
+  }
+
   test("cdc_upsert_merge: one outer join applies the delta, no nested loop") {
     val p = planOf("cdc_upsert_merge")
     assert(p.contains("FullOuter"), p)
