@@ -298,6 +298,70 @@ object TextOps {
         .orderBy(col("rank"))
     },
 
+    // Model-scored quality filtering — the classifier-gate shape of
+    // CCNet/FineWeb-style corpus curation: a LINEAR model over cheap
+    // per-doc features (stopword fraction, mean word length, alphabetic
+    // fraction) with literal weights, keep iff score ≥ τ. Deliberately
+    // linear, not logistic: every feature is one IEEE division of exact
+    // integers and the score is a fixed-order multiply-add chain, so the
+    // score — and therefore the τ boundary — is BIT-IDENTICAL across
+    // engines (exp/ln would differ at the ulp and make the cut flaky).
+    // At scale this is a pure projection at the scan plus one per-source
+    // audit aggregate; swapping in real trained weights keeps the shape.
+    // The per-source mean score goes through the decimal quantize-sum
+    // rule like every float aggregate.
+    Q("quality_classifier_filter",
+      """WITH w AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS wa, text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(wa) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(wa, x -> list_contains(
+        |                ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+        |              / len(wa) END AS swf,
+        |    CASE WHEN len(wa) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(wa, x -> len(x))) AS DOUBLE)
+        |              / len(wa) END AS mwl,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |              / len(text) END AS af
+        |  FROM w),
+        |sc AS (SELECT *, 10.0 * swf + 5.0 * af + 0.5 * mwl - 6.5 AS z FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (z >= 0.5) AS n_kept,
+        |  CAST(coalesce(sum(doc_id) FILTER (z >= 0.5), 0) AS BIGINT) AS kept_id_sum,
+        |  round(CAST(sum(CAST(round(z, 12) AS DECIMAL(30,12))) AS DOUBLE)
+        |        / count(*), 4) AS avg_score
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val f = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), col("source"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa"),
+          col("text"))
+        .withColumn("nw", size(col("wa")))
+        .withColumn("swf", when(col("nw") === 0, 0.0).otherwise(
+          size(expr("""filter(wa, x -> array_contains(
+                      |  array('the','a','of','and','to','in','is','it'), x))"""
+            .stripMargin)).cast("double") / col("nw")))
+        .withColumn("mwl", when(col("nw") === 0, 0.0).otherwise(
+          expr("aggregate(wa, 0, (a, x) -> a + length(x))").cast("double")
+            / col("nw")))
+        .withColumn("af", when(length(col("text")) === 0, 0.0).otherwise(
+          size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("double")
+            / length(col("text"))))
+        .withColumn("z",
+          lit(10.0) * col("swf") + lit(5.0) * col("af")
+            + lit(0.5) * col("mwl") - lit(6.5))
+      f.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("z") >= 0.5, 1)).as("n_kept"),
+          coalesce(sum(when(col("z") >= 0.5, col("doc_id"))), lit(0L))
+            .as("kept_id_sum"),
+          round(sum(round(col("z"), 12).cast("decimal(30,12)")).cast("double")
+            / count(lit(1)), 4).as("avg_score"))
+        .orderBy(col("source"))
+    },
+
     // Fixed-window document chunking with overlap — the context-window
     // restructuring every training pipeline runs before sequence packing
     // (200-char chunks, stride 168 → 32-char overlap carries boundary
