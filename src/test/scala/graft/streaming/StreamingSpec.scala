@@ -140,6 +140,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.schema(schema).parquet(tgt).count() == all.count())
   }
 
+  test("late stragglers beyond the watermark are dropped, on-time late rows kept") {
+    // Three-batch feed with controlled file order (mtimes +
+    // maxFilesPerTrigger=1). Spark ≥3.4 splits the watermark per batch:
+    // late-event FILTERING uses the PREVIOUS batch's watermark while
+    // EVICTION uses the current one — so a straggler arriving in the batch
+    // right after its on-time peers is still admitted (filter watermark
+    // hasn't advanced yet) and only the batch AFTER that drops. Hence:
+    // batch 0 = on-time hours 0..10 (advances the eviction watermark to
+    // 10:30 − 2h = 8:30, emitting the closed hours 0..7); batch 1 = one
+    // on-time row (moves the FILTER watermark to 8:30); batch 2 = two
+    // stragglers (hours 1, 2 — windows long closed → DROPPED) plus one
+    // late but in-horizon row (9:45 → window still open → kept in state).
+    // Append mode must emit exactly the on-time closed windows, one row
+    // each — the stragglers must not resurrect them.
+    import org.apache.spark.sql.functions.{col, window}
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-late").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val sch = new StructType()
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("v", org.apache.spark.sql.types.IntegerType)
+    def write(rows: Seq[(Timestamp, Int)], ageMs: Long): Unit = {
+      val before = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.toSet
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (t, v) => org.apache.spark.sql.Row(t, v) }, 1),
+        sch).coalesce(1).write.mode("append").parquet(dir)
+      val mt = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageMs)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (!before.contains(p))
+          java.nio.file.Files.setLastModifiedTime(p, mt): Unit
+      }
+    }
+    write((0 to 10).map(h => ts(h, 30) -> h), 600000)
+    write(Seq(ts(10, 45) -> 99), 300000)
+    write(Seq(ts(1, 45) -> 100, ts(2, 45) -> 101, ts(9, 45) -> 102), 0)
+    val counts = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour")).count()
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("late_audit").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("late_audit")
+        .select(col("window.start").as("s"), col("count")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val expected = (0 to 7).map(h => ts(h, 0) -> 1L).toMap
+      assert(out == expected,
+        s"append mode must emit exactly the closed on-time windows: $out")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 2L,
+        s"exactly the two stragglers must be dropped by the watermark, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed keys") {
     // duplicate the whole source once (a replayed feed): every user_id+ts
     // key appears twice; within-watermark dedup must emit each exactly once
