@@ -13,11 +13,19 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private def suites: Seq[Q] =
-    RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all ++
-      DedupOps.all ++ AnnOps.all ++ TextOps.all ++ MultimodalOps.all ++
-      TemporalJoinOps.all ++ PipelineOps.all ++ StreamingOps.all ++
-      ProfilingOps.all ++ AnalyticsOps.all
+  private def suites: Seq[Q] = {
+    val qs =
+      RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all ++
+        DedupOps.all ++ AnnOps.all ++ TextOps.all ++ MultimodalOps.all ++
+        TemporalJoinOps.all ++ PipelineOps.all ++ StreamingOps.all ++
+        ProfilingOps.all ++ AnalyticsOps.all
+    // a duplicate name would silently SHADOW an operator in the toMap
+    // below — one contract query would vanish from the driver's gate
+    // without any failure signal
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
