@@ -54,22 +54,59 @@ object DeleteBack {
     } finally conn.close()
   }
 
+  /** Crash recovery for [[deleteFromParquet]]'s rename-aside swap — the
+    * same three states Compaction.recover repairs for the target:
+    *  - table missing + `.old` present → the crash hit between the two
+    *    renames: restore `.old` (the pre-delete data; the DELETE is
+    *    idempotent and is simply redone by the caller);
+    *  - table present + `.old` present → crash after the swap, before
+    *    cleanup: the `.old` copy is obsolete, drop it;
+    *  - stale `.rewrite` → never live, always safe to drop.
+    * @return true when it repaired something */
+  def recoverParquet(path: String): Boolean = {
+    val target = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    val tmp = new java.io.File(path + ".rewrite")
+    var repaired = false
+    if (old.exists()) {
+      if (!target.exists()) {
+        if (!old.renameTo(target))
+          sys.error(s"delete-back recovery failed: $old -> $target")
+      } else delete(old)
+      repaired = true
+    }
+    if (tmp.exists()) { delete(tmp); repaired = true }
+    repaired
+  }
+
   /** Sandbox execution over a parquet "table": rewrite keeping every row
     * where the predicate is NOT TRUE. SQL DELETE removes only rows where
     * the predicate evaluates to TRUE — a NULL predicate (e.g. a NULL key
     * column) must KEEP the row, so the complement is
     * `NOT coalesce(pred, false)`, not `NOT pred` (NOT NULL = NULL would
-    * silently drop those rows). Returns rows deleted. */
+    * silently drop those rows). Returns rows deleted.
+    *
+    * The swap is rename-ASIDE (table → `.old`, rewrite → table, drop
+    * `.old`), never delete-then-rename: the live table must not be
+    * deleted before its replacement is in place, or a crash in between
+    * loses the only copy (the failure chain Compaction's swap closes for
+    * the target, closed here for the source). [[recoverParquet]] runs
+    * first so an interrupted prior swap is repaired before the rewrite
+    * reads the table. */
   def deleteFromParquet(spark: SparkSession, path: String, where: String): Long = {
+    recoverParquet(path): Unit
     val df = spark.read.parquet(path)
     val keep = df.where(not(coalesce(expr(where), lit(false))))
     val deleted = df.count() - keep.count()
     val tmp = path + ".rewrite"
     keep.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new java.io.File(path)
-    delete(target)
+    val old = new java.io.File(path + ".old")
+    if (!target.renameTo(old))
+      sys.error(s"rewrite swap failed: $path -> $old")
     if (!new java.io.File(tmp).renameTo(target))
-      sys.error(s"rewrite rename failed for $path")
+      sys.error(s"rewrite rename failed for $path") // .old still holds the data
+    delete(old)
     deleted
   }
 

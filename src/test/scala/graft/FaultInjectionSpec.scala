@@ -134,6 +134,32 @@ class FaultInjectionSpec extends SparkSpec {
     assert(!fs.exists(new Path(stg)), "resume must complete the purge")
   }
 
+  test("delete-back swap crash windows: history restored, delete redone, exact counts") {
+    import graft.dml.DeleteBack
+    val dir = tmpDir(); val table = s"$dir/t.parquet"
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val n = src.count()
+    src.write.parquet(table)
+    // crashed state A: swap died between its two renames — table absent,
+    // the only copy stranded in .old, the completed rewrite in .rewrite
+    assert(fs.rename(new Path(table), new Path(table + ".old")))
+    fs.mkdirs(new Path(table + ".rewrite"))
+    // resume = re-run the delete: recovery restores the PRE-delete data
+    // first, then the (idempotent) delete redoes the rewrite
+    val d = DeleteBack.deleteFromParquet(spark, table, "r_regionkey <= 1")
+    assert(d == 2, s"redone delete must remove exactly the 2 matching rows, got $d")
+    assert(spark.read.parquet(table).count() == n - 2)
+    assert(!fs.exists(new Path(table + ".old")) &&
+           !fs.exists(new Path(table + ".rewrite")))
+    // crashed state B: crash after the swap, before cleanup (stale .old) —
+    // the obsolete copy must be dropped, the live table untouched
+    fs.mkdirs(new Path(table + ".old"))
+    assert(DeleteBack.recoverParquet(table))
+    assert(spark.read.parquet(table).count() == n - 2)
+    assert(!fs.exists(new Path(table + ".old")))
+    assert(!DeleteBack.recoverParquet(table), "second recover must be a no-op")
+  }
+
   test("retry loop drives a mid-swap-crashed target through recovery to exact counts") {
     val tgt = tmpDir() + "/t"
     val src = spark.read.parquet(s"$sf/region.parquet")
