@@ -182,13 +182,38 @@ object Archiver {
       sinkSchema: org.apache.spark.sql.types.StructType,
       pacingSleep: Long => Unit = Thread.sleep): Archiver = {
     val src = new graft.source.ParquetTableSource(spark, sourceDir)
+    wire(spark, cfg, src, targetDir, stagingRoot, sinkSchema, pacingSleep,
+      deleteBackFn = (db, table, where) =>
+        DeleteBack.deleteFromParquet(spark, s"$sourceDir/$table.parquet", where))
+  }
+
+  /** File-landing-zone deployment: NDJSON/CSV drops under `sourceDir`
+    * swept into the warehouse. Landing files are immutable producer
+    * output — delete-back is not part of this topology (the producer
+    * retires its own drops), so the delete hook is a loud no-op. */
+  def landing(spark: SparkSession, cfg: ArchiverConfig,
+      sourceDir: String, targetDir: String, stagingRoot: String,
+      sinkSchema: org.apache.spark.sql.types.StructType,
+      format: String = "json",
+      pacingSleep: Long => Unit = Thread.sleep): Archiver = {
+    val src = new graft.source.FileTableSource(spark, sourceDir, format,
+      schemas = Map(cfg.sourceTable -> sinkSchema).filter(_._1.nonEmpty))
+    wire(spark, cfg, src, targetDir, stagingRoot, sinkSchema, pacingSleep,
+      deleteBackFn = (db, table, _) => sys.error(
+        s"delete-back is not supported on a file landing zone ($db.$table)"))
+  }
+
+  private def wire(spark: SparkSession, cfg: ArchiverConfig,
+      src: graft.source.TableSource, targetDir: String, stagingRoot: String,
+      sinkSchema: org.apache.spark.sql.types.StructType,
+      pacingSleep: Long => Unit,
+      deleteBackFn: (String, String, String) => Long): Archiver = {
     val loader = new StagedLoader(spark, targetDir, sinkSchema,
       compression = cfg.stagingCompression,
       orderedCommitKey = Option(cfg.sourceSplitKey).filter(_.nonEmpty)
         .orElse(Option(cfg.sourceSplitTimeKey).filter(_.nonEmpty)),
       stagingFormat = cfg.stagingFormat)
     new Archiver(spark, cfg, src, loader, stagingRoot, pacingSleep,
-      deleteBackFn = (db, table, where) =>
-        DeleteBack.deleteFromParquet(spark, s"$sourceDir/$table.parquet", where))
+      deleteBackFn = deleteBackFn)
   }
 }

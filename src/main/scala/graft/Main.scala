@@ -10,22 +10,29 @@ import graft.config.ArchiverConfig
   * print reconciliation and wall-clock.
   *
   * Usage: runMain graft.Main <conf.json> <sourceDir> <targetDir>
-  *          [--incremental | --incremental-time]
+  *          [--incremental | --incremental-time] [--landing json|csv]
   *
   * `--incremental` / `--incremental-time` run the high-watermark delta
   * sync (key- or time-flavored) instead of the full archive: resume from
   * max(split key) already in the target, load only newer rows, reconcile
   * over the full predicate. The scheduled-delta deployment mode.
+  * `--landing json|csv` treats <sourceDir> as a file landing zone
+  * (NDJSON/CSV drops) instead of parquet tables; the sink schema comes
+  * from the config table's first drop.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val Array(confPath, sourceDir, targetDir) = args.take(3)
-    val mode = args.drop(3).headOption match {
-      case None                       => "full"
-      case Some("--incremental")      => "incremental"
-      case Some("--incremental-time") => "incremental-time"
-      case Some(other) => sys.error(s"unknown flag: $other")
+    var mode = "full"
+    var landing: Option[String] = None
+    var rest = args.drop(3).toList
+    while (rest.nonEmpty) rest match {
+      case "--incremental" :: t      => mode = "incremental"; rest = t
+      case "--incremental-time" :: t => mode = "incremental-time"; rest = t
+      case "--landing" :: fmt :: t   => landing = Some(fmt); rest = t
+      case other :: _ => sys.error(s"unknown flag: $other")
+      case Nil        => ()
     }
     val cfg = ArchiverConfig.fromJson(
         java.nio.file.Files.readString(java.nio.file.Paths.get(confPath)))
@@ -44,7 +51,7 @@ object Main {
     }
 
     val correct =
-      try run(spark, cfg, sourceDir, targetDir, t0, mode)
+      try run(spark, cfg, sourceDir, targetDir, t0, mode, landing)
       finally spark.stop()
     if (!correct) sys.exit(2)
   }
@@ -53,12 +60,26 @@ object Main {
     * returns whether reconciliation passed. */
   def run(spark: SparkSession, cfg: ArchiverConfig,
       sourceDir: String, targetDir: String,
-      t0: Long = System.nanoTime(), mode: String = "full"): Boolean = {
-    // sink schema = source table schema (pre-existing warehouse table)
-    val sinkSchema = spark.read
-      .parquet(s"$sourceDir/${cfg.sourceTable}.parquet").schema
-    val archiver = Archiver.parquet(spark, cfg, sourceDir, targetDir,
-      staging(targetDir), sinkSchema)
+      t0: Long = System.nanoTime(), mode: String = "full",
+      landing: Option[String] = None): Boolean = {
+    val archiver = landing match {
+      case Some(fmt) =>
+        // landing drops are schemaless text: the sink schema comes from
+        // the config table's first drop (inferred once, then pinned as
+        // the landing contract for the scan loop)
+        val probe = new graft.source.FileTableSource(spark, sourceDir, fmt)
+        val sinkSchema =
+          probe.scan(new java.io.File(sourceDir).getName, cfg.sourceTable,
+            Seq.empty, "").schema
+        Archiver.landing(spark, cfg, sourceDir, targetDir,
+          staging(targetDir), sinkSchema, fmt)
+      case None =>
+        // sink schema = source table schema (pre-existing warehouse table)
+        val sinkSchema = spark.read
+          .parquet(s"$sourceDir/${cfg.sourceTable}.parquet").schema
+        Archiver.parquet(spark, cfg, sourceDir, targetDir,
+          staging(targetDir), sinkSchema)
+    }
     val report = mode match {
       case "full"             => archiver.run()
       case "incremental"      => archiver.runIncremental()

@@ -31,6 +31,30 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == expected)
   }
 
+  test("Main.run --landing json: CLI archives an NDJSON landing zone") {
+    val srcDir = Files.createTempDirectory("graft-main-landing").toString
+    val tgt = Files.createTempDirectory("graft-main-ltgt").toString + "/t"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").json(s"$srcDir/orders.json")
+    val db = new java.io.File(srcDir).getName
+    val json =
+      s"""{
+         |  "sourceDB": "$db",
+         |  "sourceTable": "orders",
+         |  "sourceWhereCondition": "o_totalprice > 5000",
+         |  "sourceSplitKey": "o_orderkey",
+         |  "batchSize": 500,
+         |  "maxThread": 4
+         |}""".stripMargin
+    val cfg = ArchiverConfig.fromJson(json)
+      .fold(e => fail(s"config parse: $e"), identity)
+    assert(Main.run(spark, cfg, srcDir, tgt, landing = Some("json")))
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .where("o_totalprice > 5000").count()
+    assert(spark.read.parquet(tgt).count() == expected)
+  }
+
   test("Main.run incremental mode: initial load, then a no-op delta") {
     val srcDir = Files.createTempDirectory("graft-main-src").toString
     val tgt = Files.createTempDirectory("graft-main-tgt").toString + "/t"
