@@ -85,6 +85,55 @@ class FileSourceSpec extends SparkSpec {
     assert(tgt.select("o_orderkey").distinct().count() == tgt.count())
   }
 
+  test("time-incremental sync over the landing zone: µs watermark through NDJSON text") {
+    // pins the DEFAULT ANSI timestamp literal (TableSource.timestampLiteral)
+    // on the Spark-SQL predicate path — previously only the JDBC dialects'
+    // literals ran live — and the µs-precision watermark surviving the
+    // landing TEXT format (a ms-truncated watermark would re-load the
+    // boundary instant's sub-second tail on every delta run)
+    val root = Files.createTempDirectory("graft-landing-ts").toString
+    val events = graft.ops.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val cut = events
+      .selectExpr("timestamp_micros(CAST(percentile_disc(0.5) " +
+        "WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT)) AS c")
+      .head().getTimestamp(0)
+    def dump(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append")
+        .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+        .json(s"$root/events.json")
+    dump(events.where(org.apache.spark.sql.functions.col("ts") <= cut))
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root,
+      schemas = Map("events" -> events.schema))
+    val out = Files.createTempDirectory("graft-landing-ts-out").toString
+    val cfg = ArchiverConfig(
+      sourceDB = dbName, sourceTable = "events",
+      sourceWhereCondition = "user_id >= 0",
+      sourceSplitTimeKey = "ts", timeSplitUnit = "hour",
+      batchSize = 100000, maxThread = 1)
+    val loader = new StagedLoader(spark, s"$out/target", events.schema,
+      orderedCommitKey = Some("ts"))
+    val archiver = new Archiver(spark, cfg, src, loader, s"$out/staging",
+      pacingSleep = _ => ())
+    val n1 = events.where(org.apache.spark.sql.functions.col("ts") <= cut).count()
+    val r1 = archiver.runIncrementalTime()
+    assert(r1.reconciliation.correct && r1.reconciliation.targetRows == n1,
+      r1.toString)
+    // second drop: the rest of the feed; only rows past the watermark load
+    dump(events.where(org.apache.spark.sql.functions.col("ts") > cut))
+    val r2 = archiver.runIncrementalTime()
+    val nAll = events.count()
+    assert(r2.reconciliation.correct && r2.reconciliation.targetRows == nAll,
+      r2.toString)
+    assert(r2.tables.map(_.rowsLoaded).sum == nAll - n1,
+      s"time delta must load only the second drop: $r2")
+    val tgt = spark.read.schema(events.schema).parquet(s"$out/target")
+    assert(tgt.count() == nAll)
+    assert(tgt.select("event_id").distinct().count() == nAll,
+      "µs watermark must not re-load the boundary instant")
+  }
+
   test("CSV landing flavor: schema contract carries types through the text relation") {
     val root = Files.createTempDirectory("graft-landing-csv").toString
     val nation = spark.read.parquet(s"$sf/nation.parquet")
