@@ -134,6 +134,26 @@ class FileSourceSpec extends SparkSpec {
       "µs watermark must not re-load the boundary instant")
   }
 
+  test("landing-zone delete-back refuses loudly (producer-owned drops)") {
+    val (root, orders) = stageLanding()
+    val dbName = new java.io.File(root).getName
+    val out = Files.createTempDirectory("graft-landing-del").toString
+    val cfg = ArchiverConfig(
+      sourceDB = dbName, sourceTable = "orders",
+      sourceWhereCondition = "o_totalprice > 0",
+      sourceSplitKey = "o_orderkey", batchSize = 1000, maxThread = 2,
+      deleteAfterSync = true)
+    val archiver = Archiver.landing(spark, cfg, root, s"$out/target",
+      s"$out/staging", orders.schema, pacingSleep = _ => ())
+    // the archive itself must complete; the delete hook (which only fires
+    // after a correct reconciliation) is the loud no-op
+    val e = intercept[RuntimeException](archiver.run())
+    assert(e.getMessage.contains("delete-back is not supported"), e.getMessage)
+    // and the archived data is intact — the refusal happened after load
+    assert(spark.read.schema(orders.schema).parquet(s"$out/target").count() ==
+      orders.count())
+  }
+
   test("CSV landing flavor: schema contract carries types through the text relation") {
     val root = Files.createTempDirectory("graft-landing-csv").toString
     val nation = spark.read.parquet(s"$sf/nation.parquet")

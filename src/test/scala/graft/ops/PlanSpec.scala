@@ -392,6 +392,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("quality_classifier_filter: features and score in one codegen span, map-side partial agg") {
+    val p = planOf("quality_classifier_filter")
+    assert(p.contains("partial_count"), "audit must combine map-side:\n" + p)
+    assert(!p.contains("Join"), "a classifier gate is a projection, never a join:\n" + p)
+    val exchanges = """Exchange\s+\(\d+\)""".r.findAllIn(p).size
+    assert(exchanges <= 3, // fan + one agg shuffle + output sort
+      s"expected fan + one source-grained aggregation exchange + sort, got $exchanges:\n" + p)
+  }
+
   test("chunk_documents: scalar chunk audit — no chunk shuffle, no aggregate") {
     // the per-doc audit rides higher-order functions at the scan; an
     // explode→groupBy shape would reshuffle 1.2× the corpus text
