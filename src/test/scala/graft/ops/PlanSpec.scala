@@ -263,6 +263,24 @@ class PlanSpec extends SparkSpec {
       "cell-equi pair join expected:\n" + p)
   }
 
+  test("dedup_minhash_lsh: candidates from band-bucket equi-joins, never all-pairs") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "band-bucket candidate join expected:\n" + p)
+  }
+
+  test("text_perplexity_ngram: LM joins stay equi-keyed, no corpus nested loop") {
+    val p = planOf("text_perplexity_ngram")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop allowed is a broadcast of a tiny/scalar frame
+    val nljTypes = """BroadcastNestedLoopJoin (\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(nljTypes.subsetOf(Set("Cross")),
+      s"bigram scoring degenerated to a nested loop ($nljTypes):\n" + p)
+  }
+
   test("dedup_levenshtein: candidates from the head-block equi-join only") {
     val p = planOf("dedup_levenshtein")
     assert(!p.contains("CartesianProduct"), p)
