@@ -68,7 +68,12 @@ final class Archiver(spark: SparkSession, cfg: ArchiverConfig,
           }.sum
         else 0L
 
-      RunReport(reports, rc, deleted, rec.snapshot)
+      // corrupt-record audit: rows the source's parse policy excluded from
+      // the scan (landing-zone quarantine) — reconciliation balances
+      // without them, so they MUST be reported or the truncation is silent
+      val quarantined = tables.map { case (db, t) => src.quarantined(db, t) }.sum
+
+      RunReport(reports, rc, deleted, rec.snapshot, quarantined)
     } finally MetricsRecorder.detach(spark, rec)
   }
 
@@ -172,7 +177,10 @@ object Archiver {
   final case class TableReport(db: String, table: String, rowsLoaded: Long)
   final case class RunReport(tables: Seq[TableReport],
       reconciliation: Reconciler.Result,
-      deletedBack: Long, metrics: MetricsRecorder.Snapshot)
+      deletedBack: Long, metrics: MetricsRecorder.Snapshot,
+      /** landing-zone corrupt-record audit: rows excluded from the scan by
+        * the source's parse policy (0 for structured sources) */
+      quarantined: Long = 0L)
 
   /** Sandbox wiring: parquet fixtures as the source, a parquet dir as the
     * warehouse target. Delete-back rewrites the source table (K5/K6) —

@@ -91,6 +91,8 @@ object Main {
     val rc = report.reconciliation
     println(s"[reconcile] source=${rc.sourceRows} target=${rc.targetRows} " +
       s"correct=${rc.correct} deletedBack=${report.deletedBack}")
+    if (report.quarantined > 0)
+      println(s"[quarantine] ${report.quarantined} corrupt landing rows excluded")
     val m = report.metrics
     println(f"[metrics] read=${m.rowsRead} rows (${m.readRowsPerSec}%.0f rows/s) " +
       s"written=${m.bytesWritten} bytes")

@@ -62,11 +62,23 @@ object AngularCells {
 
   /** Driver-side angle between two collected vectors, clamped into acos's
     * domain. Fold-order ulps vs the executor-side dot_d are absorbed by
-    * the caller adding `slack` (1e-9) to its pruning bound — pruning
-    * stays strictly conservative. */
+    * the caller adding `slack` to its pruning bound — pruning stays
+    * strictly conservative. */
   def angle(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double =
     math.acos(math.max(-1.0, math.min(1.0,
       a.zip(b).map { case (x, y) => x * y }.sum / (na * nb))))
 
-  val slack = 1e-9
+  /** Conservative slack for angle-domain bound checks. The cos-domain
+    * fold-order error between driver and executor dot products is
+    * ulp-scale (≈ dims · ε relative), but acos AMPLIFIES it near
+    * cos ≈ ±1: d(acos)/dcos = 1/√(1−cos²) → ∞, and the worst clamped
+    * case acos(1−δ) ≈ √(2δ) turns a δ ≈ dims·ε cos error into a
+    * √(2·dims·ε) ≈ 1.7e-7 (dims=64) angle error. Slack must dominate
+    * THAT, not the raw ulp — 1e-6 does with a ~6× margin for the
+    * embedding widths here (≤ 256 dims ⇒ √(2·256·ε) ≈ 3.4e-7), while
+    * widening each pruning bound by only a micro-radian, which admits
+    * essentially zero extra candidates. Pruning remains strictly
+    * conservative: slack only ever ADDS candidates, exactness of the
+    * final filter is unaffected. */
+  val slack = 1e-6
 }

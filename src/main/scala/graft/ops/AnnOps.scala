@@ -138,6 +138,62 @@ object AnnOps {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // The TRAINED-CENTROID composition: the same exact range search, but
+    // the AngularCells index is built on kmeans_train's output centroids
+    // (one decimal-exact Lloyd update from the deterministic seeds)
+    // instead of the vec_id<8 stand-ins — trainer → index → search is the
+    // production pipeline, and here the composed path itself sits under
+    // the oracle. The oracle is STILL plain brute force: AngularCells
+    // pruning is exact for ANY centroid set (each vector's theta is its
+    // true angle to its own cell, radii are per-cell maxima, the triangle
+    // bound follows), so centroid quality moves the candidate count, not
+    // the answer — which is precisely the property that makes a trained
+    // index safe to swap in without re-validating results.
+    Q("ann_range_trained",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS pv, nrm AS pnrm FROM e WHERE vec_id < 4)
+        |SELECT p.query_id, e.vec_id,
+        |  list_reduce(list_transform(list_zip(p.pv, e.v), x -> x[1] * x[2]),
+        |              (a, b) -> a + b) / (p.pnrm * e.nrm) AS cos
+        |FROM p JOIN e ON e.vec_id <> p.query_id
+        |WHERE list_reduce(list_transform(list_zip(p.pv, e.v), x -> x[1] * x[2]),
+        |              (a, b) -> a + b) / (p.pnrm * e.nrm) >= 0.35
+        |ORDER BY query_id, vec_id""".stripMargin) { (s, d) =>
+      import graft.operators.AngularCells
+      import s.implicits._
+      val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+      val trained = trainedCentroids(s, d)
+      val cvecs = trained.map { case (cid, cv) =>
+        (cid, cv, math.sqrt(cv.map(x => x * x).sum))
+      }
+      val cents = cvecs.map { case (cid, cv, n) => (cid, cv.toSeq, n) }
+        .toDF("cid", "cv", "cnrm")
+      val asg = AngularCells.assign(e, cents)
+      val radii = AngularCells.radii(asg)
+      val probes = AngularCells.collectVecs(
+        e.where(col("vec_id") < 4).select(col("vec_id"), col("v"), col("nrm")))
+      val tau = math.acos(0.35)
+      val probeCells = for {
+        (qid, pv, pn) <- probes.toSeq
+        (cid, cv, cn) <- cvecs if radii.contains(cid)
+        if AngularCells.angle(pv, pn, cv, cn) <=
+          tau + radii(cid) + AngularCells.slack
+      } yield (qid, cid, pv, pn)
+      val pc = probeCells.toDF("query_id", "cell", "pv", "pnrm")
+      asg.join(broadcast(pc), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot_d(col("pv"), col("v")) / (col("pnrm") * col("nrm"))).as("cos"))
+        .where(col("cos") >= 0.35)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // LSH path: signature = 16 sign-bits of hyperplane projections; bucket
     // join on 4-bit bands (multi-probe), exact cosine re-rank of candidates.
     // Fully deterministic (seeded hyperplanes), so the oracle rebuilds the
@@ -507,39 +563,10 @@ object AnnOps {
         |  any_value(nrm.centroid_norm2) AS centroid_norm2
         |FROM a2 JOIN nrm ON a2.cid = nrm.cid
         |GROUP BY a2.cid ORDER BY cluster_id""".stripMargin) { (s, d) =>
-      val e = vecs(s, d).select(col("vec_id"),
-        expr("transform(v, x -> round(x, 7))").as("v"))
-      // one Lloyd assignment pass against literal centroids: map-side
-      // argmin over K struct scores, d2 in the same expanded form and
-      // fold order as the oracle
-      def assign(cents: Seq[(Long, Array[Double])]) = {
-        val scores = array(cents.map { case (cid, cv) =>
-          val cvLit = typedLit(cv.toSeq)
-          val cv2 = cv.map(x => x * x).sum
-          struct(
-            (dot_d(col("v"), col("v")) - lit(2.0) * dot_d(col("v"), cvLit) + lit(cv2)).as("d2"),
-            lit(cid).as("cid"))
-        }: _*)
-        e.withColumn("best", array_min(scores))
-          .select(col("vec_id"), col("v"),
-            col("best.cid").as("cid"), col("best.d2").as("d2"))
-      }
-      val c0 = e.where(col("vec_id") >= 5 && col("vec_id") < 21)
-        .orderBy(col("vec_id")).collect()
-        .map(r => (r.getLong(0) - 5, r.getSeq[Double](1).toArray)).toSeq
-      // update step: one (cell, dim) shuffle, decimal-exact sums, means
-      // re-quantized to the input scale; K×64 doubles back to the driver
-      val c1: Seq[(Long, Array[Double])] = assign(c0)
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(round(sum(col("x").cast("decimal(20,7)")).cast("double") / count(lit(1)), 7)
-          .as("m"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1).view
-        .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap.toSeq.sortBy(_._1)
+      val c1 = trainedCentroids(s, d)
       val norms = c1.map { case (cid, cv) => (cid, cv.map(x => x * x).sum) }
       val normDf = s.createDataFrame(norms).toDF("cluster_id", "norm2raw")
-      assign(c1)
+      lloydAssign(roundedVecs(s, d), c1)
         .groupBy(col("cid").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           round(sum(col("d2").cast("decimal(30,10)")).cast("double"), 3).as("inertia"))
@@ -549,4 +576,51 @@ object AnnOps {
         .orderBy(col("cluster_id"))
     },
   )
+
+  /** kmeans inputs quantized to 7 decimals — the shared determinism floor
+    * for the decimal-exact update step (see kmeans_train's oracle). */
+  private def roundedVecs(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id"),
+      expr("transform(v, x -> round(x, 7))").as("v"))
+
+  /** One Lloyd assignment pass against literal centroids: map-side argmin
+    * over K struct scores — zero shuffle, the K candidate rows never
+    * materialize — with d2 in the same expanded form and fold order as
+    * the kmeans oracle. */
+  private def lloydAssign(e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val scores = array(cents.map { case (cid, cv) =>
+      val cvLit = typedLit(cv.toSeq)
+      val cv2 = cv.map(x => x * x).sum
+      struct(
+        (dot_d(col("v"), col("v")) - lit(2.0) * dot_d(col("v"), cvLit) + lit(cv2)).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+    e.withColumn("best", array_min(scores))
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
+
+  /** The TRAINED centroid set: one decimal-exact Lloyd update from the
+    * deterministic seeds (vec_id 5..21) — exactly the centroids
+    * kmeans_train hash-verifies, exposed so downstream index builds
+    * (ann_range_trained) run on trainer output instead of stand-ins.
+    * Planning-sized: K×dims doubles on the driver. */
+  private[graft] def trainedCentroids(s: SparkSession,
+      d: String): Seq[(Long, Array[Double])] = {
+    val e = roundedVecs(s, d)
+    val c0 = e.where(col("vec_id") >= 5 && col("vec_id") < 21)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0) - 5, r.getSeq[Double](1).toArray)).toSeq
+    // update step: one (cell, dim) shuffle, decimal-exact sums, means
+    // re-quantized to the input scale; K×64 doubles back to the driver
+    lloydAssign(e, c0)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(round(sum(col("x").cast("decimal(20,7)")).cast("double") / count(lit(1)), 7)
+        .as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap.toSeq.sortBy(_._1)
+  }
 }

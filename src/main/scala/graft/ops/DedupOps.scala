@@ -57,6 +57,25 @@ object DedupOps {
       .where(col("jac") >= 0.5)
       .select(col("d1"), col("d2"), col("inter"), col("jac"))
 
+  /** Candidate pairs from the CAPPED gram index: buckets wider than `cap`
+    * are dropped ([[graft.operators.InvertedIndex.capBuckets]]) before
+    * the self-join, bounding candidate work at cap² per bucket; the
+    * window count reuses the self-join's own bucket shuffle. Survivor
+    * pairs still exact-verify against FULL shingle sets downstream
+    * ([[verifyCandidates]]), so the cap governs candidate generation
+    * only, never the truth of a reported pair. */
+  private def cappedGramCandidates(s: SparkSession, d: String,
+      cap: Long): DataFrame = {
+    val g = Tables.fan(s, documents(s, d))
+      .select(col("doc_id"), explode(wordShingles("text")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val capped = graft.operators.InvertedIndex.capBuckets(g, Seq("gh"), cap)
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidate pairs (d1 < d2) with their signature-estimated
     * Jaccard: 64 minhash values over word 5-gram shingles (fully-native
     * single pass: tokenize → per-token hash → rolling shingle mix →
@@ -243,6 +262,44 @@ object DedupOps {
          |$jaccardPairsSql
          |SELECT d1, d2, inter, jac FROM jpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
       jaccardPairs(s, d).orderBy(col("d1"), col("d2"))
+    },
+
+    // The BUCKET-CAP guard under the oracle gate (pattern:
+    // pack_sequences_twophase / tfidf_topterms_shuffle — the production
+    // scale guard runs as its own contract query, not only as a spec).
+    // InvertedIndex.capBuckets drops gram buckets wider than 2 docs
+    // before the self-join — the degenerate-bucket mitigation that keeps
+    // candidate work at cap²·buckets when a boilerplate shingle lands in
+    // half the corpus — and the ORACLE applies the identical cap in SQL
+    // (df(gram) ≤ 2 on the gram-string relation ≡ bucket width ≤ 2 on
+    // its xxhash64 buckets, collisions being 2⁻⁶⁴-improbable). Cap 2 is
+    // deliberately TIGHT so the guard demonstrably fires on the fixtures
+    // (550 grams dropped at sf0.1, candidates 1460→1210) — survivors are
+    // then EXACT-verified against full shingle sets, so each reported
+    // pair's jaccard is true, while capping governs only which pairs are
+    // considered (both engines identically).
+    Q("dedup_ngram_jaccard_capped",
+      s"""WITH
+         |$gramPairsSql,
+         |gdf AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  JOIN gdf ON gdf.gram = a.gram
+         |  WHERE gdf.df <= 2),
+         |vinter AS (
+         |  SELECT c.d1, c.d2, count(*) AS n
+         |  FROM cand c
+         |  JOIN g a ON a.doc_id = c.d1
+         |  JOIN g b ON b.doc_id = c.d2 AND b.gram = a.gram
+         |  GROUP BY 1, 2),
+         |vj AS (
+         |  SELECT d1, d2, CAST(n AS DOUBLE) / (s1.sz + s2.sz - n) AS jac
+         |  FROM vinter
+         |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, jac FROM vj WHERE jac >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      verifyCandidates(s, d, cappedGramCandidates(s, d, cap = 2))
     },
 
     // Asymmetric CONTAINMENT dedup — |grams(A) ∩ grams(B)| / min(|A|,|B|):

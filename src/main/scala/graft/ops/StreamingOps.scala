@@ -135,7 +135,13 @@ object StreamingOps {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       runToMemory(s, "complete", noDataBatch = false) { s2 =>
-        val dim = Tables.customer(s2, d)
+        // the static dim reads through the CALLER's session, not the
+        // per-query clone: Tables.t memoizes per (session, path), and
+        // keying it on throwaway clones would retain one dead session +
+        // plan per bench iteration (the DataFrame itself is usable from
+        // the clone — the SparkContext is shared, and analysis happens
+        // against the stream's session at start())
+        val dim = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_mktsegment"))
         eventStream(s2, d)
           .join(broadcast(dim), col("user_id") === col("c_custkey"))

@@ -26,43 +26,65 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
 
+  // value = (listing signature, count): a rewritten/compacted table gets a
+  // fresh footer read instead of a stale memo. Listing is driver-cheap;
+  // only the footer reads are worth memoizing.
   private val rowCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Exact table row count from the parquet FOOTERS, read driver-side —
     * the metadata probe a planner uses for path decisions (e.g.
     * pack_sequences' hybrid prefix sum). No Spark job: a `df.count()`
     * schedules a scan stage (~150 ms warm at sf0.1) where the footers
     * already carry the answer; footer reads are planning-sized (one
-    * ~KB-range read per file) and memoized per path. */
-  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long =
-    rowCountCache.computeIfAbsent(s"$dir/$name.parquet", { path =>
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq.filter { f =>
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-        else Seq(fs.getFileStatus(p))
-      java.lang.Long.valueOf(files.map { f =>
+    * ~KB-range read per file), memoized per path keyed on the file
+    * listing (names + lengths + mtimes) so a rewrite invalidates.
+    * Listing recurses — hive-partitioned layouts nest data files under
+    * key=value dirs, and skipping them silently would undercount. */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def list(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(list)
+      else Seq(st)
+    }
+    val files = list(fs.getFileStatus(p))
+    val sig = files.map(f =>
+        s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+    val cached = rowCountCache.get(path)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val n = files.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(f, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      }.sum)
-    })
+      }.sum
+      rowCountCache.put(path, (sig, n))
+      n
+    }
+  }
 
-  /** Spread a scan across the session's parallelism. The fixtures are
-    * single-row-group parquet files, so Spark cannot split them — every
-    * scan is one partition, and CPU-heavy per-row work (JSON codec,
-    * hashing, decode) would run on one core. A real deployment's files
-    * split at row-group boundaries; this round-robin repartition stands in
-    * for that so the compute after it uses the whole machine. */
-  def fan(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "8").toInt)
+  /** Spread a scan across the session's parallelism — CONDITIONALLY. The
+    * fixtures are single-row-group parquet files, so Spark schedules the
+    * whole scan as one task and CPU-heavy per-row work (JSON codec,
+    * hashing, decode) would run on one core; the repartition stands in
+    * for the row-group splitting a real deployment's files get. But it
+    * must be a no-op when the scan ALREADY has enough input partitions —
+    * a production plan over splittable multi-file input must not inherit
+    * an unconditional exchange of corpus text. The probe is the planned
+    * scan's actual partition count (physical planning only, no job), i.e.
+    * exactly what Spark would schedule. */
+  def fan(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions", "8").toInt
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")

@@ -215,55 +215,22 @@ object TextOps {
     // Corpus TF-IDF with top-3 terms per document — the classic distinctive-
     // term / keyword-extraction signal. One (doc,term) shuffle builds the
     // term frequencies; document frequencies derive from the aggregated TF
-    // relation. The dictionary is deliberately NOT hint-broadcast: a web
-    // corpus's vocabulary (typos, URLs, code tokens) is 10⁸-10⁹ rows —
-    // far beyond broadcastable — so the scoring join shuffles the
-    // *aggregated* tf frame on `term` (one extra exchange of the post-
-    // groupBy relation, never the raw corpus), and AQE is free to demote
-    // that exchange to a runtime broadcast when the measured vocab is
-    // actually small. Ranking is exact-integer (tf desc, df asc, term
-    // asc), never by the IEEE score, so row_number is engine-identical;
-    // the displayed score rounds to 4 digits to absorb ln() ulp
-    // differences (same pattern as text_char_entropy).
-    Q("tfidf_topterms",
-      """WITH t AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
-        |    round(CAST(tf.tf AS DOUBLE)
-        |      * ln(CAST(n.n AS DOUBLE) / CAST(df.df_docs AS DOUBLE)), 4) AS score,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf DESC, df.df_docs ASC, tf.term ASC) AS rn
-        |  FROM tf JOIN df USING (term) CROSS JOIN n)
-        |SELECT doc_id, rn, term, tf, df_docs, score
-        |FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
-      val docs = Tables.fan(s, documents(s, d))
-      val terms = docs.select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
-      // nDocs rides the plan as a broadcast 1-row frame (no separate
-      // count() action — one job end-to-end, same pattern as the oracle's
-      // CROSS JOIN n)
-      val nDocs = documents(s, d)
-        .agg(count(lit(1)).cast("double").as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
-      tf.join(dfreq, Seq("term"))
-        .crossJoin(broadcast(nDocs))
-        .withColumn("score",
-          round(col("tf").cast("double")
-            * log(col("n_docs") / col("df_docs").cast("double")), 4))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select(col("doc_id"), col("rn"), col("term"), col("tf"),
-                col("df_docs"), col("score"))
-        .orderBy(col("doc_id"), col("rn"))
-    },
+    // relation. Whether the dictionary join broadcasts is a FOOTER-GATED
+    // hybrid (see tfidfTopterms): a web corpus's vocabulary is beyond
+    // broadcastable, a sane corpus's isn't, and the row-count probe knows
+    // which world it's in before planning. Ranking is exact-integer (tf
+    // desc, df asc, term asc), never by the IEEE score, so row_number is
+    // engine-identical; the displayed score rounds to 4 digits to absorb
+    // ln() ulp differences (same pattern as text_char_entropy).
+    Q("tfidf_topterms", tfidfSql)((s, d) => tfidfTopterms(s, d)),
+
+    // The forced-large-vocab sibling (pattern: pack_sequences_twophase):
+    // identical contract, but the broadcast gate is bypassed so the
+    // SCALE path — scoring join shuffling the aggregated tf frame on
+    // `term` — is itself hash-verified every round, not just the hybrid's
+    // small-scale branch. PlanSpec pins the no-hint plan shape.
+    Q("tfidf_topterms_shuffle", tfidfSql)(
+      (s, d) => tfidfTopterms(s, d, forceShuffle = true)),
 
     // The BPE-training inner step: corpus-wide adjacent-symbol-pair counts
     // (here: character pairs within lowercase words), ranked — the top
@@ -402,4 +369,71 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
   )
+
+  // a def, not a val: it's referenced from the `all` list above, which
+  // initializes BEFORE later vals in this object — a val here would be
+  // null at Q construction (object init order)
+  private def tfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+      |    round(CAST(tf.tf AS DOUBLE)
+      |      * ln(CAST(n.n AS DOUBLE) / CAST(df.df_docs AS DOUBLE)), 4) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df_docs ASC, tf.term ASC) AS rn
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rn, term, tf, df_docs, score
+      |FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  /** Corpora at or below this many documents get a broadcast dictionary
+    * join: per-doc distinct terms are bounded (these are documents, not
+    * blobs), so vocab ≲ docs·10² strings — comfortably executor-memory-
+    * sized at 50k docs, three orders of magnitude of headroom below a
+    * web-scale vocab. */
+  private val BroadcastVocabMaxDocs = 50000L
+
+  /** The tf-idf hybrid. Why a PLANNING-TIME gate instead of leaving it to
+    * AQE: df_docs aggregates from tf, so the dictionary needs tf's
+    * (doc,term) shuffle either way — the question is only whether the
+    * SCORING join re-exchanges tf on `term`. AQE can demote that join to
+    * a runtime broadcast once the dictionary stage materializes, but by
+    * then tf's map-side shuffle WRITE for the term exchange has already
+    * happened — the dominant cost (observed ~+0.9 s at sf0.1) is spent
+    * before AQE can see the size. The parquet-footer row count
+    * ([[Tables.parquetRowCount]], no Spark job) answers "is this corpus
+    * broadcast-sized?" before the exchange is ever planned — the same
+    * probe-then-pick pattern as pack_sequences' hybrid prefix sum. */
+  private def tfidfTopterms(s: org.apache.spark.sql.SparkSession, d: String,
+      forceShuffle: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.fan(s, documents(s, d))
+    val terms = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val smallCorpus = !forceShuffle &&
+      Tables.parquetRowCount(s, d, "documents") <= BroadcastVocabMaxDocs
+    val dict = if (smallCorpus) broadcast(dfreq) else dfreq
+    // nDocs rides the plan as a broadcast 1-row frame (no separate
+    // count() action — one job end-to-end, same pattern as the oracle's
+    // CROSS JOIN n)
+    val nDocs = documents(s, d)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
+    tf.join(dict, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double")
+          * log(col("n_docs") / col("df_docs").cast("double")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+              col("df_docs"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
 }

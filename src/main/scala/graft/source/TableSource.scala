@@ -42,6 +42,12 @@ trait TableSource {
   def minMaxKey(db: String, table: String, key: String, where: String): (BigInt, BigInt)
   def minMaxTime(db: String, table: String, key: String, where: String): (String, String)
 
+  /** Rows this source EXCLUDED from the scan under its corrupt-record
+    * policy (landing zones quarantine unparseable lines); surfaced in the
+    * run report so truncation is never silent. Structured sources have
+    * nothing to quarantine. */
+  def quarantined(db: String, table: String): Long = 0L
+
   /** Render a `yyyy-MM-dd HH:mm:ss[.SSSSSS]` timestamp as a literal this
     * source's engine compares against a timestamp column. The ANSI typed
     * form is the default (Spark, mysql, pg, oracle all accept it);
@@ -101,45 +107,137 @@ class ParquetTableSource(spark: SparkSession, rootDir: String)
     spark.read.parquet(s"$rootDir/$t.parquet")
 }
 
-/** File-landing-zone source: `rootDir/<table>.<json|csv>` — the ingestion
-  * topology where an upstream producer drops NDJSON or CSV batches in a
-  * landing directory and the archiver sweeps them into the warehouse.
-  * Table schemas come from the landing CONTRACT when provided (the
-  * production shape — text formats carry no types; µs-precision
+/** File-landing-zone source: `rootDir/<table>.<json|csv>[.gz]` — the
+  * ingestion topology where an upstream producer drops NDJSON or CSV
+  * batches in a landing directory and the archiver sweeps them into the
+  * warehouse. Table schemas come from the landing CONTRACT when provided
+  * (the production shape — text formats carry no types; µs-precision
   * timestamps parse via the same `timestampFormat` the staged loader
   * writes), else from inference (one extra planning-time pass, fine for
   * exploration, not for the scan loop). Everything above the relation —
   * catalog regex, key/time-split planning, staged load, reconciliation —
-  * is inherited unchanged from [[DataFrameTableSource]]. */
+  * is inherited unchanged from [[DataFrameTableSource]].
+  *
+  * Robustness (a production landing zone is untrusted producer output):
+  *
+  *  - gzip drops (`.json.gz` / `.csv.gz`) read transparently — Spark's
+  *    text source picks the codec from the extension. A gz file is not
+  *    splittable, so scan parallelism is the file count: exactly the
+  *    shape landing producers deliver (many per-batch drops), not a
+  *    problem the archiver needs to solve.
+  *  - corrupt-record policy (contract-schema path): lines that fail to
+  *    parse land in a `_corrupt_record` audit column, are EXCLUDED from
+  *    the archived scan, and are counted per table via [[quarantined]]
+  *    so the run report can surface exactly how many rows were left
+  *    behind — the same classified-error discipline the reference's
+  *    loader applies (ingester/ingest_databend.go:25-29). A malformed
+  *    line must neither silently become nulls nor fail the whole sweep.
+  *
+  * The parse is deliberately `text` + `from_json`/`from_csv`, not the
+  * json/csv file source: Spark disallows file-source queries whose
+  * required schema is only the corrupt column (JsonFileFormat/
+  * CSVFileFormat), which is precisely what reconciliation's `count()`
+  * over the corrupt-filtered relation prunes to. Parsing as an ordinary
+  * projection over a text scan keeps every count/filter shape legal, at
+  * the same cost (json can't push predicates anyway). */
 final class FileTableSource(spark: SparkSession, rootDir: String,
     format: String = "json",
     schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
     extends DataFrameTableSource {
   require(Set("json", "csv")(format), s"unsupported landing format: $format")
+  import FileTableSource.CorruptCol
   private val dir = new java.io.File(rootDir)
   private val dbName = dir.getName
+  private val suffixes = Seq(s".$format", s".$format.gz")
+
+  // contract schemas never include the audit column itself (an inference
+  // probe over a dirty landing file CAN include it — inference appends
+  // columnNameOfCorruptRecord when it meets malformed records)
+  private val dataSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+    schemas.view.mapValues(sc =>
+      org.apache.spark.sql.types.StructType(sc.filterNot(_.name == CorruptCol)))
+      .toMap
 
   override def listDatabases(): Seq[String] = Seq(dbName)
 
   override def listTables(db: String): Seq[String] =
     if (db != dbName) Seq.empty
-    else dir.listFiles((_, n) => n.endsWith(s".$format")).toSeq
-      .map(_.getName.stripSuffix(s".$format")).sorted
+    else dir.listFiles((_, n) => suffixes.exists(n.endsWith)).toSeq
+      .map(n => suffixes.foldLeft(n.getName)(_.stripSuffix(_))).distinct.sorted
 
-  protected def table(t: String): DataFrame = {
-    val path = s"$rootDir/$t.$format"
-    var r = spark.read
-      .option("timestampFormat", graft.sink.StagedLoader.MicrosTimestampFormat)
-    r = schemas.get(t) match {
-      case Some(sc) => r.schema(sc)
-      case None if format == "csv" => r.option("inferSchema", "true")
-      case None => r
+  private def pathOf(t: String): String =
+    suffixes.map(sfx => s"$rootDir/$t$sfx")
+      .find(p => new java.io.File(p).exists())
+      .getOrElse(s"$rootDir/$t.$format")
+
+  private def parseOptions: Map[String, String] = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> CorruptCol,
+    "timestampFormat" -> graft.sink.StagedLoader.MicrosTimestampFormat)
+
+  /** Contract-schema parse with the audit column: every non-blank line
+    * becomes one row, malformed ones carrying their raw text in
+    * `_corrupt_record` (and nothing else). CSV header lines — the exact
+    * render of the contract's field names, the only header consistent
+    * with a positional schema contract — are dropped per file. */
+  private def parsedWithAudit(t: String,
+      sc: org.apache.spark.sql.types.StructType): DataFrame = {
+    val pSchema = sc.add(CorruptCol, org.apache.spark.sql.types.StringType)
+    val lines = spark.read.text(pathOf(t))
+      .where(length(trim(col("value"))) > 0)
+    val parsed = format match {
+      case "json" =>
+        lines.select(from_json(col("value"), pSchema, parseOptions).as("r"),
+          col("value"))
+      case "csv" =>
+        lines.where(col("value") =!= lit(sc.fieldNames.mkString(",")))
+          .select(from_csv(col("value"), pSchema, parseOptions).as("r"),
+            col("value"))
     }
-    format match {
-      case "json" => r.json(path)
-      case "csv"  => r.option("header", "true").csv(path)
-    }
+    // from_json yields a NULL struct (not a corrupt-marked row) for
+    // unparseable lines; normalize both shapes to "all fields null,
+    // corrupt = raw line" so the audit count sees every bad line.
+    parsed.select(
+      (sc.fieldNames.map(f =>
+        when(col("r").isNotNull && col(s"r.$CorruptCol").isNull, col(s"r.$f"))
+          .as(f)) :+
+        when(col("r").isNull || col(s"r.$CorruptCol").isNotNull,
+          col("value")).as(CorruptCol)): _*)
   }
+
+  /** Rows this table's landing drop contains that FAILED the contract
+    * parse — quarantined out of the archived scan, surfaced in the run
+    * report. Zero on the inference path (no contract to violate). */
+  override def quarantined(db: String, t: String): Long = dataSchemas.get(t) match {
+    case Some(sc) => parsedWithAudit(t, sc)
+      .where(col(CorruptCol).isNotNull).count()
+    case None => 0L
+  }
+
+  protected def table(t: String): DataFrame = dataSchemas.get(t) match {
+    case Some(sc) =>
+      parsedWithAudit(t, sc).where(col(CorruptCol).isNull).drop(CorruptCol)
+    case None =>
+      // exploration path: schema inference (timestamps opted in — the
+      // default infers them as strings, which would silently turn a
+      // time-split watermark into string comparison). Inference over a
+      // dirty file appends the corrupt column; drop it so the probed
+      // schema is a clean sink contract (rows stay unfiltered here — the
+      // scan loop re-reads under the pinned contract, corrupt-aware).
+      val r = spark.read
+        .option("timestampFormat", graft.sink.StagedLoader.MicrosTimestampFormat)
+        .option("inferTimestamp", "true")
+      (format match {
+        case "json" => r.json(pathOf(t))
+        case "csv"  => r.option("header", "true").option("inferSchema", "true")
+          .csv(pathOf(t))
+      }).drop(CorruptCol)
+  }
+}
+
+object FileTableSource {
+  /** Audit-column name for quarantined landing rows. */
+  val CorruptCol = "_corrupt_record"
 }
 
 /** JDBC-backed source for a real deployment: catalog queries and planning

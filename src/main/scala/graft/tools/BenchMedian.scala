@@ -1,0 +1,60 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Repeated-median benchmark: one untimed warmup pass, then K timed passes
+  * of the full sorted suite, reporting the per-query MEDIAN across passes.
+  *
+  * Single-pass totals on this box swing ±30% with host load, and a transient
+  * stall lands on whatever query is running at that moment — which reads as
+  * a per-query regression on unchanged code. Medians over interleaved full
+  * passes separate per-query cost (stable across passes) from host noise
+  * (random across passes). Writes the result as one JSON object so rounds
+  * can be diffed mechanically instead of from prose.
+  *
+  * Usage: BenchMedian [iters=5] [outPath=bench_local.json]
+  */
+object BenchMedian {
+  def main(args: Array[String]): Unit = {
+    val iters = args.headOption.map(_.toInt).getOrElse(5)
+    val outPath = if (args.length > 1) args(1) else "bench_local.json"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.GraftSession.local(cpus)
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"FAILED $name: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    names.foreach(once) // untimed warmup (JIT, codegen cache, footers)
+    val samples = collection.mutable.Map[String, List[Double]]()
+    for (i <- 1 to iters) {
+      System.gc()
+      var passTotal = 0.0
+      for (name <- names) {
+        val s = once(name)
+        if (s >= 0) { samples(name) = s :: samples.getOrElse(name, Nil); passTotal += s }
+      }
+      println(f"PASS $i/$iters total $passTotal%.2f s")
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val med = names.map(n => n -> median(samples.getOrElse(n, List(-1.0))))
+    val total = med.map(_._2).filter(_ >= 0).sum
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total_of_medians","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","queries":$qs}"""
+    Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
+    println(s"WROTE $outPath total_of_medians=" + f"$total%.2f")
+    spark.stop()
+  }
+}

@@ -154,6 +154,93 @@ class FileSourceSpec extends SparkSpec {
       orders.count())
   }
 
+  test("gzip NDJSON drop: transparent codec, full archival, reconciliation balances") {
+    // .json.gz is the common landing drop format — producers compress
+    // per-batch files; the codec rides the extension through the text scan
+    val root = Files.createTempDirectory("graft-landing-gz").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.write.mode("overwrite")
+      .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+      .option("compression", "gzip")
+      .json(s"$root/orders.json.gz")
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root,
+      schemas = Map("orders" -> orders.schema))
+    assert(src.listTables(dbName) == Seq("orders"))
+    assert(src.count(dbName, "orders", "1=1") == orders.count())
+    val out = Files.createTempDirectory("graft-landing-gz-out").toString
+    val cfg = ArchiverConfig(
+      sourceDB = dbName, sourceTable = "orders",
+      sourceWhereCondition = "o_totalprice > 0",
+      sourceSplitKey = "o_orderkey", batchSize = 500, maxThread = 2)
+    val archiver = Archiver.landing(spark, cfg, root, s"$out/target",
+      s"$out/staging", orders.schema, pacingSleep = _ => ())
+    val report = archiver.run()
+    assert(report.reconciliation.correct, report.toString)
+    assert(report.quarantined == 0L, report.toString)
+    assert(spark.read.schema(orders.schema).parquet(s"$out/target").count() ==
+      orders.where("o_totalprice > 0").count())
+  }
+
+  test("corrupt landing lines: exactly N quarantined, the rest archived") {
+    // a landing zone is untrusted producer output — malformed lines must
+    // neither silently become nulls nor fail the sweep; the run report
+    // carries the exact quarantine count (reference classifies loader
+    // errors the same way, ingester/ingest_databend.go:25-29)
+    val root = Files.createTempDirectory("graft-landing-bad").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .where("o_orderkey < 200")
+    val good = orders.toJSON.collect()
+    val bad = Seq(
+      """{"o_orderkey": 9000001, "o_custkey": BROKEN}""", // malformed JSON
+      """not json at all""",
+      """{"o_orderkey": "NaN-ish", "o_custkey": 1, "o_totalprice": "x", "o_orderstatus": "O"}<<<""")
+    val lines = (good.take(50) ++ bad ++ good.drop(50)) :+ "" // + blank line
+    Files.write(java.nio.file.Paths.get(s"$root/orders.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root,
+      schemas = Map("orders" -> orders.schema))
+    assert(src.quarantined(dbName, "orders") == bad.length.toLong)
+    assert(src.count(dbName, "orders", "1=1") == good.length.toLong,
+      "quarantined rows must be excluded from the archived scan")
+    val out = Files.createTempDirectory("graft-landing-bad-out").toString
+    val cfg = ArchiverConfig(
+      sourceDB = dbName, sourceTable = "orders",
+      sourceWhereCondition = "o_totalprice > 0",
+      sourceSplitKey = "o_orderkey", batchSize = 100, maxThread = 2)
+    val archiver = Archiver.landing(spark, cfg, root, s"$out/target",
+      s"$out/staging", orders.schema, pacingSleep = _ => ())
+    val report = archiver.run()
+    assert(report.reconciliation.correct, report.toString)
+    assert(report.quarantined == bad.length.toLong,
+      s"run report must surface the quarantine count: $report")
+    assert(spark.read.schema(orders.schema).parquet(s"$out/target").count() ==
+      orders.where("o_totalprice > 0").count())
+  }
+
+  test("CSV corrupt lines quarantine under the contract parse") {
+    val root = Files.createTempDirectory("graft-landing-csv-bad").toString
+    // comma-free columns only — free-text comments would break the
+    // hand-rendered positional lines, which is not what's under test
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val header = nation.schema.fieldNames.mkString(",")
+    val good = nation.collect().map(r =>
+      nation.schema.fieldNames.indices.map(r.get(_).toString).mkString(","))
+    // wrong arity + unparseable int under the typed contract
+    val bad = Seq("only,two", "notanint,BADLAND,xx")
+    Files.write(java.nio.file.Paths.get(s"$root/nation.csv"),
+      String.join("\n", (header +: (good.toSeq ++ bad)): _*).getBytes("UTF-8"))
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root, format = "csv",
+      schemas = Map("nation" -> nation.schema))
+    assert(src.quarantined(dbName, "nation") == bad.length.toLong)
+    assert(src.count(dbName, "nation", "1=1") == nation.count())
+  }
+
   test("CSV landing flavor: schema contract carries types through the text relation") {
     val root = Files.createTempDirectory("graft-landing-csv").toString
     val nation = spark.read.parquet(s"$sf/nation.parquet")

@@ -55,6 +55,52 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() == expected)
   }
 
+  test("Main.run --landing + incremental-time: inferred schema carries a real timestamp") {
+    // the CLI landing probe infers the sink schema from the first drop;
+    // without inferTimestamp the ts column would infer as STRING and the
+    // time watermark would silently compare strings (advisor finding) —
+    // this pins the inferred contract end-to-end through a time delta
+    val srcDir = Files.createTempDirectory("graft-main-lts").toString
+    val tgt = Files.createTempDirectory("graft-main-lts-tgt").toString + "/t"
+    val events = graft.ops.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val cut = events.selectExpr("timestamp_micros(CAST(percentile_disc(0.5) " +
+      "WITHIN GROUP (ORDER BY unix_micros(ts)) AS BIGINT)) AS c")
+      .head().getTimestamp(0)
+    def dump(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append")
+        .option("timestampFormat", graft.sink.StagedLoader.MicrosTimestampFormat)
+        .json(s"$srcDir/events.json")
+    dump(events.where(org.apache.spark.sql.functions.col("ts") <= cut))
+    val db = new java.io.File(srcDir).getName
+    val cfg = ArchiverConfig.fromJson(
+      s"""{
+         |  "sourceDB": "$db",
+         |  "sourceTable": "events",
+         |  "sourceWhereCondition": "ts >= '1970-01-01 00:00:00' and ts <= '2100-01-01 00:00:00'",
+         |  "sourceSplitTimeKey": "ts",
+         |  "timeSplitUnit": "day",
+         |  "batchSize": 100000,
+         |  "maxThread": 1
+         |}""".stripMargin).fold(e => fail(s"config parse: $e"), identity)
+    assert(Main.run(spark, cfg, srcDir, tgt, mode = "incremental-time",
+      landing = Some("json")))
+    val tgtDf = spark.read.parquet(tgt)
+    assert(tgtDf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"landing probe must infer ts as TIMESTAMP, got ${tgtDf.schema}")
+    val n1 = events.where(org.apache.spark.sql.functions.col("ts") <= cut).count()
+    assert(tgtDf.count() == n1)
+    // second drop past the watermark sweeps only the delta
+    dump(events.where(org.apache.spark.sql.functions.col("ts") > cut))
+    assert(Main.run(spark, cfg, srcDir, tgt, mode = "incremental-time",
+      landing = Some("json")))
+    val after = spark.read.parquet(tgt)
+    assert(after.count() == events.count())
+    assert(after.select("event_id").distinct().count() == events.count(),
+      "µs watermark must not re-load the boundary instant")
+  }
+
   test("Main.run incremental mode: initial load, then a no-op delta") {
     val srcDir = Files.createTempDirectory("graft-main-src").toString
     val tgt = Files.createTempDirectory("graft-main-tgt").toString + "/t"

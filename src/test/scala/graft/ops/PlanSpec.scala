@@ -363,23 +363,80 @@ class PlanSpec extends SparkSpec {
       "group-stat joins must broadcast (stats are group-grained):\n" + p)
   }
 
-  test("tfidf_topterms: DF dictionary broadcast is size-based, never hint-forced") {
-    // A web corpus's vocabulary is 10⁸-10⁹ distinct terms — a HINT-forced
-    // broadcast of the df table OOMs the driver at scale regardless of
-    // measured size. Size-based broadcast is fine (tiny fixture vocab →
-    // planner broadcasts; 100-TB vocab → over threshold → shuffle join).
-    // Proof there is no hint: with auto-broadcast disabled the term join
-    // must revert to SortMergeJoin — a hinted join would stay broadcast.
+  test("tfidf_topterms: footer-gated hybrid — dictionary broadcast fires on a small corpus") {
+    // The hybrid's planning-time gate (parquet-footer row count ≤ 50k
+    // docs) must HINT the dictionary broadcast before the term exchange
+    // is ever planned — AQE can only demote that exchange after tf's
+    // shuffle write is already paid. Proof the gate hinted (and not the
+    // size estimator): the broadcast survives autoBroadcastJoinThreshold
+    // = -1, which kills every size-based broadcast.
     val k = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(k)
     spark.conf.set(k, "-1")
     try {
       val p = planOf("tfidf_topterms")
+      assert(p.contains("BroadcastHashJoin"),
+        "footer gate must hint the dictionary broadcast on a small corpus:\n" + p)
+    } finally spark.conf.set(k, prev)
+  }
+
+  test("tfidf_topterms_shuffle: the scale path carries no broadcast hint") {
+    // A web corpus's vocabulary is 10⁸-10⁹ distinct terms — a HINT-forced
+    // broadcast of the df table OOMs the driver at scale regardless of
+    // measured size. The forced-shuffle sibling IS the gate's large-vocab
+    // branch, so its plan must hold the scale shape: with auto-broadcast
+    // disabled the term join reverts to SortMergeJoin — a hinted join
+    // would stay broadcast.
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val p = planOf("tfidf_topterms_shuffle")
       assert(p.contains("SortMergeJoin"),
         "term join must fall back to a shuffle join when broadcast is off:\n" + p)
       assert(!p.contains("BroadcastHashJoin"),
-        "df dictionary must not carry a broadcast hint (vocab-sized at scale):\n" + p)
+        "scale branch must not carry a broadcast hint (vocab-sized at scale):\n" + p)
     } finally spark.conf.set(k, prev)
+  }
+
+  test("dedup_ngram_jaccard_capped: capped index still an equi-join, never all-pairs") {
+    // capBuckets prunes degenerate gram buckets BEFORE the self-join; the
+    // resulting candidate join must stay equi-keyed on the gram hash — the
+    // cap changes which rows enter the join, never the join's shape
+    val p = planOf("dedup_ngram_jaccard_capped")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "capped candidate generation must stay an equi-join:\n" + p)
+  }
+
+  test("ann_range_trained: trained-centroid index keeps the pruned-scan shape") {
+    // same contract as ann_range_exact — swapping trainer output for the
+    // stand-in centroids must not change the plan family: probe-cell list
+    // broadcast onto the cell-keyed assignment, zero corpus×probes loop
+    val p = planOf("ann_range_trained")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-cell list must broadcast onto the cell-keyed assignment:\n" + p)
+  }
+
+  test("Tables.fan: no-op on pre-split input — no inherited corpus exchange") {
+    // production plans over splittable multi-file input must not inherit
+    // fan's stand-in repartition; the probe is the planned scan's actual
+    // partition count
+    val dir = java.nio.file.Files.createTempDirectory("graft-fan").toString
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(target * 2).write.mode("overwrite").parquet(s"$dir/docs")
+    val presplit = spark.read.parquet(s"$dir/docs")
+    assert(presplit.rdd.getNumPartitions >= target, "fixture must be pre-split")
+    val fanned = graft.ops.Tables.fan(spark, presplit)
+    val p = fanned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"),
+      "fan must be a no-op when the scan is already parallel:\n" + p)
+    // and the single-file fixture path still fans out
+    val single = spark.read.parquet(s"$sf/documents.parquet")
+    assert(single.rdd.getNumPartitions < target)
+    assert(graft.ops.Tables.fan(spark, single).rdd.getNumPartitions == target)
   }
 
   test("dedup_embedding_cosine: cell-pruned candidates, zero cartesian pair join") {
