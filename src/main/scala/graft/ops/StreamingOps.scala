@@ -23,6 +23,19 @@ object StreamingOps {
 
   private val runId = new AtomicLong(0)
 
+  /** Base dir for throwaway memory-sink checkpoints: tmpfs when the host
+    * provides one (no fsync tax on the per-micro-batch WAL/commit/state
+    * writes), else the regular temp dir. Registered for exit-time removal;
+    * each query additionally deletes its own subdir promptly. */
+  private lazy val fastCheckpointBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt")
+    TempDirs.register(base.toString)
+  }
+
   /** Bounded streaming read of the events fixture. The file source wants a
     * DIRECTORY, so the µs-converted events are materialized once per
     * fixture into a temp dir (memoized per process via [[TempDirs]]) — the
@@ -79,9 +92,32 @@ object StreamingOps {
     s2.conf.set("spark.sql.shuffle.partitions", "2")
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       noDataBatch.toString)
+    // The memory-sink checkpoint is THROWAWAY by construction (the result
+    // is collected and the query never restarts), yet Spark's default
+    // temp checkpoint lands on java.io.tmpdir — a disk-backed ext4 here —
+    // so every micro-batch pays fsync'd offset-WAL + commit-log + state
+    // delta writes for durability nothing reads. Pointing the throwaway
+    // checkpoint at tmpfs removes that disk tax from the fixed per-batch
+    // floor (~0.1-0.2 s/query measured) without weakening any real
+    // guarantee: the ARCHIVE path (stream_archive_counts) keeps its
+    // explicit durable checkpoint, which is the recovery contract a live
+    // deployment relies on.
+    val ckpt = s"$fastCheckpointBase/$table"
     val q = build(s2).writeStream.outputMode(mode).format("memory")
+      .option("checkpointLocation", ckpt)
       .queryName(table).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // prompt removal — tmpfs is RAM, and bench passes run hundreds of
+      // these; the TempDirs exit hook only backstops the base dir
+      try {
+        def rm(f: java.io.File): Unit = {
+          val c = f.listFiles(); if (c != null) c.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(ckpt))
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
     val sink = s2.table(table)
     val rows = sink.collect().toSeq
     val schema = sink.schema
