@@ -527,34 +527,7 @@ object AnnOps {
     // terms with the final value rounded to 3 digits to absorb the cast's
     // last-digit noise.
     Q("kmeans_train",
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 7)) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id - 5 AS BIGINT) AS cid, v AS cv FROM e
-        |       WHERE vec_id >= 5 AND vec_id < 21),
-        |s1 AS (SELECT e.vec_id, c.cid, e.v,
-        |    list_reduce(list_transform(e.v, x -> x * x), (p, q) -> p + q)
-        |    - 2 * list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (p, q) -> p + q)
-        |    + list_reduce(list_transform(c.cv, x -> x * x), (p, q) -> p + q) AS d2
-        |  FROM e CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, cid, v FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM s1) t WHERE rn = 1),
-        |x1 AS (SELECT cid, CAST(u AS INT) AS dim, v[CAST(u AS INT)] AS x
-        |       FROM a1, (SELECT unnest(range(1, 65)) AS u) t),
-        |m1 AS (SELECT cid, dim,
-        |         round(CAST(sum(CAST(x AS DECIMAL(20,7))) AS DOUBLE) / count(*), 7) AS m
-        |       FROM x1 GROUP BY cid, dim),
-        |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
-        |s2 AS (SELECT e.vec_id, c.cid,
-        |    list_reduce(list_transform(e.v, x -> x * x), (p, q) -> p + q)
-        |    - 2 * list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (p, q) -> p + q)
-        |    + list_reduce(list_transform(c.cv, x -> x * x), (p, q) -> p + q) AS d2
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, cid, d2 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM s2) t WHERE rn = 1),
+      s"""WITH $kmeansAssignSql,
         |nrm AS (SELECT cid,
         |    round(list_reduce(list_transform(cv, x -> x * x), (p, q) -> p + q), 6) AS centroid_norm2
         |  FROM c1)
@@ -563,7 +536,9 @@ object AnnOps {
         |  any_value(nrm.centroid_norm2) AS centroid_norm2
         |FROM a2 JOIN nrm ON a2.cid = nrm.cid
         |GROUP BY a2.cid ORDER BY cluster_id""".stripMargin) { (s, d) =>
-      val c1 = trainedCentroids(s, d)
+      // uncached on purpose: the trainer BENCHMARK always re-runs the full
+      // update pass; only composed consumers read the session memo
+      val c1 = trainCentroids(s, d)
       val norms = c1.map { case (cid, cv) => (cid, cv.map(x => x * x).sum) }
       val normDf = s.createDataFrame(norms).toDF("cluster_id", "norm2raw")
       lloydAssign(roundedVecs(s, d), c1)
@@ -575,7 +550,77 @@ object AnnOps {
           round(col("norm2raw"), 6).as("centroid_norm2"))
         .orderBy(col("cluster_id"))
     },
+
+    // Cluster-stratified diversity sampling — the embedding-space curation
+    // composition: kmeans_train's centroids partition the corpus into
+    // semantic cells, then exactly 5 vectors per cell are drawn in
+    // splitmix64(vec_id) order (deterministic, uniform within the cell,
+    // stable under corpus growth — the stratified_exact_n guarantees, with
+    // TRAINED clusters as the strata instead of a metadata column). This
+    // is how a 100-TB corpus gets a diverse pretraining subsample: cheap
+    // clusters as coverage strata, hash-ordered exact-n per stratum.
+    // Scale: assignment is lloydAssign's zero-shuffle broadcast-centroid
+    // argmin projection; the sample is ONE window per cluster over the
+    // hash order (state = 5 rows per cluster, no global sort); the
+    // trainer's collects are planning-sized (K×dims doubles).
+    Q("cluster_stratified_sample",
+      s"""WITH $kmeansAssignSql,
+        |sm0 AS (SELECT vec_id, cid, CAST(vec_id AS HUGEINT) AS z FROM a2),
+        |${SqlKernels.smixCtes("sx", "sm0", "vec_id, cid")},
+        |r AS (SELECT cid, vec_id, CAST(z % 9223372036854775808 AS BIGINT) AS h,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY z % 9223372036854775808, vec_id) AS rn
+        |  FROM sx6)
+        |SELECT cid AS cluster_id, rn, vec_id, h FROM r WHERE rn <= 5
+        |ORDER BY cluster_id, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.SplitMix64.splitmix64
+      lloydAssign(roundedVecs(s, d), trainedCentroids(s, d))
+        .select(col("vec_id"), col("cid"),
+          splitmix64(col("vec_id")).bitwiseAND(lit(Long.MaxValue)).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("h"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select(col("cid").as("cluster_id"), col("rn"), col("vec_id"), col("h"))
+        .orderBy(col("cluster_id"), col("rn"))
+    },
   )
+
+  /** Shared oracle CTE chain `e..a2`: quantized embeddings → seed
+    * centroids → one decimal-exact Lloyd update → final nearest-centroid
+    * assignment — the SQL replay of [[trainedCentroids]] + [[lloydAssign]],
+    * shared by kmeans_train and cluster_stratified_sample. A def, not a
+    * val: referenced from the `all` list, which initializes before later
+    * vals in this object (the tfidfSql pattern). */
+  private def kmeansAssignSql: String =
+    """e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 7)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id - 5 AS BIGINT) AS cid, v AS cv FROM e
+      |       WHERE vec_id >= 5 AND vec_id < 21),
+      |s1 AS (SELECT e.vec_id, c.cid, e.v,
+      |    list_reduce(list_transform(e.v, x -> x * x), (p, q) -> p + q)
+      |    - 2 * list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (p, q) -> p + q)
+      |    + list_reduce(list_transform(c.cv, x -> x * x), (p, q) -> p + q) AS d2
+      |  FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cid, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM s1) t WHERE rn = 1),
+      |x1 AS (SELECT cid, CAST(u AS INT) AS dim, v[CAST(u AS INT)] AS x
+      |       FROM a1, (SELECT unnest(range(1, 65)) AS u) t),
+      |m1 AS (SELECT cid, dim,
+      |         round(CAST(sum(CAST(x AS DECIMAL(20,7))) AS DOUBLE) / count(*), 7) AS m
+      |       FROM x1 GROUP BY cid, dim),
+      |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+      |s2 AS (SELECT e.vec_id, c.cid,
+      |    list_reduce(list_transform(e.v, x -> x * x), (p, q) -> p + q)
+      |    - 2 * list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (p, q) -> p + q)
+      |    + list_reduce(list_transform(c.cv, x -> x * x), (p, q) -> p + q) AS d2
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM s2) t WHERE rn = 1)""".stripMargin
 
   /** kmeans inputs quantized to 7 decimals — the shared determinism floor
     * for the decimal-exact update step (see kmeans_train's oracle). */
@@ -601,12 +646,28 @@ object AnnOps {
         col("best.cid").as("cid"), col("best.d2").as("d2"))
   }
 
+  /** Trainer-output memo, keyed (session, fixture) like [[topkCache]]:
+    * the trained set is deterministic over immutable fixtures, and the
+    * production topology trains ONCE and serves many index builds — the
+    * composed consumers (ann_range_trained, cluster_stratified_sample)
+    * should pay assignment + their own work, not a retrain per query.
+    * kmeans_train itself deliberately bypasses the memo ([[trainCentroids]]
+    * directly), so the trainer benchmark always measures the full update
+    * pass. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Array[Double])]]()
+
   /** The TRAINED centroid set: one decimal-exact Lloyd update from the
     * deterministic seeds (vec_id 5..21) — exactly the centroids
     * kmeans_train hash-verifies, exposed so downstream index builds
     * (ann_range_trained) run on trainer output instead of stand-ins.
     * Planning-sized: K×dims doubles on the driver. */
   private[graft] def trainedCentroids(s: SparkSession,
+      d: String): Seq[(Long, Array[Double])] =
+    centroidCache.computeIfAbsent((s, d), { case (s, d) =>
+      trainCentroids(s, d) })
+
+  private def trainCentroids(s: SparkSession,
       d: String): Seq[(Long, Array[Double])] = {
     val e = roundedVecs(s, d)
     val c0 = e.where(col("vec_id") >= 5 && col("vec_id") < 21)

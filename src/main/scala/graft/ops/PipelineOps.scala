@@ -537,6 +537,70 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // DSIR-style importance weights — Data Selection via Importance
+    // Resampling (Xie et al. 2023): score each document by how much more
+    // likely its tokens are under a TARGET-domain unigram model than under
+    // the raw-corpus model, log w(x) = Σ_w c_x(w)·(ln p_t(w) − ln p_r(w))
+    // with Laplace smoothing over the corpus vocabulary. The weights feed
+    // weighted sampling (sample_weighted_topn) to tilt a raw crawl toward
+    // a target domain — here target = source 'src0'. Scale: ONE corpus
+    // (doc,word) shuffle builds tf; both LMs and the vocabulary DERIVE
+    // from that aggregate (vocab-sized frames, never a second corpus
+    // pass); the scoring join is equi-keyed on the word and deliberately
+    // unhinted — a web corpus's vocabulary is not broadcastable (the
+    // tfidf dictum), and AQE may still demote the exchange when the
+    // measured vocab is small. Determinism: counts are exact integers,
+    // each c·llr term goes through DECIMAL(30,12) before the per-doc sum
+    // (merge-order-proof), and the final weight rounds to 4 digits to
+    // absorb ln() ulps (text_char_entropy pattern).
+    Q("dsir_importance",
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+        |cr AS (SELECT w, sum(c) AS cr FROM tf GROUP BY w),
+        |ct AS (SELECT w, sum(c) AS ct FROM tf WHERE source = 'src0' GROUP BY w),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(count(*) AS DOUBLE) AS v FROM cr),
+        |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt FROM ct),
+        |lm AS (
+        |  SELECT cr.w,
+        |    ln((coalesce(ct.ct, 0) + 1) / (tt.nt + tot.v))
+        |      - ln((cr.cr + 1) / (tot.nr + tot.v)) AS llr
+        |  FROM cr LEFT JOIN ct ON cr.w = ct.w CROSS JOIN tot CROSS JOIN tt)
+        |SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(CAST(tf.c AS DOUBLE) * lm.llr AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS log_weight
+        |FROM tf JOIN lm ON tf.w = lm.w
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
+      val tf = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), col("source"),
+          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"))
+        .groupBy(col("doc_id"), col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val cr = tf.groupBy(col("w")).agg(sum(col("c")).as("cr"))
+      val ct = tf.where(col("source") === "src0")
+        .groupBy(col("w")).agg(sum(col("c")).as("ct"))
+      // model totals ride the plan as broadcast 1-row frames (no separate
+      // count actions — one job end-to-end, the tfidf nDocs pattern)
+      val tot = cr.agg(sum(col("cr")).cast("double").as("nr"),
+        count(lit(1)).cast("double").as("v"))
+      val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("nt"))
+      val lm = cr.join(ct, Seq("w"), "left_outer")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(tt))
+        .select(col("w"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double")
+              / (col("nt") + col("v")))
+            - log((col("cr") + lit(1)).cast("double")
+              / (col("nr") + col("v")))).as("llr"))
+      tf.join(lm, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          // + 0.0 canonicalizes IEEE negative zero: a doc whose weight
+          // rounds to zero from below must hash identically across engines
+          (round(sum((col("c").cast("double") * col("llr")).cast("decimal(30,12)"))
+            .cast("double"), 4) + lit(0.0)).as("log_weight"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact-n stratified sampling — eval/holdout-set construction: exactly
     // 10 documents per language stratum, chosen by splitmix64(doc_id)
     // order so the sample is deterministic, uniform within the stratum,

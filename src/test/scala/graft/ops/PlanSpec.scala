@@ -281,6 +281,41 @@ class PlanSpec extends SparkSpec {
       s"bigram scoring degenerated to a nested loop ($nljTypes):\n" + p)
   }
 
+  test("dsir_importance: LM scoring joins equi-keyed, no hint on the vocab join") {
+    // the scoring join (tf ⋈ lm on word) must stay an unhinted equi-join —
+    // a web corpus vocabulary is not broadcastable; the only nested loops
+    // allowed are the broadcast scalar total frames
+    val p = planOf("dsir_importance")
+    assert(!p.contains("CartesianProduct"), p)
+    val nljTypes = """BroadcastNestedLoopJoin (\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(nljTypes.subsetOf(Set("Cross")),
+      s"LM scoring degenerated to a nested loop ($nljTypes):\n" + p)
+    // proof there is no hint: with auto-broadcast off, the word joins
+    // must all fall back to shuffle joins
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val pf = planOf("dsir_importance")
+      assert(!pf.contains("BroadcastHashJoin"),
+        "vocab-keyed joins must not carry broadcast hints:\n" + pf)
+      assert(pf.contains("SortMergeJoin"),
+        "scoring join must fall back to a shuffle join when broadcast is off:\n" + pf)
+    } finally spark.conf.set(k, prev)
+  }
+
+  test("cluster_stratified_sample: assignment is a projection — no join, one window") {
+    // trained centroids enter as literals (broadcast-by-construction), so
+    // the nearest-centroid assignment must plan as a pure projection; the
+    // draw is exactly one per-cluster window over the hash order
+    val p = planOf("cluster_stratified_sample")
+    assert(!p.contains("Join"),
+      "centroid assignment must be a literal-centroid projection, not a join:\n" + p)
+    val windows = """Window\s+\(\d+\)""".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one per-cluster window, got $windows:\n" + p)
+  }
+
   test("dedup_levenshtein: candidates from the head-block equi-join only") {
     val p = planOf("dedup_levenshtein")
     assert(!p.contains("CartesianProduct"), p)
