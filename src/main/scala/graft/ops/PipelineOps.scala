@@ -265,6 +265,58 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // TEMPERATURE-rebalanced domain mixing — the standard pretraining mix
+    // knob (sampled share ∝ p_s^τ): big domains are down-weighted, small
+    // ones surfaced, here at τ = 0.5, so the keep-rate per source is
+    // p^(τ−1) = 1/sqrt(p) normalized so the SMALLEST source keeps
+    // everything: rate_s = sqrt(n_min / n_s). Unlike the general-τ
+    // exp/ln form, τ = 1/2 needs only sqrt, divide and a power-of-two
+    // scale — ALL correctly-rounded IEEE ops — so the keep decision
+    // h>>10 < rate·2^53 is bit-identical across engines as a THEOREM (the
+    // 53-bit hash and rate·2^53 are both exact doubles; no ulp boundary
+    // exists to disagree on). Scale: source counts are domain-grained
+    // (bounded, broadcastable BY DEFINITION — unlike a vocabulary), the
+    // mask is a projection over one corpus scan, and the audit is one
+    // per-source aggregate. The hash lane (doc_id + 2) is independent of
+    // the split/mix/weighted lanes so the knobs compose.
+    Q("corpus_mix_temperature",
+      s"""WITH s0 AS (SELECT doc_id, source, CAST(doc_id + 2 AS HUGEINT) AS z FROM documents),
+         |${smixCtes("t", "s0", "doc_id, source")},
+         |hh AS (SELECT doc_id, source,
+         |         CAST((z % 9223372036854775808) // 1024 AS BIGINT) AS h53
+         |       FROM t6),
+         |c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+         |mn AS (SELECT CAST(min(n_s) AS DOUBLE) AS n_min FROM c),
+         |r AS (SELECT c.source, sqrt(mn.n_min / CAST(c.n_s AS DOUBLE)) AS rate
+         |      FROM c CROSS JOIN mn),
+         |k AS (SELECT hh.doc_id, hh.source, r.rate, hh.h53
+         |      FROM hh JOIN r ON hh.source = r.source)
+         |SELECT source, max(round(rate, 6)) AS rate_r, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE CAST(h53 AS DOUBLE) < rate * 9007199254740992) AS n_kept,
+         |  CAST(coalesce(sum(doc_id) FILTER (
+         |    WHERE CAST(h53 AS DOUBLE) < rate * 9007199254740992), 0) AS BIGINT) AS kept_id_sum
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val counts = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))
+      // the corpus-wide minimum rides the plan as a broadcast 1-row frame
+      val nMin = counts.agg(min(col("n_s")).cast("double").as("n_min"))
+      val rates = counts.crossJoin(broadcast(nMin))
+        .select(col("source"),
+          sqrt(col("n_min") / col("n_s").cast("double")).as("rate"))
+      val kept = shiftright(splitmix64(col("doc_id") + 2)
+          .bitwiseAND(lit(Long.MaxValue)), 10).cast("double") <
+        col("rate") * lit(9007199254740992.0)
+      documents(s, d)
+        .select(col("source"), col("doc_id"))
+        .join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"))
+        .agg(max(round(col("rate"), 6)).as("rate_r"),
+          count(lit(1)).as("n_docs"),
+          count(when(kept, 1)).as("n_kept"),
+          coalesce(sum(when(kept, col("doc_id"))), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+
     // Exact-n WEIGHTED sampling without replacement — the missing corner of
     // the sampling family (split_assign routes, corpus_mix_sample is
     // Bernoulli-by-rate, stratified_exact_n is exact-n UNweighted). The
