@@ -485,52 +485,32 @@ object DedupOps {
     // Dot/norms are left folds in double → engine-identical; the pair
     // scoring runs through the native dot_d expression, norms are
     // precomputed once per vector.
-    Q("dedup_embedding_cosine",
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |    sqrt(list_reduce(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |  list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
-        |              (p, q) -> p + q) / (a.nrm * b.nrm) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
-        |              (p, q) -> p + q) / (a.nrm * b.nrm) >= 0.4
-        |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps.dot_d
-      import graft.operators.AngularCells
-      import s.implicits._
-      val e = Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+    Q("dedup_embedding_cosine", cosinePairsSql) { (s, d) =>
+      val e = cosineVecs(s, d)
       // stand-in centroids (vec_id < 8), same convention as dedup_semantic;
       // at scale these come from kmeans_train and are literal arrays
       val cents = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val asg = AngularCells.assign(e, cents)
-      // planning-sized driver work: K angular radii + K centroid vectors →
-      // the compatible ORDERED cell-pair list (a pair (u,w) appears through
-      // exactly one ordered cell pair, so no candidate dedup is needed)
-      val radii = AngularCells.radii(asg)
-      val cvecs = AngularCells.collectVecs(cents)
-      val tau = math.acos(0.4)
-      val compat = for {
-        (c1, v1, n1) <- cvecs.toSeq if radii.contains(c1)
-        (c2, v2, n2) <- cvecs.toSeq if radii.contains(c2)
-        if AngularCells.angle(v1, n1, v2, n2) <=
-          tau + radii(c1) + radii(c2) + AngularCells.slack
-      } yield (c1, c2)
-      val compatDf = compat.toDF("c1", "c2")
-      val a = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("a")
-      val b = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("b")
-      a.join(broadcast(compatDf), col("a.cell") === col("c1"))
-        .join(b, col("b.cell") === col("c2") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          (dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .where(col("cos") >= 0.4)
-        .orderBy(col("v1"), col("v2"))
+      cosinePairsViaCells(s, e, cents)
+    },
+
+    // The TRAINED-CENTROID flavor: identical contract, but the cell index
+    // is built on kmeans_train's output centroids (through the session
+    // memo — train once, index many) instead of the vec_id<8 stand-ins.
+    // The pruning bound is exact for ANY centroid set — each vector's
+    // theta is its true angle to its own cell, radii are per-cell maxima,
+    // the triangle inequality follows — so the trained swap moves the
+    // candidate count, never the reported pairs, and the SAME brute-force
+    // oracle hash-verifies both flavors. This is the property that makes
+    // retraining safe in production: index quality is a cost knob, not a
+    // correctness knob.
+    Q("dedup_embedding_cosine_trained", cosinePairsSql) { (s, d) =>
+      import s.implicits._
+      val cents = AnnOps.trainedCentroids(s, d)
+        .map { case (cid, cv) =>
+          (cid, cv.toSeq, math.sqrt(cv.map(x => x * x).sum)) }
+        .toDF("cid", "cv", "cnrm")
+      cosinePairsViaCells(s, cosineVecs(s, d), cents)
     },
 
     // Semantic dedup (SemDeDup-style): assign every embedding to its
@@ -744,4 +724,63 @@ object DedupOps {
         .orderBy(col("canonical_url"))
     },
   )
+
+  /** Brute-force exact-cosine pair oracle shared by both embedding-cosine
+    * flavors — centroid choice moves candidates, never answers, so one
+    * oracle pins both. A def: referenced from `all` (object init order,
+    * the tfidfSql pattern). */
+  private def cosinePairsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+      |              (p, q) -> p + q) / (a.nrm * b.nrm) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+      |              (p, q) -> p + q) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY v1, v2""".stripMargin
+
+  private def cosineVecs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorOps.dot_d
+    Tables.fan(s, embeddings(s, d)).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+  }
+
+  /** Cell-pruned exact cosine pairs at t=0.4 over a caller-supplied
+    * centroid frame (cid, cv, cnrm): assignment, per-cell radii, the
+    * driver-side K²-bounded compatible ORDERED cell-pair list (a pair
+    * (u,w) appears through exactly one ordered cell pair, so no candidate
+    * dedup is needed), then two equi-joins on the cell key and the exact
+    * re-verify. */
+  private def cosinePairsViaCells(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.dot_d
+    import graft.operators.AngularCells
+    import s.implicits._
+    val asg = AngularCells.assign(e, cents)
+    // planning-sized driver work: K angular radii + K centroid vectors
+    val radii = AngularCells.radii(asg)
+    val cvecs = AngularCells.collectVecs(cents)
+    val tau = math.acos(0.4)
+    val compat = for {
+      (c1, v1, n1) <- cvecs.toSeq if radii.contains(c1)
+      (c2, v2, n2) <- cvecs.toSeq if radii.contains(c2)
+      if AngularCells.angle(v1, n1, v2, n2) <=
+        tau + radii(c1) + radii(c2) + AngularCells.slack
+    } yield (c1, c2)
+    val compatDf = compat.toDF("c1", "c2")
+    val a = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("a")
+    val b = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell")).as("b")
+    a.join(broadcast(compatDf), col("a.cell") === col("c1"))
+      .join(b, col("b.cell") === col("c2") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.4)
+      .orderBy(col("v1"), col("v2"))
+  }
 }

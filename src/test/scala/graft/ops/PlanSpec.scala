@@ -484,6 +484,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "corpus pair join must shuffle on the cell key:\n" + p)
+    // the trained-centroid flavor must keep the identical plan family
+    val pt = planOf("dedup_embedding_cosine_trained")
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert(pt.contains("SortMergeJoin") || pt.contains("ShuffledHashJoin"),
+      "trained flavor must keep the cell-keyed pair join:\n" + pt)
   }
 
   test("ann_range_exact: probe-cell pruned scan, zero cartesian, top-k-free") {
