@@ -77,14 +77,72 @@ object Tables {
     * for the row-group splitting a real deployment's files get. But it
     * must be a no-op when the scan ALREADY has enough input partitions —
     * a production plan over splittable multi-file input must not inherit
-    * an unconditional exchange of corpus text. The probe is the planned
-    * scan's actual partition count (physical planning only, no job), i.e.
-    * exactly what Spark would schedule. */
+    * an unconditional exchange of corpus text.
+    *
+    * The probe is METADATA-ONLY: for a file-source relation (every call
+    * site — the fixtures are parquet scans) the scheduled partition count
+    * is recomputed from the leaf-file listing with Spark's own split-and-
+    * pack arithmetic (`FilePartition.maxSplitBytes` + the greedy bin-pack
+    * in `FilePartition.getFilePartitions`), so query construction never
+    * forces physical planning of the scan. Only a non-file plan falls
+    * back to `df.rdd.getNumPartitions`, memoized per semantic plan so the
+    * planning cost is paid at most once per distinct input. */
   def fan(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions", "8").toInt
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    val n = plannedScanPartitions(s, df).getOrElse(rddPartitionsMemo(s, df))
+    if (n >= target) df else df.repartition(target)
   }
+
+  /** Scheduled partition count of a single-file-relation plan, from the
+    * file listing alone (no RDD, no physical planning). Mirrors Spark's
+    * `FilePartition`: maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes/minPartitionNum)); files split at
+    * maxSplitBytes (parquet is splittable), splits sorted descending and
+    * greedily packed, each split costed at length + openCost. None when
+    * the plan is not exactly one HadoopFsRelation (fallback path). */
+  private def plannedScanPartitions(s: SparkSession, df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.size != 1) None
+    else {
+      val conf = s.sessionState.conf
+      val maxPartitionBytes = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
+      val minPartitionNum =
+        conf.filesMinPartitionNum.getOrElse(s.sparkContext.defaultParallelism)
+      val lens = rels.head.location.listFiles(Nil, Nil)
+        .flatMap(_.files).map(_.getLen).filter(_ > 0)
+      val totalBytes = lens.map(_ + openCost).sum
+      val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
+      val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+      val splits = lens.flatMap { len =>
+        (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
+      }.sortBy(-_)
+      var parts = 0
+      var currentSize = 0L
+      var currentFiles = 0
+      splits.foreach { sz =>
+        if (currentSize + sz > maxSplit && currentFiles > 0) {
+          parts += 1; currentSize = 0L; currentFiles = 0
+        }
+        currentSize += sz + openCost
+        currentFiles += 1
+      }
+      if (currentFiles > 0) parts += 1
+      Some(parts)
+    }
+  }
+
+  private val rddPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Int]()
+
+  private def rddPartitionsMemo(s: SparkSession, df: DataFrame): Int =
+    rddPartsCache.computeIfAbsent(
+      (s, df.queryExecution.analyzed.semanticHash()),
+      _ => df.rdd.getNumPartitions)
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
