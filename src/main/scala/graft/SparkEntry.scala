@@ -18,7 +18,7 @@ object SparkEntry {
       RelationalOps.all ++ ArchiveOps.all ++ ScalarOps.all ++
         DedupOps.all ++ AnnOps.all ++ TextOps.all ++ MultimodalOps.all ++
         TemporalJoinOps.all ++ PipelineOps.all ++ StreamingOps.all ++
-        ProfilingOps.all ++ AnalyticsOps.all
+        ProfilingOps.all ++ AnalyticsOps.all ++ CurationOps.all
     // a duplicate name would silently SHADOW an operator in the toMap
     // below — one contract query would vanish from the driver's gate
     // without any failure signal

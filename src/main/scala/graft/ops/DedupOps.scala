@@ -91,9 +91,16 @@ object DedupOps {
     *   at cap² per bucket. None (the contract-query setting) keeps exact
     *   candidate semantics. */
   private[graft] def minhashCandidates(s: SparkSession, d: String,
+      bucketCap: Option[Long] = None): DataFrame =
+    minhashCandidatesOf(Tables.fan(s, documents(s, d)), bucketCap)
+
+  /** Same candidate machinery over an arbitrary (doc_id, text) frame —
+    * the composition surface: curation_pipeline feeds it the
+    * quality-filtered corpus instead of the raw table. */
+  private[graft] def minhashCandidatesOf(docs: DataFrame,
       bucketCap: Option[Long] = None): DataFrame = {
     val nHash = 64; val bands = 16; val rows = nHash / bands
-    val withSig = Tables.fan(s, documents(s, d))
+    val withSig = docs
       .select(col("doc_id"),
         graft.functions.VectorOps.minhash_shingled(
           expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
@@ -148,8 +155,15 @@ object DedupOps {
     * bounded — this is the step that makes an approximate candidate
     * generator exact, and the reason the ops can share the exact oracle. */
   private def verifyCandidates(s: SparkSession, d: String,
+      cands: DataFrame): DataFrame =
+    verifyCandidatesOf(Tables.fan(s, documents(s, d)), cands)
+
+  /** Exact verification against an arbitrary (doc_id, text) frame (see
+    * [[minhashCandidatesOf]]); the shingle frame is referenced once per
+    * pair side — two candidate-bounded equi-joins. */
+  private[graft] def verifyCandidatesOf(docs: DataFrame,
       cands: DataFrame): DataFrame = {
-    val sh = Tables.fan(s, documents(s, d))
+    val sh = docs
       .select(col("doc_id"), wordShingles("text").as("sh"))
     val c = cands.select(col("d1"), col("d2"))
     c.join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
@@ -208,27 +222,33 @@ object DedupOps {
       |FROM cand WHERE bit_count(xor(sg1, sg2)) <= 6
       |ORDER BY d1, d2""".stripMargin
 
-  /** The pair CTEs of the jaccard oracle, shared by two queries' SQL. */
-  private val gramPairsSql: String =
-    """  g AS (
+  /** The pair CTEs of the jaccard oracle, shared by two queries' SQL,
+    * parameterized on the (doc_id, text) source relation so the
+    * curation-pipeline oracle can run them over its filtered corpus. */
+  private def gramPairsSqlFrom(src: String): String =
+    s"""  g AS (
       |  SELECT DISTINCT doc_id,
       |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
       |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 2))) AS u
-      |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0)),
+      |        FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM $src) t0)),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
       |rawpairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
-  private val jaccardPairsSql: String =
-    s"""$gramPairsSql,
+  private val gramPairsSql: String = gramPairsSqlFrom("documents")
+
+  private[graft] def jaccardPairsSqlFrom(src: String): String =
+    s"""${gramPairsSqlFrom(src)},
       |jpairs AS (
       |  SELECT d1, d2, inter,
       |    CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
       |  FROM rawpairs
       |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5)""".stripMargin
+
+  private val jaccardPairsSql: String = jaccardPairsSqlFrom("documents")
 
   val all: Seq[Q] = Seq(
 

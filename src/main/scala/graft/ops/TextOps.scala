@@ -20,6 +20,59 @@ object TextOps {
     "en" -> " the ", "de" -> " der ", "es" -> " el ",
     "fr" -> " le ", "zh" -> " zh ")
 
+  /** Linear quality-classifier score over (doc_id, source, text):
+    * stopword fraction, mean word length, alphabetic fraction, fixed
+    * literal weights. Every feature is one IEEE division of exact
+    * integers and the score a fixed-order multiply-add chain, so z — and
+    * therefore any threshold cut on it — is bit-identical across engines
+    * (see quality_classifier_filter). Shared by that contract query and
+    * the composed curation_pipeline so the two can never drift. Returns
+    * (doc_id, source, text, z); a pure projection at the scan. */
+  private[graft] def scoredDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa"))
+      .withColumn("nw", size(col("wa")))
+      .withColumn("swf", when(col("nw") === 0, 0.0).otherwise(
+        size(expr("""filter(wa, x -> array_contains(
+                    |  array('the','a','of','and','to','in','is','it'), x))"""
+          .stripMargin)).cast("double") / col("nw")))
+      .withColumn("mwl", when(col("nw") === 0, 0.0).otherwise(
+        expr("aggregate(wa, 0, (a, x) -> a + length(x))").cast("double")
+          / col("nw")))
+      .withColumn("af", when(length(col("text")) === 0, 0.0).otherwise(
+        size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("double")
+          / length(col("text"))))
+      .select(col("doc_id"), col("source"), col("text"),
+        (lit(10.0) * col("swf") + lit(5.0) * col("af")
+          + lit(0.5) * col("mwl") - lit(6.5)).as("z"))
+  }
+
+  /** The classifier-score CTE chain of the same model for DuckDB oracles:
+    * `<p>sc` exposes (doc_id, source, text, z) over `src`. Mirrors
+    * [[scoredDocs]] term-for-term. */
+  private[graft] def classifierScoreCtes(p: String, src: String): String =
+    s"""${p}w AS (
+       |  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[a-z]+') AS wa
+       |  FROM $src),
+       |${p}f AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN len(wa) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(wa, x -> list_contains(
+       |                ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+       |              / len(wa) END AS swf,
+       |    CASE WHEN len(wa) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(wa, x -> len(x))) AS DOUBLE)
+       |              / len(wa) END AS mwl,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+       |              / len(text) END AS af
+       |  FROM ${p}w),
+       |${p}sc AS (SELECT doc_id, source, text,
+       |  10.0 * swf + 5.0 * af + 0.5 * mwl - 6.5 AS z FROM ${p}f)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("text_quality_score",
@@ -278,47 +331,15 @@ object TextOps {
     // The per-source mean score goes through the decimal quantize-sum
     // rule like every float aggregate.
     Q("quality_classifier_filter",
-      """WITH w AS (
-        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS wa, text
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN len(wa) = 0 THEN 0.0
-        |         ELSE CAST(len(list_filter(wa, x -> list_contains(
-        |                ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-        |              / len(wa) END AS swf,
-        |    CASE WHEN len(wa) = 0 THEN 0.0
-        |         ELSE CAST(list_sum(list_transform(wa, x -> len(x))) AS DOUBLE)
-        |              / len(wa) END AS mwl,
-        |    CASE WHEN len(text) = 0 THEN 0.0
-        |         ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-        |              / len(text) END AS af
-        |  FROM w),
-        |sc AS (SELECT *, 10.0 * swf + 5.0 * af + 0.5 * mwl - 6.5 AS z FROM f)
+      s"""WITH ${classifierScoreCtes("q", "documents")},
+        |sc AS (SELECT doc_id, source, z FROM qsc)
         |SELECT source, count(*) AS n_docs,
         |  count(*) FILTER (z >= 0.5) AS n_kept,
         |  CAST(coalesce(sum(doc_id) FILTER (z >= 0.5), 0) AS BIGINT) AS kept_id_sum,
         |  round(CAST(sum(CAST(round(z, 12) AS DECIMAL(30,12))) AS DOUBLE)
         |        / count(*), 4) AS avg_score
         |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val f = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), col("source"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa"),
-          col("text"))
-        .withColumn("nw", size(col("wa")))
-        .withColumn("swf", when(col("nw") === 0, 0.0).otherwise(
-          size(expr("""filter(wa, x -> array_contains(
-                      |  array('the','a','of','and','to','in','is','it'), x))"""
-            .stripMargin)).cast("double") / col("nw")))
-        .withColumn("mwl", when(col("nw") === 0, 0.0).otherwise(
-          expr("aggregate(wa, 0, (a, x) -> a + length(x))").cast("double")
-            / col("nw")))
-        .withColumn("af", when(length(col("text")) === 0, 0.0).otherwise(
-          size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("double")
-            / length(col("text"))))
-        .withColumn("z",
-          lit(10.0) * col("swf") + lit(5.0) * col("af")
-            + lit(0.5) * col("mwl") - lit(6.5))
+      val f = scoredDocs(Tables.fan(s, documents(s, d)))
       f.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("z") >= 0.5, 1)).as("n_kept"),

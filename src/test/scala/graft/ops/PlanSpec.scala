@@ -547,4 +547,22 @@ class PlanSpec extends SparkSpec {
     val p = planOf("graph_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("curation_pipeline: mix/split/audit phase plans over the checkpointed " +
+      "flags artifact — zero corpus scans, broadcast rates, no shuffle join") {
+    val p = planOf("curation_pipeline")
+    // after the dedup stage boundary, NOTHING may re-read the corpus: the
+    // per-doc flags artifact (doc_id, source, keep_q, keep_d) is the only
+    // input to the temperature-mix / split / audit phase
+    assert(!p.contains("Scan parquet"),
+      "final phase must plan over the checkpointed flags artifact, " +
+        "never re-scan the corpus:\n" + p)
+    assert(p.contains("Scan ExistingRDD"), "expected the checkpoint leaf:\n" + p)
+    // the per-source rates frame is domain-grained → broadcast, and the
+    // only nested-loop is the 1-row n_min frame riding the rate build
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "flags ⨝ rates must broadcast the bounded rates side:\n" + p)
+  }
 }
