@@ -60,10 +60,13 @@ object PipelineOps {
     * per-source volume — and adds the chunk's offset. Identical cum
     * values either way, same oracle. */
   private def packedBins(s: org.apache.spark.sql.SparkSession, d: String,
-      forceTwoPhase: Boolean): org.apache.spark.sql.DataFrame = {
+      forceTwoPhase: Boolean,
+      toks: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toksCol = size(expr("regexp_extract_all(text, '\\\\S+', 0)"))
-      .cast("long").as("toks")
+    val toksCol = toks.getOrElse(
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      .as("toks")
     val twoPhase = forceTwoPhase ||
       Tables.parquetRowCount(s, d, "documents") >= packTwoPhaseMinRows
     val binned =
@@ -472,6 +475,34 @@ object PipelineOps {
     // parallelism = sources × chunks — against the identical oracle.
     Q("pack_sequences_twophase", packSequencesOracle) { (s, d) =>
       packedBins(s, d, forceTwoPhase = true)
+    },
+
+    // Packing on REAL token budgets: the same prefix-sum machinery, but
+    // `toks` is the BPE-encoded token count from the learned merge list
+    // (TextOps.bpeMergeList — memoized, so the tokenizer trains once per
+    // session and this query pays encode only). This is the composition
+    // the trained tokenizer exists for: whitespace-proxy lengths
+    // over-budget bins exactly where text is merge-dense; packing on
+    // encoded counts is what a production pipeline ships to the trainer.
+    Q("pack_sequences_bpe",
+      s"""WITH ${graft.ops.TextOps.bpeMergeSqlCtes},
+         |t AS (
+         |  SELECT doc_id, source,
+         |    coalesce(list_sum(list_transform(wa,
+         |      x -> len(${graft.ops.TextOps.bpeEncodeOracleExpr("x")}))), 0) AS toks
+         |  FROM wbpe CROSS JOIN bp8),
+         |c AS (
+         |  SELECT doc_id, source, toks,
+         |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
+      val enc = graft.ops.TextOps.bpeEncodeSql(
+        graft.ops.TextOps.bpeMergeList(s, d), "x")
+      packedBins(s, d, forceTwoPhase = false, toks = Some(
+        expr(s"aggregate(regexp_extract_all(lower(text), '[a-z]+', 0), 0L, (a, x) -> a + length($enc))")))
     },
 
     // Deterministic global corpus shuffle — the "shuffle the training data"

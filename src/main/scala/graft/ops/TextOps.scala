@@ -73,6 +73,86 @@ object TextOps {
        |${p}sc AS (SELECT doc_id, source, text,
        |  10.0 * swf + 5.0 * af + 0.5 * mwl - 6.5 AS z FROM ${p}f)""".stripMargin
 
+  /** Number of BPE merges learned/applied by bpe_encode (markers 'A'..). */
+  private[graft] val BpeNMerges = 8
+
+  /** Learned-merge-list memo, keyed (session, fixture) like AnnOps'
+    * centroid memo: the list is deterministic over immutable fixtures and
+    * a production tokenizer trains ONCE and encodes many — composed
+    * consumers (bpe_encode, pack_sequences_bpe) should pay encode cost,
+    * not a re-rank per query. Planning-sized: `BpeNMerges` 2-char strings
+    * on the driver. */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[String]]()
+
+  /** The learned BPE merge list: top-`BpeNMerges` adjacent character
+    * pairs of the lowercase word corpus, ranked (count DESC, pair ASC) —
+    * the first-iteration merge table of byte-pair training (the exact
+    * aggregate bpe_pair_counts hash-verifies, truncated to 8). True
+    * sequential BPE would re-count after each merge; the static top-8
+    * list is the deterministic stand-in that exercises the identical
+    * ENCODE machinery while staying recomputable inside a single DuckDB
+    * oracle (a sequential re-count per merge cannot nest in one SQL
+    * statement). Merge quality shifts which pairs collapse, never the
+    * encode semantics. */
+  private[graft] def bpeMergeList(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[String] =
+    bpeMergeCache.computeIfAbsent((s, d), { case (s, d) =>
+      Tables.fan(s, Tables.documents(s, d))
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("wd"))
+        .where(length(col("wd")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), u -> substr(wd, u, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(BpeNMerges)
+        .collect().map(_.getString(0)).toSeq
+    })
+
+  /** SQL expression encoding a lowercase word by applying the merge list
+    * in rank order: merge i rewrites every non-overlapping occurrence of
+    * its character pair (left-to-right, the greedy BPE pass) to the
+    * single marker char ('A'+i). Words are [a-z]+ and markers are
+    * non-[a-z], so a consumed character can never participate in a later
+    * merge — exactly BPE restricted to single-char pairs, with `replace`
+    * (identical left-to-right semantics in Spark and DuckDB) doing the
+    * pass. Token count of the encoded word = its length. */
+  private[graft] def bpeEncodeSql(merges: Seq[String], in: String): String =
+    merges.zipWithIndex.foldLeft(in) { case (e, (p, i)) =>
+      s"replace($e, '$p', '${('A' + i).toChar}')"
+    }
+
+  /** DuckDB twin of [[bpeMergeList]] + the word prep, as CTEs: `wbpe`
+    * exposes (doc_id, source, wa) and `bp8` the one-row merge frame
+    * (p1..pN, absent ranks coalesced to '00' — digits never occur in
+    * [a-z]+ words, so the marker replace is a no-op exactly like the
+    * Spark side's shorter merge list). */
+  private[graft] def bpeMergeSqlCtes: String = {
+    val ps = (1 to BpeNMerges).map(i =>
+      s"  coalesce(max(CASE WHEN rank = $i THEN pair END), '00') AS p$i")
+      .mkString(",\n")
+    s"""wbpe AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS wa
+       |  FROM documents),
+       |bpp AS (
+       |  SELECT substr(wd, CAST(u AS INT), 2) AS pair
+       |  FROM (SELECT wd, unnest(range(1, len(wd))) AS u
+       |        FROM (SELECT unnest(wa) AS wd FROM wbpe) wl
+       |        WHERE len(wd) >= 2) t),
+       |bpm AS (
+       |  SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rank
+       |  FROM bpp GROUP BY pair ORDER BY rank LIMIT $BpeNMerges),
+       |bp8 AS (SELECT
+       |$ps
+       |FROM bpm)""".stripMargin
+  }
+
+  /** Oracle-side encode expression over `in`, referencing bp8's p1..pN
+    * columns instead of interpolated literals. */
+  private[graft] def bpeEncodeOracleExpr(in: String): String =
+    (0 until BpeNMerges).foldLeft(in) { case (e, i) =>
+      s"replace($e, p${i + 1}, '${('A' + i).toChar}')"
+    }
+
   val all: Seq[Q] = Seq(
 
     Q("text_quality_score",
@@ -316,6 +396,46 @@ object TextOps {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("pair"))))
         .orderBy(col("rank"))
+    },
+
+    // BPE APPLY — the tokenizer-consumer side of bpe_pair_counts: the
+    // learned merge list (top-8 first-iteration pairs, memoized per
+    // session like AnnOps' trained centroids: train once, encode many)
+    // is applied to every word as sequential greedy merge passes, and
+    // each document reports its real token count. Encode is a PURE
+    // PROJECTION at the scan — the merge list rides the plan as 8
+    // interpolated literals (the degenerate broadcast), and the per-doc
+    // sums run as higher-order functions over the word array (the
+    // chunk_documents machinery): zero shuffle beyond the output-sized
+    // sort. A merged character can never re-merge (markers are
+    // non-[a-z]), so the pass composition is exactly BPE over
+    // single-char pairs — and `replace`'s left-to-right non-overlapping
+    // semantics agree across engines, making the whole encode
+    // hash-checkable.
+    Q("bpe_encode",
+      s"""WITH ${bpeMergeSqlCtes},
+        |enc AS (
+        |  SELECT doc_id,
+        |    len(wa) AS n_words,
+        |    coalesce(list_sum(list_transform(wa, x -> len(x))), 0) AS n_chars,
+        |    coalesce(list_sum(list_transform(wa,
+        |      x -> len(${bpeEncodeOracleExpr("x")}))), 0) AS n_tokens
+        |  FROM wbpe CROSS JOIN bp8)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_chars - n_tokens AS BIGINT) AS n_merged
+        |FROM enc ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      val enc = bpeEncodeSql(bpeMergeList(s, d), "x")
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa"))
+        .select(col("doc_id"),
+          size(col("wa")).cast("long").as("n_words"),
+          expr("aggregate(wa, 0L, (a, x) -> a + length(x))").as("n_chars"),
+          expr(s"aggregate(wa, 0L, (a, x) -> a + length($enc))").as("n_tokens"))
+        .withColumn("n_merged", col("n_chars") - col("n_tokens"))
+        .orderBy(col("doc_id")).limit(500)
     },
 
     // Model-scored quality filtering — the classifier-gate shape of

@@ -548,6 +548,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bpe_encode: encode is a pure projection at the scan — merge list " +
+      "interpolated as literals, no explode, no aggregate shuffle") {
+    val p = planOf("bpe_encode")
+    assert(!p.contains("Generate"),
+      "per-word work must run as higher-order functions over the word " +
+        "array, never an explode:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "the returned plan is projection + top-k only (merge learning runs " +
+        "once at construction, memoized):\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("curation_pipeline: mix/split/audit phase plans over the checkpointed " +
       "flags artifact — zero corpus scans, broadcast rates, no shuffle join") {
     val p = planOf("curation_pipeline")
