@@ -70,6 +70,24 @@ object Tables {
     }
   }
 
+  /** Total on-disk bytes of a table's data files, from the driver-side
+    * listing alone (no footer reads, no Spark job) — the size probe for
+    * planning gates where ROW count is the wrong proxy (a broadcast
+    * decision cares how big the data is, not how many rows it has).
+    * Same recursive listing discipline as [[parquetRowCount]]. */
+  def parquetBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(conf)
+    def list(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) 0L
+      else if (st.isDirectory) fs.listStatus(st.getPath).map(list).sum
+      else st.getLen
+    }
+    list(fs.getFileStatus(p))
+  }
+
   /** Spread a scan across the session's parallelism — CONDITIONALLY. The
     * fixtures are single-row-group parquet files, so Spark schedules the
     * whole scan as one task and CPU-heavy per-row work (JSON codec,
@@ -151,25 +169,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read it as long nanos (legacy conf) and truncate to a real
-    * microsecond TimestampType column — the same ns→µs truncation DuckDB
-    * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracles align.
+  /** events.parquet's `ts` column has shipped in two physical shapes
+    * across fixture generations, both normalized here to one logical
+    * contract: session-TZ (UTC) microsecond TimestampType.
     *
-    * The conf is a SESSION-LEVEL requirement, not a per-read one: Spark's
-    * parquet source re-reads `nanosAsLong` from the session's SQLConf at
-    * EVERY action's physical planning (the value is copied into the scan's
-    * hadoopConf when the reader is built), so a save/restore around this
-    * call would make every later execution of the returned frame throw
-    * "Illegal Parquet type". Hence: set once, idempotently, and never
-    * restored for the life of the session — the same contract a production
-    * job would declare in its SparkSession builder.
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it; read as
+    *    long nanos (legacy conf) and truncate to µs — the same ns→µs
+    *    truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP.
+    *    The conf is a SESSION-LEVEL requirement, not a per-read one:
+    *    the parquet source re-reads `nanosAsLong` from the session's
+    *    SQLConf at every action's physical planning, so a save/restore
+    *    here would make later executions of the returned frame throw.
+    *    Hence: set once, idempotently, for the life of the session.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; cast to TimestampType. With the session pinned
+    *    to UTC the cast is a pure type relabel (identical micros),
+    *    matching DuckDB's naive TIMESTAMP view of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
-    t(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
