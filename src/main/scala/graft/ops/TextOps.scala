@@ -538,6 +538,24 @@ object TextOps {
     * web-scale vocab. */
   private val BroadcastVocabMaxDocs = 50000L
 
+  /** ... AND at or below this many on-disk bytes: row count alone is the
+    * wrong proxy for dictionary size — 50k very large or token-diverse
+    * documents could still yield a driver-heavy vocab. The vocabulary a
+    * corpus can produce is bounded by its text volume (distinct terms ≤
+    * total tokens), so total input bytes from the file listing is the
+    * honest planning signal: 64 MB of compressed text is ≲ a few million
+    * distinct terms, tens of MB broadcast — safe; beyond it, take the
+    * term-shuffle path even if the row gate would have passed. */
+  private val BroadcastVocabMaxBytes = 64L << 20
+
+  /** The tf-idf hybrid's planning-time decision, exposed so the scale
+    * smoke can assert the branch actually FLIPS on a large corpus
+    * (true = dictionary broadcast, false = term-shuffle scale path).
+    * Both probes are driver-side metadata reads — no Spark job. */
+  def tfidfBroadcastGate(s: org.apache.spark.sql.SparkSession, d: String): Boolean =
+    Tables.parquetRowCount(s, d, "documents") <= BroadcastVocabMaxDocs &&
+      Tables.parquetBytes(s, d, "documents") <= BroadcastVocabMaxBytes
+
   /** The tf-idf hybrid. Why a PLANNING-TIME gate instead of leaving it to
     * AQE: df_docs aggregates from tf, so the dictionary needs tf's
     * (doc,term) shuffle either way — the question is only whether the
@@ -556,8 +574,7 @@ object TextOps {
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
-    val smallCorpus = !forceShuffle &&
-      Tables.parquetRowCount(s, d, "documents") <= BroadcastVocabMaxDocs
+    val smallCorpus = !forceShuffle && tfidfBroadcastGate(s, d)
     val dict = if (smallCorpus) broadcast(dfreq) else dfreq
     // nDocs rides the plan as a broadcast 1-row frame (no separate
     // count() action — one job end-to-end, same pattern as the oracle's

@@ -165,21 +165,50 @@ final class FileTableSource(spark: SparkSession, rootDir: String,
     else dir.listFiles((_, n) => suffixes.exists(n.endsWith)).toSeq
       .map(n => suffixes.foldLeft(n.getName)(_.stripSuffix(_))).distinct.sorted
 
-  private def pathOf(t: String): String =
-    suffixes.map(sfx => s"$rootDir/$t$sfx")
-      .find(p => new java.io.File(p).exists())
-      .getOrElse(s"$rootDir/$t.$format")
+  private def pathOf(t: String): String = {
+    val present = suffixes.map(sfx => s"$rootDir/$t$sfx")
+      .filter(p => new java.io.File(p).exists())
+    // both plain and gzip drops present would force a silent choice —
+    // whichever we picked, the other file's rows would be neither
+    // archived nor quarantined. Refuse loudly; the producer owns the
+    // landing contract (one suffix per table).
+    require(present.size <= 1,
+      s"ambiguous landing drop for table '$t': ${present.mkString(" AND ")} " +
+        "— plain and gzip forms both present; remove one (reading either " +
+        "alone would silently omit the other's rows)")
+    present.headOption.getOrElse(s"$rootDir/$t.$format")
+  }
 
   private def parseOptions: Map[String, String] = Map(
     "mode" -> "PERMISSIVE",
     "columnNameOfCorruptRecord" -> CorruptCol,
     "timestampFormat" -> graft.sink.StagedLoader.MicrosTimestampFormat)
 
+  /** A line is header-SHAPED when its CSV tokens — dequoted by the same
+    * parser the data path uses, trimmed, case-folded — are exactly the
+    * contract's field names in order. Tolerating render variants
+    * (quoted fields, padding, case) matters both ways: a quoted header
+    * must not be parsed as a data row NOR miscounted as a quarantined
+    * corrupt row, and the match must be per-line because a landing
+    * "file" can be a directory of part files, each carrying its own
+    * header. (The residual ambiguity — a data row whose every field
+    * literally equals its column name — is unresolvable in headered
+    * CSV itself, and under a typed contract such a row would fail the
+    * parse anyway for any non-string column.) */
+  private def headerShaped(sc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    val strSchema = org.apache.spark.sql.types.StructType(sc.fieldNames.map(
+      org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType)))
+    val toks = from_csv(col("value"), strSchema, Map("mode" -> "PERMISSIVE"))
+    sc.fieldNames.map(f =>
+      lower(trim(toks.getField(f))) === lit(f.toLowerCase)).reduce(_ && _)
+  }
+
   /** Contract-schema parse with the audit column: every non-blank line
     * becomes one row, malformed ones carrying their raw text in
-    * `_corrupt_record` (and nothing else). CSV header lines — the exact
-    * render of the contract's field names, the only header consistent
-    * with a positional schema contract — are dropped per file. */
+    * `_corrupt_record` (and nothing else). CSV header-shaped lines are
+    * dropped per line (see [[headerShaped]]) and never enter the
+    * quarantine count. */
   private def parsedWithAudit(t: String,
       sc: org.apache.spark.sql.types.StructType): DataFrame = {
     val pSchema = sc.add(CorruptCol, org.apache.spark.sql.types.StringType)
@@ -190,7 +219,7 @@ final class FileTableSource(spark: SparkSession, rootDir: String,
         lines.select(from_json(col("value"), pSchema, parseOptions).as("r"),
           col("value"))
       case "csv" =>
-        lines.where(col("value") =!= lit(sc.fieldNames.mkString(",")))
+        lines.where(!headerShaped(sc))
           .select(from_csv(col("value"), pSchema, parseOptions).as("r"),
             col("value"))
     }
@@ -205,12 +234,60 @@ final class FileTableSource(spark: SparkSession, rootDir: String,
           col("value")).as(CorruptCol)): _*)
   }
 
+  // quarantine counts memoized per (table, file signature): the landing
+  // file is immutable between producer drops, so the corrupt-line count
+  // is a pure function of (path, length, mtime). Without the memo a run
+  // re-parses the entire drop once for reconciliation's count() and AGAIN
+  // for the quarantine audit — one full extra scan per table per run.
+  // count() below fills the memo as a side effect of the pass it already
+  // makes, so the audit read is usually free.
+  private val quarantineMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def fileSig(t: String): String = {
+    val f = new java.io.File(pathOf(t))
+    def walk(x: java.io.File): Seq[java.io.File] =
+      if (x.isDirectory) x.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(x)
+    walk(f).map(x => s"${x.getPath}:${x.length}:${x.lastModified}").mkString("|")
+  }
+
+  /** Valid-row count under `where` and the corrupt-line count, from ONE
+    * parse of the landing drop. */
+  private def countBoth(t: String,
+      sc: org.apache.spark.sql.types.StructType, where: String): (Long, Long) = {
+    val w = if (where.isEmpty) "true" else where
+    val r = parsedWithAudit(t, sc).agg(
+      org.apache.spark.sql.functions.count(
+        when(col(CorruptCol).isNull && expr(w), 1)),
+      org.apache.spark.sql.functions.count(
+        when(col(CorruptCol).isNotNull, 1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  override def count(db: String, t: String, where: String): Long =
+    dataSchemas.get(t) match {
+      case Some(sc) =>
+        val (valid, corrupt) = countBoth(t, sc, where)
+        quarantineMemo.put(t, (fileSig(t), corrupt))
+        valid
+      case None => super.count(db, t, where)
+    }
+
   /** Rows this table's landing drop contains that FAILED the contract
     * parse — quarantined out of the archived scan, surfaced in the run
     * report. Zero on the inference path (no contract to violate). */
   override def quarantined(db: String, t: String): Long = dataSchemas.get(t) match {
-    case Some(sc) => parsedWithAudit(t, sc)
-      .where(col(CorruptCol).isNotNull).count()
+    case Some(sc) =>
+      val sig = fileSig(t)
+      val cached = quarantineMemo.get(t)
+      if (cached != null && cached._1 == sig) cached._2
+      else {
+        val n = parsedWithAudit(t, sc)
+          .where(col(CorruptCol).isNotNull).count()
+        quarantineMemo.put(t, (sig, n))
+        n
+      }
     case None => 0L
   }
 

@@ -241,6 +241,57 @@ class FileSourceSpec extends SparkSpec {
     assert(src.count(dbName, "nation", "1=1") == nation.count())
   }
 
+  test("ambiguous drop (plain AND gzip for one table) refuses loudly") {
+    // reading either file alone would silently omit the other's rows —
+    // neither archived nor quarantined — so the source must not choose
+    val root = Files.createTempDirectory("graft-landing-ambig").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice").limit(10)
+    orders.write.option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+      .json(s"$root/orders.json")
+    orders.write.option("compression", "gzip")
+      .option("timestampFormat", StagedLoader.MicrosTimestampFormat)
+      .json(s"$root/orders.json.gz")
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root,
+      schemas = Map("orders" -> orders.schema))
+    val e = intercept[IllegalArgumentException] {
+      src.count(dbName, "orders", "1=1")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
+  test("CSV header variants: quoted/cased/padded headers dropped, never quarantined; near-header data row parses") {
+    val root = Files.createTempDirectory("graft-landing-csv-hdr").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val good = nation.collect().map(r =>
+      nation.schema.fieldNames.indices.map(r.get(_).toString).mkString(","))
+    // three header renders a real producer emits: plain, fully quoted,
+    // case+whitespace variant — all must be skipped AND excluded from
+    // the quarantine count (the old exact-render match parsed the last
+    // two as data and then miscounted them as corrupt rows)
+    val headers = Seq(
+      "n_nationkey,n_name,n_regionkey",
+      "\"n_nationkey\",\"n_name\",\"n_regionkey\"",
+      " N_NATIONKEY , n_Name , n_regionkey ")
+    // header-ADJACENT data line (first token is a number, not the field
+    // name): must parse as data, not be dropped as a header
+    val nearHeader = "999,n_name,0"
+    val corrupt = Seq("only,two")
+    Files.write(java.nio.file.Paths.get(s"$root/nation.csv"),
+      String.join("\n",
+        (headers ++ good.toSeq ++ Seq(nearHeader) ++ corrupt): _*)
+        .getBytes("UTF-8"))
+    val dbName = new java.io.File(root).getName
+    val src = new FileTableSource(spark, root, format = "csv",
+      schemas = Map("nation" -> nation.schema))
+    assert(src.count(dbName, "nation", "1=1") == nation.count() + 1)
+    assert(src.quarantined(dbName, "nation") == corrupt.length.toLong)
+    val scanned = src.scan(dbName, "nation", Seq.empty, "n_nationkey = 999")
+    assert(scanned.count() == 1L, "near-header data row must survive")
+  }
+
   test("CSV landing flavor: schema contract carries types through the text relation") {
     val root = Files.createTempDirectory("graft-landing-csv").toString
     val nation = spark.read.parquet(s"$sf/nation.parquet")
