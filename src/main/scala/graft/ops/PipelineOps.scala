@@ -45,6 +45,13 @@ object PipelineOps {
     * hybrid-threshold pattern as DedupClustering's small-graph path. */
   private val packTwoPhaseMinRows = 1L << 20
 
+  /** The packing hybrid's planning-time decision, exposed so the scale
+    * smoke can assert the branch actually FLIPS on a large corpus
+    * (true = two-phase distributed prefix sum, false = one per-source
+    * window). Footer probe only — no Spark job. */
+  def packTwoPhaseGate(s: org.apache.spark.sql.SparkSession, d: String): Boolean =
+    Tables.parquetRowCount(s, d, "documents") >= packTwoPhaseMinRows
+
   /** Token-budget packing prefix sum, hybrid small/large path.
     *
     * The path decision reads the documents table's row count from the
@@ -67,8 +74,7 @@ object PipelineOps {
     val toksCol = toks.getOrElse(
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
       .as("toks")
-    val twoPhase = forceTwoPhase ||
-      Tables.parquetRowCount(s, d, "documents") >= packTwoPhaseMinRows
+    val twoPhase = forceTwoPhase || packTwoPhaseGate(s, d)
     val binned =
       if (!twoPhase) {
         val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

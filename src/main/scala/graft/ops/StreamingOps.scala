@@ -92,6 +92,20 @@ object StreamingOps {
     s2.conf.set("spark.sql.shuffle.partitions", "2")
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       noDataBatch.toString)
+    // State-store provider is switchable for measurement (GRAFT_STATE_STORE=
+    // rocksdb). Measured on this host at sf0.1 (see SCALE.md): RocksDB
+    // LOSES at this state size — its per-batch instance open/commit cost
+    // (native handle + changelog) exceeds the HDFS-backed in-memory map's
+    // entire commit, and the stateful family total regresses. It wins when
+    // state exceeds executor heap (millions of keys × large values), which
+    // the bounded-replay fixtures never approach — so the default stays
+    // HDFS-backed, and a live deployment with big state flips the env var.
+    sys.env.get("GRAFT_STATE_STORE").orElse(sys.props.get("graft.state.store"))
+      .filter(_.equalsIgnoreCase("rocksdb"))
+      .foreach { _ =>
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      }
     // The memory-sink checkpoint is THROWAWAY by construction (the result
     // is collected and the query never restarts), yet Spark's default
     // temp checkpoint lands on java.io.tmpdir — a disk-backed ext4 here —

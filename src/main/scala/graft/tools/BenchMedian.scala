@@ -24,9 +24,18 @@ object BenchMedian {
     val spark = graft.GraftSession.local(cpus)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
 
+    // Drive each query through the noop SINK, not count(): under count()
+    // Catalyst eliminates the query's final orderBy/projection beneath
+    // the aggregate, so medians under-measure real output cost. The noop
+    // writer consumes every output row of the COMPLETE plan (sort,
+    // projection, row assembly) and discards it — collect-equivalent
+    // execution without driver-heap skew from large results.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      try {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       catch { case scala.util.control.NonFatal(e) =>
         println(s"FAILED $name: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
@@ -47,12 +56,18 @@ object BenchMedian {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    val med = names.map(n => n -> median(samples.getOrElse(n, List(-1.0))))
-    val total = med.map(_._2).filter(_ >= 0).sum
+    // a query that failed every pass is OMITTED from the queries map
+    // (recorded separately) — a -1.0 sentinel would skew mechanical
+    // round-over-round diffs that sum or ratio the per-query values
+    val med = names.flatMap(n =>
+      samples.get(n).map(ss => n -> median(ss)))
+    val failed = names.filterNot(samples.contains)
+    val total = med.map(_._2).sum
     val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total_of_medians","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total_of_medians","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","action":"noop-sink","failed":$failedJson,"queries":$qs}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(s"WROTE $outPath total_of_medians=" + f"$total%.2f")
     spark.stop()

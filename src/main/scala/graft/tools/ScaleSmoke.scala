@@ -1,0 +1,111 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: run the heavy document/vector families against a corpus
+  * two-plus orders of magnitude beyond the largest fixture, and assert
+  * the things the plan-shape arguments in SCALE.md only ARGUE:
+  *
+  *  1. the footer-gated hybrids actually FLIP — tf-idf takes the
+  *     term-shuffle path, pack_sequences takes the two-phase prefix sum —
+  *     once the corpus crosses their thresholds;
+  *  2. with the gates flipped, every family COMPLETES at 250× the sf0.1
+  *     document count (and 50× the vector count) in one driver JVM:
+  *     no driver-side collect or broadcast grows with the corpus (a
+  *     corpus-sized collect would OOM the driver here long before a
+  *     cluster would notice), no candidate-pair explosion in the dedup
+  *     index joins.
+  *
+  * The tier is SYNTHESIZED deterministically (splitmix-style hashes of
+  * the row id, fixed seeds — same schema as the fixtures, rerun-stable
+  * bit-for-bit) because no oracle is needed: correctness is pinned at
+  * fixture scale by CORRECTNESS_r*.json; this probe is about whether the
+  * same plans survive the scale-up. ~2% of documents are exact-duplicate
+  * group members so the dedup families have real work.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [outJson] [docRows] [vecRows]
+  * Writes per-query wall times + gate states as one JSON line.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("scale_smoke.json")
+    val docRows = if (args.length > 1) args(1).toLong else 1300000L
+    val vecRows = if (args.length > 2) args(2).toLong else 100000L
+    val spark = ToolSession.create()
+    val dir = Files.createTempDirectory("graft-scale-tier").toString
+
+    // --- documents: vocab 30k, 40-79 words/doc, 4 sources, 4 langs;
+    // ~2% of rows share a seed with up to 49 neighbours → exact-dup
+    // groups for the dedup families. All columns are pure hash
+    // functions of (seed, position): deterministic across reruns.
+    spark.range(docRows)
+      .withColumn("seed", expr(
+        "CASE WHEN pmod(xxhash64(id, 7), 100) < 2 THEN id - pmod(id, 50) ELSE id END"))
+      .select(
+        col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(
+            sequence(0, 39 + cast(pmod(xxhash64(seed, 2), 40) AS INT)),
+            i -> concat('w', pmod(xxhash64(seed, i + 10), 30000))))""")
+          .as("text"),
+        expr("element_at(array('en','de','fr','es'), " +
+          "cast(pmod(xxhash64(seed, 3), 4) AS INT) + 1)").as("lang"),
+        expr("element_at(array('web','news','wiki','code'), " +
+          "cast(pmod(xxhash64(seed, 4), 4) AS INT) + 1)").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // --- embeddings: 64-dim, values uniform in [-1, 1] from the same
+    // hash family; 16 labels
+    spark.range(vecRows)
+      .select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+            j -> cast((cast(pmod(xxhash64(id, j + 100), 2000001) AS DOUBLE)
+                       / 1000000.0 - 1.0) AS FLOAT))""").as("embedding"),
+        expr("cast(pmod(xxhash64(id, 99), 16) AS INT)").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // --- gate flips: the whole point of the footer probes is that these
+    // decisions change with the corpus, not with the code
+    val tfidfBroadcast = graft.ops.TextOps.tfidfBroadcastGate(spark, dir)
+    val packTwoPhase = graft.ops.PipelineOps.packTwoPhaseGate(spark, dir)
+    require(!tfidfBroadcast,
+      s"tf-idf gate must flip to the term-shuffle path at $docRows docs")
+    require(packTwoPhase,
+      s"pack gate must flip to the two-phase prefix sum at $docRows docs")
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    require(graft.ops.TextOps.tfidfBroadcastGate(spark, smallDir),
+      "tf-idf gate must stay on the broadcast branch at fixture scale")
+    require(!graft.ops.PipelineOps.packTwoPhaseGate(spark, smallDir),
+      "pack gate must stay on the single-window branch at fixture scale")
+
+    // --- heavy families at scale. Wall times recorded, not asserted
+    // (host-load noise); completion itself is the assertion that no
+    // driver-side structure grows with the corpus.
+    val names = Seq(
+      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
+      "dedup_simhash", "text_langid", "text_quality_score",
+      "tfidf_topterms", "pack_sequences", "dsir_importance",
+      "curation_pipeline",
+      "ann_ivf_topk", "ann_bruteforce_topk", "kmeans_train")
+    val timings = names.map { name =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name%-28s $sec%8.2f s")
+      name -> sec
+    }
+
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"doc_rows":$docRows,"vec_rows":$vecRows,"tfidf_broadcast_gate":$tfidfBroadcast,"pack_two_phase_gate":$packTwoPhase,"action":"noop-sink","queries":$qs}"""
+    Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
+    println(s"WROTE $outPath")
+    spark.stop()
+  }
+}
