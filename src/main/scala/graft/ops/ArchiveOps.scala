@@ -324,6 +324,37 @@ object ArchiveOps {
           .orderBy(col("l_returnflag"))
     },
 
+    // ORC sink/source roundtrip — the second columnar interchange format a
+    // warehouse-adjacent archiver meets (Hive-lineage lakes are ORC). The
+    // fixture is staged to ORC ONCE per process (TempDirs.memoStaged, like
+    // the streaming staging) and every execution reads the ORC relation,
+    // so the verified path is write→read→aggregate, not parquet. Types
+    // crossing the boundary: int64 keys, double prices (aggregated through
+    // the exact-decimal rule), strings, µs timestamps — ORC holds nanos,
+    // so µs survive exactly and the oracle (over the original parquet)
+    // must agree bit-for-bit. At scale ORC scans vectorize and push
+    // filters/projections like parquet; the roundtrip shape is identical.
+    Q("orc_roundtrip",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val dir = TempDirs.memoStaged(s"orc-lineitem:$d", "graft-orc") { tmp =>
+          Tables.lineitem(s, d).write.mode("overwrite").orc(tmp)
+        }
+        s.read.orc(dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // F3/F4: lenient multi-layout timestamp parsing — format each ts into one
     // of the reference's 4 layouts (by row), then recover it with a coalesce
     // of format-specific parses; count recovered rows per layout.

@@ -743,6 +743,57 @@ object DedupOps {
              sum(col("doc_id")).as("id_sum"))
         .orderBy(col("canonical_url"))
     },
+
+    // SEGMENT-level exact dedup across the whole corpus — the repetition-
+    // removal stage CCNet/MassiveText run BELOW document granularity:
+    // boilerplate paragraphs (navigation chrome, license blocks, quote
+    // chains) recur across documents that are nowhere near document-level
+    // duplicates. Segments here are 10-word blocks; the first occurrence
+    // in corpus order (min doc_id·10⁵+idx — idx is bounded by words/10 per
+    // doc, far below 10⁵) is kept, every later occurrence is flagged, and
+    // each doc reports how much of it survives.
+    //
+    // Scale: one explode to ~1.1× the corpus row count, then ONE shuffle —
+    // the window partitions by xxhash64(block), so what moves is 28 bytes
+    // per block (hash, owner, index, length), never the block text (the
+    // same shuffle-hashes-not-strings trick as the gram index; corpus-pair
+    // collisions at 2⁻⁶⁴ are immaterial). The per-doc rollup reuses the
+    // doc_id shuffle. No join, no all-pairs anything.
+    Q("dedup_paragraph_global",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, u AS bi,
+        |    array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
+        |        FROM w) t),
+        |f AS (SELECT doc_id, bi, len(btext) AS blen,
+        |        min(doc_id * 100000 + bi) OVER (PARTITION BY btext) AS fst
+        |      FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  count(*) FILTER (doc_id * 100000 + bi <> fst) AS n_dup_blocks,
+        |  CAST(coalesce(sum(blen) FILTER (doc_id * 100000 + bi = fst), 0) AS BIGINT)
+        |    AS kept_chars
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val blocks = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
+            " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
+        .select(col("doc_id"), col("pos").as("bi"),
+          xxhash64(col("col")).as("bh"), length(col("col")).as("blen"))
+      val fst = min(col("doc_id") * 100000 + col("bi"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bh")))
+      blocks.withColumn("fst", fst)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("doc_id") * 100000 + col("bi") =!= col("fst"), 1))
+            .as("n_dup_blocks"),
+          coalesce(sum(when(col("doc_id") * 100000 + col("bi") === col("fst"),
+            col("blen").cast("long"))), lit(0L)).as("kept_chars"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** Brute-force exact-cosine pair oracle shared by both embedding-cosine

@@ -788,5 +788,38 @@ object RelationalOps {
           |SELECT depth, count(*) AS n, CAST(sum(okey) AS BIGINT) AS key_sum
           |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
     },
+
+    // Runtime BLOOM-FILTER join pruning — the shuffle-reduction pattern a
+    // 100 TB selective join lives on: when neither side broadcasts, the
+    // selective (filtered) side builds a bloom filter at runtime and the
+    // optimizer injects `might_contain` into the BIG side's scan, so rows
+    // that cannot join are dropped BEFORE paying the shuffle write. The
+    // query runs on a session CLONE with broadcast disabled and the
+    // injection thresholds floored — at fixture scale the filtered orders
+    // side would broadcast and the feature would never engage; at
+    // production scale these are exactly the defaults' semantics. The
+    // result is IDENTICAL to the plain join (bloom false positives are
+    // re-checked by the join itself) — which is what the oracle pins;
+    // PlanSpec pins the might_contain injection separately.
+    Q("bloom_runtime_filter_join",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s0, d) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      lineitem(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
   )
 }

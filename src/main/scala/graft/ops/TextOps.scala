@@ -470,6 +470,55 @@ object TextOps {
         .orderBy(col("source"))
     },
 
+    // TRAINED outlier filter — the Gopher/FineWeb length-heuristic gate
+    // with its thresholds LEARNED from the corpus instead of hand-set:
+    // per-source exact quartiles of n_chars (train) → Tukey fences
+    // lo = q1 − 1.5·IQR, hi = q3 + 1.5·IQR (the model) → keep mask
+    // (apply), with per-source attrition and the learned fences reported.
+    //
+    // Bit-exactness: quantile interpolation at p ∈ {0.25, 0.75} over
+    // INTEGERS is a + (b−a)·f with f ∈ {0, ¼, ½, ¾} — every term exact in
+    // IEEE — and ×1.5 keeps quarter-integers exact, so the fences and the
+    // keep decision are identical across engines with no rounding escape
+    // hatch. Scale: the train aggregate's state is the per-source count
+    // map over a BOUNDED integer domain (n_chars), the model is one row
+    // per source broadcast back, and apply is a pure projection — the
+    // second corpus scan is the irreducible cost of data-derived
+    // thresholds (same shape as dedup_embedding_cosine_trained).
+    Q("quality_filter_iqr_trained",
+      """WITH q AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT source, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT d.source, count(*) AS n_docs,
+        |  count(*) FILTER (d.n_chars >= b.lo AND d.n_chars <= b.hi) AS n_kept,
+        |  CAST(coalesce(sum(d.doc_id)
+        |    FILTER (d.n_chars >= b.lo AND d.n_chars <= b.hi), 0) AS BIGINT)
+        |    AS kept_id_sum,
+        |  min(b.lo) AS lo, min(b.hi) AS hi
+        |FROM documents d JOIN b ON d.source = b.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val fences = docs.groupBy(col("source")).agg(
+          expr("percentile(n_chars, 0.25)").as("q1"),
+          expr("percentile(n_chars, 0.75)").as("q3"))
+        .select(col("source"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      val keep = col("n_chars") >= col("lo") && col("n_chars") <= col("hi")
+      Tables.fan(s, docs).join(broadcast(fences), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(keep, 1)).as("n_kept"),
+          coalesce(sum(when(keep, col("doc_id"))), lit(0L)).as("kept_id_sum"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy(col("source"))
+    },
+
     // Fixed-window document chunking with overlap — the context-window
     // restructuring every training pipeline runs before sequence packing
     // (200-char chunks, stride 168 → 32-char overlap carries boundary

@@ -577,4 +577,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "flags ⨝ rates must broadcast the bounded rates side:\n" + p)
   }
+
+  test("dedup_paragraph_global: digest-keyed window, no join, text never shuffled") {
+    val p = planOf("dedup_paragraph_global")
+    // corpus-wide first-occurrence = ONE window over xxhash64(block) plus
+    // the per-doc rollup — any join here would mean a second corpus pass
+    assert(!p.contains("Join"),
+      "segment dedup must be window + rollup, never a join:\n" + p)
+    // the exchange key is the 8-byte digest: block TEXT must be projected
+    // away before the shuffle (only hash/owner/index/length move)
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("quality_filter_iqr_trained: learned fences join back as a broadcast") {
+    val p = planOf("quality_filter_iqr_trained")
+    // the model is one row per source — corpus ⨝ fences must broadcast
+    // the fences, never shuffle the corpus on source
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "fences side is domain-grained; corpus must not shuffle to meet it:\n" + p)
+  }
+
+  test("bloom_runtime_filter_join: might_contain injected into the big-side scan") {
+    // with broadcast off (the 100 TB regime) the optimizer must build a
+    // bloom filter on the selective orders side and inject might_contain
+    // ahead of lineitem's shuffle — rows that cannot join die before the
+    // shuffle write
+    val p = planOf("bloom_runtime_filter_join")
+    assert(p.contains("might_contain"),
+      "runtime bloom filter must engage on the application side:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the verified shape is the non-broadcast join:\n" + p)
+  }
 }
