@@ -112,6 +112,43 @@ object ScalarOps {
         .orderBy(col("event_type"))
     },
 
+    // Spark 4 VARIANT shredding — the scale path for semi-structured
+    // columns: parse ONCE into the binary variant encoding, then typed
+    // path extraction (`variant_get`), instead of re-parsing the JSON
+    // string per accessed field the way get_json_object does. At 100 TB
+    // the difference is a parse per field vs a parse per row; shredded
+    // variant scans also open the door to path pushdown. The nested
+    // object is BUILT from integer columns with engine-identical string
+    // concatenation (no float formatting ambiguity), so DuckDB's
+    // json_extract over the same construction is an exact oracle for the
+    // multi-level path semantics.
+    Q("f_variant_shred",
+      """WITH j AS (
+        |  SELECT event_type, props,
+        |    '{"u":' || CAST(user_id AS VARCHAR) || ',"e":{"k":' ||
+        |      CAST(props->>'$.k' AS VARCHAR) || '}}' AS nested
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(max(CAST(nested->>'$.e.k' AS INT)) AS INT) AS k_max_nested,
+        |  CAST(sum(CAST(nested->>'$.u' AS BIGINT)) AS BIGINT) AS u_sum
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("parse_json(props)").as("v"),
+          expr("""parse_json(concat('{"u":', cast(user_id as string),
+                 |',"e":{"k":', cast(variant_get(parse_json(props), '$.k', 'int')
+                 |  as string), '}}'))""".stripMargin).as("nv"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(nv, '$.e.k', 'int')").as("nk"),
+          expr("variant_get(nv, '$.u', 'bigint')").as("u"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          max(col("nk")).as("k_max_nested"), sum(col("u")).as("u_sum"))
+        .orderBy(col("event_type"))
+    },
+
     // Every output column is scalar: the driver's pandas compare sorts rows
     // by all columns, and raw array columns are unsortable/unhashable there.
     // Slice/filter/min/max semantics are still exercised — their results are
@@ -176,6 +213,13 @@ object ScalarOps {
     // the sketch landed inside its error envelope (oracle expects true) —
     // the production eval-job pattern for approximate operators, run by
     // the driver on real data instead of living only in a spec.
+    // Plan note: the exact distinct counts run as their OWN two-level
+    // aggregates (distinct→count) and crossJoin back as 1-row frames —
+    // a single agg mixing two countDistincts with the sketch/percentile
+    // aggregates would Expand the scan ×3 (one replica per distinct
+    // group) and push every replica through the widened hash aggregate.
+    // Under count()-driven timing that cost was invisible (Catalyst
+    // prunes unused aggregates); the noop-sink action exposed it.
     Q("f_approx_agg",
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
         |  count(DISTINCT l_partkey) AS exact_parts,
@@ -184,15 +228,19 @@ object ScalarOps {
         |  true AS p50_within_iqr,
         |  true AS p95_above_p50
         |FROM lineitem""".stripMargin) { (s, d) =>
-      lineitem(s, d).agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
+      val li = lineitem(s, d)
+      val exO = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("exact_orders"))
+      val exP = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("exact_parts"))
+      li.agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
           expr("percentile(l_extendedprice, 0.25)").as("p25_exact"),
           expr("percentile(l_extendedprice, 0.75)").as("p75_exact"))
+        .crossJoin(broadcast(exO)).crossJoin(broadcast(exP))
         .select(col("exact_orders"), col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders")) / col("exact_orders")
             <= 0.15).as("orders_within_15pct"),

@@ -30,11 +30,17 @@ object BenchMedian {
     // writer consumes every output row of the COMPLETE plan (sort,
     // projection, row assembly) and discards it — collect-equivalent
     // execution without driver-heap skew from large results.
+    // GRAFT_BENCH_ACTION=count reproduces the pre-round-8 methodology for
+    // mechanical round-over-round diffs against older records; the default
+    // (noop) is the honest measure going forward.
+    val useCount =
+      sys.env.get("GRAFT_BENCH_ACTION").exists(_.equalsIgnoreCase("count"))
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        graft.SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        if (useCount) { df.count(): Unit }
+        else df.write.format("noop").mode("overwrite").save()
       }
       catch { case scala.util.control.NonFatal(e) =>
         println(s"FAILED $name: $e"); return -1.0 }
@@ -66,8 +72,9 @@ object BenchMedian {
     val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val action = if (useCount) "count" else "noop-sink"
     val json =
-      s"""{"metric":"total_of_medians","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","action":"noop-sink","failed":$failedJson,"queries":$qs}"""
+      s"""{"metric":"total_of_medians","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","action":"$action","failed":$failedJson,"queries":$qs}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(s"WROTE $outPath total_of_medians=" + f"$total%.2f")
     spark.stop()

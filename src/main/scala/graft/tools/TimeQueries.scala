@@ -11,9 +11,13 @@ object TimeQueries {
     val spark = ToolSession.create()
 
     args.foreach { name =>
+      // noop sink, not count(): executes the COMPLETE plan including the
+      // final orderBy/projection (count() lets Catalyst elide them) —
+      // same action BenchMedian times, so numbers compare
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup

@@ -373,15 +373,21 @@ class PlanSpec extends SparkSpec {
       "recursive CTE must plan as the iterative fixpoint operator:\n" + p)
   }
 
-  test("profile_columns: ONE Expand-based aggregate pass, single table scan") {
+  test("profile_columns: per-column two-level aggregates, no Expand") {
+    // Round 8 REVERSED this pin. The old shape (six countDistincts in one
+    // aggregate over a single scan) planned as Expand — one scan replica
+    // per distinct group, 7× the corpus through one widened hash agg —
+    // and measured 9× slower than this shape once noop-driven timing
+    // stopped letting Catalyst prune the unused aggregates. The right
+    // plan is one PRUNED scan per column feeding a groupBy(value) partial
+    // agg (shuffles only distinct values after map-side combine), then a
+    // 1-row rollup per column, union of six 1-row frames.
     val p = planOf("profile_columns")
-    // multiple exact count(distinct)s plan as Expand + one aggregate chain,
-    // not one scan per column (the UNION-of-scans shape the oracle uses)
-    assert(p.contains("Expand"), p)
-    // formatted explain prints each scan twice (tree node + detail header),
-    // so one physical scan = 2 occurrences; a per-column UNION would be 12
-    assert("Scan parquet".r.findAllIn(p).size <= 2,
-      "profile must read the table once, not once per column:\n" + p)
+    assert(!p.contains("Expand"),
+      "multi-countDistinct Expand is the measured 9× anti-shape here:\n" + p)
+    // each branch's scan must read ONLY its column
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      "per-column branches must prune to their single column:\n" + p)
   }
 
   test("f_histogram: bucket projection at the scan, partial agg, 2-column read") {
