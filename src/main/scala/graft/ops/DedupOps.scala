@@ -794,6 +794,56 @@ object DedupOps {
             col("blen").cast("long"))), lit(0L)).as("kept_chars"))
         .orderBy(col("doc_id"))
     },
+
+    // The TRANSFORM half of dedup_paragraph_global: actually REWRITE each
+    // document with its globally-duplicated blocks removed (first
+    // occurrence kept, in-document order preserved), pinned by md5 of the
+    // cleaned text — what a curation pipeline writes back out, not just
+    // counts about it. A doc whose every block occurs earlier elsewhere
+    // cleans to the empty string, not to absence.
+    //
+    // Scale: unlike the stats flavor, a rewrite inherently moves the text
+    // through the first-occurrence shuffle (you cannot reassemble what you
+    // did not ship) — one corpus-sized window exchange on xxhash64(block),
+    // then the per-doc reassembly reuses the doc_id shuffle with
+    // per-group state bounded by words/10 blocks. Still no join, still one
+    // pass.
+    Q("dedup_paragraph_rewrite",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, u AS bi,
+        |    array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
+        |        FROM w) t),
+        |f AS (SELECT doc_id, bi, btext,
+        |        min(doc_id * 100000 + bi) OVER (PARTITION BY btext) AS fst
+        |      FROM b)
+        |SELECT doc_id,
+        |  count(*) FILTER (doc_id * 100000 + bi = fst) AS n_kept,
+        |  md5(coalesce(string_agg(btext, ' ' ORDER BY bi)
+        |    FILTER (doc_id * 100000 + bi = fst), '')) AS clean_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val keep = col("doc_id") * 100000 + col("bi") === col("fst")
+      val blocks = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
+            " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
+        .select(col("doc_id"), col("pos").as("bi"), col("col").as("btext"))
+      val fst = min(col("doc_id") * 100000 + col("bi"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("btext"))))
+      blocks.withColumn("fst", fst)
+        .groupBy(col("doc_id"))
+        .agg(count(when(keep, 1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN doc_id * 100000 + bi = fst" +
+              " THEN struct(bi, btext) END)), x -> x.btext)")))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** Brute-force exact-cosine pair oracle shared by both embedding-cosine

@@ -271,6 +271,48 @@ object ProfilingOps {
         .orderBy(col("col_name"))
     },
 
+    // Frequent-value profile — the "what dominates this column" primitive
+    // next to nulls/distinct/minmax (profile_columns) and the histogram:
+    // top-3 most frequent values per profiled column with deterministic
+    // ties (value ascending). Per column: one groupBy(value) partial-agg
+    // shuffle of distinct values, then row_number over the TINY per-column
+    // frequency frame — rank never touches corpus-sized data; the union
+    // is of 3-row frames.
+    Q("profile_topk_values",
+      """WITH a AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS val, count(*) AS n
+        |  FROM lineitem GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus, count(*) FROM lineitem GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+        |    count(*) FROM lineitem GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR), count(*)
+        |  FROM lineitem GROUP BY 2),
+        |r AS (SELECT col_name, val, n,
+        |        row_number() OVER (PARTITION BY col_name
+        |          ORDER BY n DESC, val) AS rk
+        |      FROM a)
+        |SELECT col_name, rk, val, n
+        |FROM r WHERE rk <= 3 ORDER BY col_name, rk""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      def freq(c: String, valExpr: org.apache.spark.sql.Column) =
+        li.groupBy(valExpr.as("val")).agg(count(lit(1)).as("n"))
+          .select(lit(c).as("col_name"), col("val"), col("n"))
+      val w = Window.partitionBy(col("col_name"))
+        .orderBy(col("n").desc, col("val"))
+      freq("l_returnflag", col("l_returnflag"))
+        .union(freq("l_linestatus", col("l_linestatus")))
+        .union(freq("l_quantity",
+          col("l_quantity").cast("bigint").cast("string")))
+        .union(freq("l_linenumber", col("l_linenumber").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("col_name"), col("rk"), col("val"), col("n"))
+        .orderBy(col("col_name"), col("rk"))
+    },
+
     // Join-key skew diagnosis — the DETECT half of the hot-key story
     // (o2_salted_join is the remediation): per-key frequencies for a
     // prospective join/shuffle key, ranked hot keys with their share of

@@ -233,13 +233,20 @@ object ScalarOps {
         .agg(count(lit(1)).as("exact_orders"))
       val exP = li.select(col("l_partkey")).distinct()
         .agg(count(lit(1)).as("exact_parts"))
+      // both percentile PAIRS ride one aggregation buffer each (array
+      // percentiles): one QuantileSummaries sketch and one value-count
+      // map instead of two of each
       li.agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
-          expr("percentile(l_extendedprice, 0.25)").as("p25_exact"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75_exact"))
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)).as("pa"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("pe"))
+        .select(col("approx_orders"), col("approx_parts"),
+          element_at(col("pa"), 1).as("p50_approx"),
+          element_at(col("pa"), 2).as("p95_approx"),
+          element_at(col("pe"), 1).as("p25_exact"),
+          element_at(col("pe"), 2).as("p75_exact"))
         .crossJoin(broadcast(exO)).crossJoin(broadcast(exP))
         .select(col("exact_orders"), col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders")) / col("exact_orders")

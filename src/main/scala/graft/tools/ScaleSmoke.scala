@@ -87,7 +87,8 @@ object ScaleSmoke {
     // driver-side structure grows with the corpus.
     val names = Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
-      "dedup_simhash", "dedup_paragraph_global", "text_langid",
+      "dedup_simhash", "dedup_paragraph_global", "dedup_paragraph_rewrite",
+      "text_langid",
       "text_quality_score", "quality_filter_iqr_trained",
       "tfidf_topterms", "pack_sequences", "dsir_importance",
       "curation_pipeline",
