@@ -595,6 +595,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("dedup_paragraph_rewrite: rewrite is window + rollup, still no join") {
+    // the transform flavor ships block text through the first-occurrence
+    // window (inherent to a rewrite) but must not add a join or second
+    // corpus pass on top
+    val p = planOf("dedup_paragraph_rewrite")
+    assert(!p.contains("Join"),
+      "corpus rewrite must stay window + rollup:\n" + p)
+  }
+
+  test("f_variant_shred: scan prunes to the three shredded columns") {
+    val p = planOf("f_variant_shred")
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string,user_id:bigint>")
+        || p.contains("ReadSchema: struct<user_id:bigint,event_type:string,props:string>"),
+      "variant shredding must read only event_type/props/user_id:\n" + p)
+  }
+
   test("quality_filter_iqr_trained: learned fences join back as a broadcast") {
     val p = planOf("quality_filter_iqr_trained")
     // the model is one row per source — corpus ⨝ fences must broadcast
