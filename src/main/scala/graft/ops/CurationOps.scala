@@ -100,7 +100,7 @@ object CurationOps {
       // banded-LSH, survivors exact-verified, so any reported pair is
       // true; the fixtures' planted pairs sit at jac ≥ 0.87 where the
       // 16×4 banding's miss probability is ≈1e-6.
-      val cands = DedupOps.minhashCandidatesOf(keptText)
+      val cands = DedupOps.minhashCandidatePairsOf(keptText)
       val pairs = DedupOps.verifyCandidatesOf(keptText, cands)
         .select(col("d1"), col("d2"))
       val comps = graft.operators.DedupClustering.connectedComponents(pairs)

@@ -97,29 +97,63 @@ object DedupOps {
   /** Same candidate machinery over an arbitrary (doc_id, text) frame —
     * the composition surface: curation_pipeline feeds it the
     * quality-filtered corpus instead of the raw table. */
-  private[graft] def minhashCandidatesOf(docs: DataFrame,
-      bucketCap: Option[Long] = None): DataFrame = {
-    val nHash = 64; val bands = 16; val rows = nHash / bands
-    val withSig = docs
-      .select(col("doc_id"),
-        graft.functions.VectorOps.minhash_shingled(
-          expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, nHash).as("sig"))
-    val banded0 = withSig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(bd =>
+  private val MinhashNHash = 64
+  private val MinhashBands = 16
+
+  /** The (doc_id, sig) signature relation: one native single-pass
+    * expression per doc, 64 longs. */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.VectorOps.minhash_shingled(
+        expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, MinhashNHash).as("sig"))
+
+  /** Candidate PAIRS only, (d1, d2) distinct — the shape both production
+    * consumers (dedup_minhash_lsh's exact verify, curation_pipeline)
+    * actually use. The band self-join carries (doc_id, band, bucket) — 24
+    * bytes/row — and the distinct dedups 16-byte pairs; the 512-byte
+    * signature arrays never enter a shuffle. (Measured at the 1.3M-doc
+    * ScaleSmoke tier: dragging sig1/sig2 through both self-join sides and
+    * the distinct, the previous shape, cost 335 s of the query's 455 s —
+    * ~11 GB of signature bytes exchanged twice for columns the consumer
+    * dropped. This shape removes them; signature-estimated Jaccard lives
+    * in [[minhashCandidatesOf]] for the consumers that want it.) */
+  /** The banded LSH index relation (doc_id, band, bucket) — 16 rows of 24
+    * bytes per doc, the thing a production pipeline MATERIALIZES once for
+    * the standing corpus and probes with every new batch. */
+  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
+    val rows = MinhashNHash / MinhashBands
+    minhashSigs(docs).select(col("doc_id"),
+      posexplode(array((0 until MinhashBands).map(bd =>
         xxhash64(concat_ws(",",
           (0 until rows).map(r => col("sig").getItem(bd * rows + r)): _*))): _*))
         .as(Seq("band", "bucket")))
+  }
+
+  private[graft] def minhashCandidatePairsOf(docs: DataFrame,
+      bucketCap: Option[Long] = None): DataFrame = {
+    val banded0 = minhashBanded(docs)
     val banded = bucketCap.fold(banded0)(c =>
       graft.operators.InvertedIndex.capBuckets(banded0, Seq("band", "bucket"), c))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-              col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** Candidate pairs WITH their signature-estimated Jaccard: the lean
+    * pair set joined back to the signature relation once per side — the
+    * pairs side is vanishing-fraction-sized, so AQE turns both join-backs
+    * into broadcasts at runtime and the signatures stream map-side. */
+  private[graft] def minhashCandidatesOf(docs: DataFrame,
+      bucketCap: Option[Long] = None): DataFrame = {
+    val sigs = minhashSigs(docs)
+    minhashCandidatePairsOf(docs, bucketCap)
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .withColumn("est_jac",
-        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($nHash as double)"))
+        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($MinhashNHash as double)"))
       .select(col("d1"), col("d2"), col("est_jac"))
   }
 
@@ -160,12 +194,25 @@ object DedupOps {
 
   /** Exact verification against an arbitrary (doc_id, text) frame (see
     * [[minhashCandidatesOf]]); the shingle frame is referenced once per
-    * pair side — two candidate-bounded equi-joins. */
+    * pair side — two candidate-bounded equi-joins.
+    *
+    * Scale shape: shingle ARRAYS are only materialized for documents that
+    * appear in some candidate pair — the corpus is first pruned by a
+    * semi-join against the candidate id set (tiny; AQE broadcasts it at
+    * runtime), so the full corpus's shingle arrays (~3-5× the text bytes)
+    * never enter an exchange. Without the prune, both join-backs shuffled
+    * every document's shingles (measured ~120 s of dedup_minhash_lsh's
+    * 455 s at the 1.3M-doc tier). The candidate subtree is referenced
+    * three times (two id lanes + the pair join), but its final distinct's
+    * exchange is identical in each — Spark's ReuseExchange collapses them
+    * to one execution. */
   private[graft] def verifyCandidatesOf(docs: DataFrame,
       cands: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), wordShingles("text").as("sh"))
     val c = cands.select(col("d1"), col("d2"))
+    val ids = c.select(col("d1").as("doc_id"))
+      .union(c.select(col("d2").as("doc_id"))).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), wordShingles("text").as("sh"))
     c.join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"),
@@ -427,7 +474,8 @@ object DedupOps {
       s"""WITH
          |$jaccardPairsSql
          |SELECT d1, d2, jac FROM jpairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      verifyCandidates(s, d, minhashCandidates(s, d))
+      verifyCandidates(s, d, minhashCandidatePairsOf(
+        Tables.fan(s, documents(s, d))))
     },
 
     // SimHash near-dup: 64-bit bit-vote signature via a custom Catalyst
@@ -635,29 +683,7 @@ object DedupOps {
     // its (precomputable, incrementally-maintainable) gram index. Each new
     // doc reports its best existing match (highest Jaccard, lowest old id
     // on ties).
-    Q("dedup_incremental",
-      """WITH thr AS (SELECT (max(doc_id) + 1) // 2 AS t FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id,
-        |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
-        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 2))) AS u
-        |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT n.doc_id AS d_new, o.doc_id AS d_old, count(*) AS inter
-        |  FROM g n JOIN g o ON n.gram = o.gram, thr
-        |  WHERE n.doc_id >= thr.t AND o.doc_id < thr.t
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT d_new, d_old,
-        |    CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter) AS jac
-        |  FROM pairs
-        |  JOIN sizes sn ON d_new = sn.doc_id JOIN sizes so ON d_old = so.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter) >= 0.5)
-        |SELECT d_new, d_old AS matched_old, jac FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY d_new
-        |    ORDER BY jac DESC, d_old ASC) AS rn FROM jp) t
-        |WHERE rn = 1 ORDER BY d_new""".stripMargin) { (s, d) =>
+    Q("dedup_incremental", incrementalBestMatchSql) { (s, d) =>
       // planning aggregate, driver-side (same role as the reference's
       // min/max planning queries): the id watermark separating the
       // existing corpus from the new batch
@@ -681,6 +707,37 @@ object DedupOps {
         .agg(max_by(struct(col("d_old"), col("jac")),
                     struct(col("jac"), (-col("d_old")).as("neg"))).as("best"))
         .select(col("d_new"), col("best.d_old").as("matched_old"),
+                col("best.jac").as("jac"))
+        .orderBy(col("d_new"))
+    },
+
+    // The STEADY-STATE near-dup path: a new batch (doc_id ≥ watermark)
+    // probed against the standing corpus through the banded MinHash index
+    // — the shape a production pipeline actually runs every ingest, where
+    // the corpus-side index (16 × 24-byte rows/doc, [[minhashBanded]]) is
+    // materialized ONCE and only the delta pays signature cost per batch.
+    // Candidates are an asymmetric band equi-join (delta rows ⋈ corpus
+    // index, work ∝ delta × bucket collisions — never corpus × corpus),
+    // then candidate-bounded exact verification and a best-match-per-new-
+    // doc rollup. Same oracle as dedup_incremental (the gram-index
+    // flavor): exact cross-watermark pairs at jac ≥ 0.5 — equality again
+    // leans on the fixtures' planted pairs sitting at jac ≥ 0.87 where
+    // 16×4 banding recall is ≈1-1e-6 (see dedup_minhash_lsh).
+    Q("dedup_minhash_incremental", incrementalBestMatchSql) { (s, d) =>
+      val thr = (documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1) / 2
+      val docs = Tables.fan(s, documents(s, d))
+      val banded = minhashBanded(docs)
+      val probe = banded.where(col("doc_id") >= thr)
+        .select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      val index = banded.where(col("doc_id") < thr)
+        .select(col("doc_id").as("d2"), col("band"), col("bucket"))
+      val cands = probe.join(index, Seq("band", "bucket"))
+        .select(col("d1"), col("d2")).distinct()
+      verifyCandidatesOf(docs, cands)
+        .groupBy(col("d1").as("d_new"))
+        .agg(max_by(struct(col("d2"), col("jac")),
+                    struct(col("jac"), (-col("d2")).as("neg"))).as("best"))
+        .select(col("d_new"), col("best.d2").as("matched_old"),
                 col("best.jac").as("jac"))
         .orderBy(col("d_new"))
     },
@@ -759,40 +816,29 @@ object DedupOps {
     // same shuffle-hashes-not-strings trick as the gram index; corpus-pair
     // collisions at 2⁻⁶⁴ are immaterial). The per-doc rollup reuses the
     // doc_id shuffle. No join, no all-pairs anything.
-    Q("dedup_paragraph_global",
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |b AS (
-        |  SELECT doc_id, u AS bi,
-        |    array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
-        |  FROM (SELECT doc_id, ws,
-        |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
-        |        FROM w) t),
-        |f AS (SELECT doc_id, bi, len(btext) AS blen,
-        |        min(doc_id * 100000 + bi) OVER (PARTITION BY btext) AS fst
-        |      FROM b)
-        |SELECT doc_id, count(*) AS n_blocks,
-        |  count(*) FILTER (doc_id * 100000 + bi <> fst) AS n_dup_blocks,
-        |  CAST(coalesce(sum(blen) FILTER (doc_id * 100000 + bi = fst), 0) AS BIGINT)
-        |    AS kept_chars
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val blocks = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
-            " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
-        .select(col("doc_id"), col("pos").as("bi"),
-          xxhash64(col("col")).as("bh"), length(col("col")).as("blen"))
+    Q("dedup_paragraph_global", paragraphGlobalSql) { (s, d) =>
+      val blocks = paragraphBlocks(s, d)
       val fst = min(col("doc_id") * 100000 + col("bi"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bh")))
-      blocks.withColumn("fst", fst)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_blocks"),
-          count(when(col("doc_id") * 100000 + col("bi") =!= col("fst"), 1))
-            .as("n_dup_blocks"),
-          coalesce(sum(when(col("doc_id") * 100000 + col("bi") === col("fst"),
-            col("blen").cast("long"))), lit(0L)).as("kept_chars"))
-        .orderBy(col("doc_id"))
+      paragraphRollup(blocks.withColumn("fst", fst))
+    },
+
+    // The SKEW-SAFE flavor of dedup_paragraph_global, same oracle: at web
+    // scale the hot key here is SEMANTIC — one boilerplate block ("all
+    // rights reserved …") can own a meaningful slice of the corpus, and
+    // the window flavor's partition-by-digest WindowExec must buffer that
+    // whole slice in ONE task with no remedy available. This flavor
+    // replaces the window with a partial-aggregated groupBy(digest).min —
+    // hot digests collapse MAP-SIDE to one row per input partition before
+    // anything shuffles — joined back on the digest, where AQE skew-join
+    // can split a hot probe partition across tasks (a rebalance WindowExec
+    // structurally cannot have). Same first-occurrence semantics, same
+    // result; PlanSpec pins the shape (no WindowExec, equi-join only).
+    Q("dedup_paragraph_skewsafe", paragraphGlobalSql) { (s, d) =>
+      val blocks = paragraphBlocks(s, d)
+      val firsts = blocks.groupBy(col("bh"))
+        .agg(min(col("doc_id") * 100000 + col("bi")).as("fst"))
+      paragraphRollup(blocks.join(firsts, "bh"))
     },
 
     // The TRANSFORM half of dedup_paragraph_global: actually REWRITE each
@@ -845,6 +891,81 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
   )
+
+  /** Best cross-watermark match per new doc at jac ≥ 0.5 — the shared
+    * oracle of both incremental-dedup flavors (gram-index and banded
+    * MinHash probe): candidate mechanism moves work, never reported
+    * matches, on fixtures whose planted pairs sit above banding-recall
+    * margin. A def: referenced from `all` (object init order). */
+  private def incrementalBestMatchSql: String =
+    """WITH thr AS (SELECT (max(doc_id) + 1) // 2 AS t FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_aggregate(w[CAST(u AS INT):CAST(u+4 AS INT)], 'string_agg', ' ') AS gram
+      |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 2))) AS u
+      |        FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents) t0)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT n.doc_id AS d_new, o.doc_id AS d_old, count(*) AS inter
+      |  FROM g n JOIN g o ON n.gram = o.gram, thr
+      |  WHERE n.doc_id >= thr.t AND o.doc_id < thr.t
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT d_new, d_old,
+      |    CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter) AS jac
+      |  FROM pairs
+      |  JOIN sizes sn ON d_new = sn.doc_id JOIN sizes so ON d_old = so.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sn.sz + so.sz - inter) >= 0.5)
+      |SELECT d_new, d_old AS matched_old, jac FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY d_new
+      |    ORDER BY jac DESC, d_old ASC) AS rn FROM jp) t
+      |WHERE rn = 1 ORDER BY d_new""".stripMargin
+
+  /** 10-word blocks of every document with their 8-byte digest — the
+    * shared explode stage of both sub-document dedup STAT flavors (the
+    * rewrite flavor needs the text itself and keeps its own). A def:
+    * referenced from `all` (object init order, the cosinePairsSql
+    * pattern). */
+  private def paragraphBlocks(s: SparkSession, d: String): DataFrame =
+    Tables.fan(s, documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
+      .select(col("doc_id"), col("pos").as("bi"),
+        xxhash64(col("col")).as("bh"), length(col("col")).as("blen"))
+
+  /** Per-doc survival rollup over blocks carrying their first-occurrence
+    * rank `fst` — shared by the window and aggregate+join flavors. */
+  private def paragraphRollup(withFst: DataFrame): DataFrame =
+    withFst.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("doc_id") * 100000 + col("bi") =!= col("fst"), 1))
+          .as("n_dup_blocks"),
+        coalesce(sum(when(col("doc_id") * 100000 + col("bi") === col("fst"),
+          col("blen").cast("long"))), lit(0L)).as("kept_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The shared DuckDB oracle for both sub-document-repetition STAT
+    * flavors: window and aggregate+join compute the same first-occurrence
+    * relation, so one SQL pins both. */
+  private def paragraphGlobalSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, u AS bi,
+      |    array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
+      |        FROM w) t),
+      |f AS (SELECT doc_id, bi, len(btext) AS blen,
+      |        min(doc_id * 100000 + bi) OVER (PARTITION BY btext) AS fst
+      |      FROM b)
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  count(*) FILTER (doc_id * 100000 + bi <> fst) AS n_dup_blocks,
+      |  CAST(coalesce(sum(blen) FILTER (doc_id * 100000 + bi = fst), 0) AS BIGINT)
+      |    AS kept_chars
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Brute-force exact-cosine pair oracle shared by both embedding-cosine
     * flavors — centroid choice moves candidates, never answers, so one

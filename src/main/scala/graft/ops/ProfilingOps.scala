@@ -350,5 +350,63 @@ object ProfilingOps {
           col("n_keys"), col("n_rows"))
         .orderBy(col("rank"))
     },
+
+    // Mergeable-sketch distinct counting (DataSketches HLL via Spark's
+    // hll_sketch_agg/hll_union_agg) — THE incremental-profiling primitive
+    // at 100 TB: a production pipeline persists one few-KB binary sketch
+    // per source/generation slice ONCE, then answers distinct-count
+    // questions over arbitrary slice unions by merging sketches — never
+    // rescanning the corpus (approx_count_distinct, f_approx_agg, cannot
+    // do this: its HLL++ buffer dies with the query). The sketches are
+    // engine-specific so their raw bytes have no SQL oracle; what IS
+    // oracle-checkable is (a) the exact per-slice distincts, (b) each
+    // slice sketch's error-envelope gate, and (c) the property that makes
+    // sketches composable at all: the estimate from the UNION of
+    // per-slice sketches must land in the same error envelope around the
+    // exact whole-table distinct, and stay within estimator-difference
+    // distance of a direct whole-table sketch. (Exact equality of merged
+    // vs direct holds only while the sketch is in sparse/coupon mode —
+    // sf0.001/0.01 here; once dense, a directly-fed sketch estimates via
+    // the order-dependent HIP accumulator while a union result must fall
+    // back to the composite estimator, so the contract is the documented
+    // ~1% estimator gap, not bit equality — measured True at all three
+    // fixture scales.)
+    // Plan: exact distincts as their own two-level agg (no Expand mixing,
+    // the profile_columns lesson); sketch agg is one partial-merged pass;
+    // union/direct/exact-total are 1-row frames broadcast back.
+    Q("profile_hll_mergeable",
+      """WITH per AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, exact_users,
+        |  true AS est_within_5pct,
+        |  true AS merged_within_5pct,
+        |  true AS merged_close_to_direct
+        |FROM per ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = events(s, d).select(col("event_type"), col("user_id"))
+      val exact = ev.distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+      val exactTot = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("exact_total"))
+      val perSk = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val est = perSk.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+      val merged = perSk.agg(expr("hll_union_agg(sk, false)").as("usk"))
+        .select(expr("hll_sketch_estimate(usk)").as("est_merged"))
+      val direct = ev.agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .select(expr("hll_sketch_estimate(sk)").as("est_direct"))
+      exact.join(est, "event_type")
+        .crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+        .crossJoin(broadcast(exactTot))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("est_within_5pct"),
+          (abs(col("est_merged") - col("exact_total")).cast("double") /
+            col("exact_total") <= 0.05).as("merged_within_5pct"),
+          (abs(col("est_merged") - col("est_direct")).cast("double") /
+            col("est_direct") <= 0.01).as("merged_close_to_direct"))
+        .orderBy(col("event_type"))
+    },
   )
 }

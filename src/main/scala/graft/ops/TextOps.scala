@@ -558,6 +558,47 @@ object TextOps {
             .as("boundary_md5"))
         .orderBy(col("doc_id"))
     },
+
+    // Unicode canonicalization + whitespace collapse — the cleaning pass a
+    // web-corpus pipeline runs BEFORE any hashing dedup: the same visible
+    // text can arrive precomposed («é») or decomposed («e»+U+0301) and
+    // hash differently, silently defeating exact/shingle dedup. Fixture
+    // text is ASCII, so the query PLANTS deterministic decomposed
+    // sequences and literal tab/newline runs per doc (chr()-built in both
+    // engines), then pins md5 of the cleaned result. NFC runs as the
+    // native [[graft.functions.NormalizeNFC]] expression (codegen'd,
+    // zero-copy fast path on already-normal text — the 99%+ case at
+    // scale); DuckDB replays it with ICU nfc_normalize. Pure projection,
+    // zero shuffle.
+    Q("text_normalize_nfc",
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' e' || chr(769) || chr(9) || chr(10)
+        |      || ' A' || chr(768) || '  ' || substr(text, 41, 20) AS raw
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g')) AS clean
+        |  FROM dirty)
+        |SELECT doc_id, length(raw) AS len_raw, length(clean) AS len_clean,
+        |  md5(clean) AS clean_md5
+        |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Spark's chr() is ASCII-mod-256 (unlike DuckDB's code-point chr),
+      // so the combining marks are Scala literals: U+0301 combining acute,
+      // U+0300 combining grave — the planted decomposed sequences.
+      documents(s, d)
+        .select(col("doc_id"), concat(
+          expr("substr(text, 1, 40)"), lit(" é\t\n À  "),
+          expr("substr(text, 41, 20)")).as("raw"))
+        .withColumn("clean", trim(regexp_replace(
+          graft.functions.NormalizeNFC.normalize_nfc(col("raw")),
+          "\\s+", " ")))
+        .select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(col("clean")).as("len_clean"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   // a def, not a val: it's referenced from the `all` list above, which

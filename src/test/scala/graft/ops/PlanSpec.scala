@@ -604,6 +604,38 @@ class PlanSpec extends SparkSpec {
       "corpus rewrite must stay window + rollup:\n" + p)
   }
 
+  test("dedup_paragraph_skewsafe: aggregate+join, no WindowExec (hot-digest remedy shape)") {
+    val p = planOf("dedup_paragraph_skewsafe")
+    // the skew-safe flavor must NOT plan a window: a partition-by-digest
+    // WindowExec buffers a hot digest's whole slice in one task with no
+    // remedy; the aggregate collapses hot digests map-side and the join
+    // back is an equi-join AQE skew-split can act on
+    assert(!p.contains("Window"),
+      "skew-safe flavor must not plan a window:\n" + p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "first-occurrence must partial-aggregate map-side:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), "digest join-back must be an equi-join:\n" + p)
+  }
+
+  test("bucketed_join_colocated: zero shuffle exchange on either join side") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (lt, ot) = RelationalOps.bucketedOrderTables(s, sf)
+    val j = s.table(lt).join(s.table(ot),
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val p = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both sides scan their 8 buckets directly; the join co-locates
+    // bucket i with bucket i — the whole point of paying layout once
+    assert(!p.contains("Exchange"),
+      "bucketed fact-fact join must plan with zero exchange:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Bucketed: true"),
+      "scan must report bucketed reading:\n" + p)
+  }
+
   test("f_variant_shred: scan prunes to the three shredded columns") {
     val p = planOf("f_variant_shred")
     assert(p.contains("ReadSchema: struct<event_type:string,props:string,user_id:bigint>")
