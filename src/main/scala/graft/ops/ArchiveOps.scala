@@ -355,6 +355,31 @@ object ArchiveOps {
           .orderBy(col("l_returnflag"))
     },
 
+    // Hive-style partitioned layout + partition PRUNING — the third
+    // layout lever (with bucketing and z-order): documents written once
+    // partitioned by source, then a source-filtered aggregate reads ONLY
+    // that partition's directory — the filter resolves against file paths
+    // at planning, zero data touched for other sources. At 100 TB this is
+    // the difference between scanning one domain's slice and the corpus;
+    // PlanSpec pins the filter landing in PartitionFilters (not a
+    // post-scan Filter over all rows). The oracle reads the original
+    // table — layout must never change results.
+    Q("partitioned_write_pruning",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE source = 'web'
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val dir = TempDirs.memoStaged(s"part-docs:$d", "graft-part") { tmp =>
+        Tables.documents(s, d).write.mode("overwrite")
+          .partitionBy("source").parquet(tmp)
+      }
+      s.read.parquet(dir).where(col("source") === "web")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast("bigint").as("chars"))
+        .orderBy(col("lang"))
+    },
+
     // F3/F4: lenient multi-layout timestamp parsing — format each ts into one
     // of the reference's 4 layouts (by row), then recover it with a coalesce
     // of format-specific parses; count recovered rows per layout.

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * same plans survive the scale-up. ~2% of documents are exact-duplicate
   * group members so the dedup families have real work.
   *
-  * Usage: runMain graft.tools.ScaleSmoke [outJson] [docRows] [vecRows]
+  * Usage: runMain graft.tools.ScaleSmoke [outJson] [docRows] [vecRows] [only,names]
   * Writes per-query wall times + gate states as one JSON line.
   */
 object ScaleSmoke {
@@ -34,6 +34,8 @@ object ScaleSmoke {
     val outPath = args.headOption.getOrElse("scale_smoke.json")
     val docRows = if (args.length > 1) args(1).toLong else 1300000L
     val vecRows = if (args.length > 2) args(2).toLong else 100000L
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = ToolSession.create()
     val dir = Files.createTempDirectory("graft-scale-tier").toString
 
@@ -86,14 +88,16 @@ object ScaleSmoke {
     // (host-load noise); completion itself is the assertion that no
     // driver-side structure grows with the corpus.
     val names = Seq(
-      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
-      "dedup_simhash", "dedup_paragraph_global", "dedup_paragraph_rewrite",
-      "text_langid",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
+      "dedup_ngram_jaccard_capped",
+      "dedup_simhash", "dedup_paragraph_global", "dedup_paragraph_skewsafe",
+      "dedup_paragraph_rewrite",
+      "text_langid", "text_normalize_nfc",
       "text_quality_score", "quality_filter_iqr_trained",
       "tfidf_topterms", "pack_sequences", "dsir_importance",
       "curation_pipeline",
       "ann_ivf_topk", "ann_bruteforce_topk", "kmeans_train")
-    val timings = names.map { name =>
+    val timings = only.fold(names)(ns => names.filter(ns)).map { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

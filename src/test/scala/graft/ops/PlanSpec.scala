@@ -618,6 +618,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), "digest join-back must be an equi-join:\n" + p)
   }
 
+  test("partitioned_write_pruning: source filter prunes partitions at planning") {
+    val p = planOf("partitioned_write_pruning")
+    assert(p.contains("PartitionFilters"),
+      "source filter must resolve against partition directories:\n" + p)
+    assert(p.toLowerCase.contains("= web") || p.contains("web)"),
+      "the literal partition value must appear in PartitionFilters:\n" + p)
+    // the partition column never becomes a row-level Filter over data
+    assert(!p.contains("PushedFilters: [IsNotNull(source)"),
+      "source must prune at the path level, not the row level:\n" + p)
+  }
+
   test("bucketed_join_colocated: zero shuffle exchange on either join side") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
