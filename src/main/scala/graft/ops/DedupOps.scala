@@ -921,6 +921,50 @@ object DedupOps {
       |    ORDER BY jac DESC, d_old ASC) AS rn FROM jp) t
       |WHERE rn = 1 ORDER BY d_new""".stripMargin
 
+  /** The corpus REWRITTEN with globally-duplicated 10-word blocks removed
+    * (first occurrence kept, in-document order preserved; a fully-
+    * duplicated doc cleans to the empty string, not to absence) — the
+    * reusable TRANSFORM kernel behind dedup_paragraph_rewrite, returned
+    * as a (doc_id, source, text) relation so composed consumers
+    * (curation_pipeline_subdoc) can treat it as a corpus. Same one
+    * digest-keyed window shuffle as the contract query. */
+  private[graft] def paragraphRewrittenDocs(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
+      .select(col("doc_id"), col("source"), col("pos").as("bi"),
+        col("col").as("btext"))
+    val fst = min(col("doc_id") * 100000 + col("bi"))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(xxhash64(col("btext"))))
+    blocks.withColumn("fst", fst)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(CASE WHEN doc_id * 100000 + bi = fst" +
+          " THEN struct(bi, btext) END)), x -> x.btext)")).as("text"))
+  }
+
+  /** DuckDB twin of [[paragraphRewrittenDocs]] as CTEs ending in
+    * `cd(doc_id, source, text)` over the documents table. */
+  private[graft] def paragraphRewriteCtes: String =
+    """prw AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |prb AS (
+      |  SELECT doc_id, source, u AS bi,
+      |    array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
+      |  FROM (SELECT doc_id, source, ws,
+      |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
+      |        FROM prw) t),
+      |prf AS (SELECT doc_id, source, bi, btext,
+      |          min(doc_id * 100000 + bi) OVER (PARTITION BY btext) AS fst
+      |        FROM prb),
+      |cd AS (
+      |  SELECT doc_id, source,
+      |    coalesce(string_agg(btext, ' ' ORDER BY bi)
+      |      FILTER (doc_id * 100000 + bi = fst), '') AS text
+      |  FROM prf GROUP BY doc_id, source)""".stripMargin
+
   /** 10-word blocks of every document with their 8-byte digest — the
     * shared explode stage of both sub-document dedup STAT flavors (the
     * rewrite flavor needs the text itself and keeps its own). A def:
