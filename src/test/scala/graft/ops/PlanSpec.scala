@@ -584,6 +584,18 @@ class PlanSpec extends SparkSpec {
       "flags ⨝ rates must broadcast the bounded rates side:\n" + p)
   }
 
+  test("curation_pipeline_subdoc: same stage-boundary contract with the rewrite upstream") {
+    val p = planOf("curation_pipeline_subdoc")
+    // the sub-document rewrite runs BEFORE the checkpoint; downstream the
+    // contract is identical — no corpus (or rewritten-corpus) re-scan
+    assert(!p.contains("Scan parquet"),
+      "final phase must plan over the checkpointed flags artifact:\n" + p)
+    assert(p.contains("Scan ExistingRDD"), "expected the checkpoint leaf:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "flags ⨝ rates must broadcast the bounded rates side:\n" + p)
+  }
+
   test("dedup_paragraph_global: digest-keyed window, no join, text never shuffled") {
     val p = planOf("dedup_paragraph_global")
     // corpus-wide first-occurrence = ONE window over xxhash64(block) plus
