@@ -511,6 +511,79 @@ object AnnOps {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Full-corpus k-NN GRAPH through the IVF cells — the precursor
+    // artifact of SemDeDup/semantic-cluster curation: EVERY vector gets
+    // its top-3 cosine neighbors, but candidates come from each vector's
+    // 2 nearest cells instead of an all-pairs join. Unlike ann_ivf_topk
+    // (50 broadcast probes), the probe side here IS the corpus, so the
+    // shape is a cell-keyed EQUI-JOIN between the assigned relation and
+    // the probe relation — both corpus-sized, co-partitioned on the cell
+    // key, never broadcast, never cartesian. At 100 TB the cell count
+    // grows as √n (trained centroids), keeping per-cell postings bounded
+    // and the join's partitions uniform; the fixture's K=16 stand-in
+    // makes cells coarse but the plan identical; a hot cell (dense
+    // semantic region) is an AQE-skew-split candidate like any hot join
+    // key. Work ∝ n × nprobe × cell-width, not n². Fully deterministic
+    // (same seeded centroid selection as IVF) → the oracle replays
+    // assignment, probes, and re-rank exactly.
+    Q("knn_graph_ivf",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 5 AND vec_id < 21),
+        |scores AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b))) AS cs
+        |  FROM e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, cid DESC) AS rn FROM scores) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, cid DESC) AS rn FROM scores) t
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(qe.v, ce.v), z -> z[1] * z[2]), (a2, b2) -> a2 + b2)
+        |      / (sqrt(list_reduce(list_transform(qe.v, x -> x * x), (a2, b2) -> a2 + b2))
+        |       * sqrt(list_reduce(list_transform(ce.v, x -> x * x), (a2, b2) -> a2 + b2))) AS cos
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |       JOIN e qe ON qe.vec_id = p.query_id
+        |       JOIN e ce ON ce.vec_id = a.vec_id)
+        |SELECT query_id, neighbor_id, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored) t2
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val nprobe = 2; val k = 3
+      val e = vecs(s, d)
+      val cents: Array[(Long, Array[Double])] =
+        e.where(col("vec_id") >= 5 && col("vec_id") < 21)
+          .select(col("vec_id"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def cellScores(v: Column): Column = array(cents.map { case (cid, w) =>
+        struct(cosine(v, typedLit(w)).as("c"), lit(cid).as("cid"))
+      }: _*)
+      val assigned = e.withColumn("cell",
+        array_max(cellScores(col("v"))).getField("cid"))
+      val probes = e
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(transform(
+            slice(sort_array(cellScores(col("v")), asc = false), 1, nprobe),
+            _.getField("cid"))).as("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      assigned.join(probes, Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Distributed k-means training (Lloyd's, 2 iterations, K=16) — the
     // trainer behind every "centroids come from k-means" note on the
     // IVF/PQ/semantic paths, in its real distributed shape: per

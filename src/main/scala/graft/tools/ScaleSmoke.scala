@@ -95,7 +95,7 @@ object ScaleSmoke {
       "text_langid", "text_normalize_nfc",
       "text_quality_score", "quality_filter_iqr_trained",
       "tfidf_topterms", "pack_sequences", "dsir_importance",
-      "curation_pipeline",
+      "curation_pipeline", "curation_pipeline_subdoc",
       "ann_ivf_topk", "ann_bruteforce_topk", "kmeans_train")
     val timings = only.fold(names)(ns => names.filter(ns)).map { name =>
       val t0 = System.nanoTime()

@@ -25,6 +25,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("paragraph skewsafe flavor equals the window flavor row-for-row") {
+    // first-occurrence is order-free, so the aggregate+join rewrite must
+    // be result-identical to the window — pinned here in addition to the
+    // shared oracle so a drift surfaces before the gate
+    val a = SparkEntry.queries("dedup_paragraph_global")(spark, sf).collect()
+    val b = SparkEntry.queries("dedup_paragraph_skewsafe")(spark, sf).collect()
+    assert(a.length == b.length && a.sameElements(b),
+      s"flavors diverged: window=${a.length} rows, skewsafe=${b.length} rows")
+  }
+
+  test("incremental minhash probe equals the gram-index incremental matches") {
+    // both flavors sit under the same best-match oracle; pin their direct
+    // equality too (candidate mechanism moves work, never reported rows)
+    val a = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+    val b = SparkEntry.queries("dedup_minhash_incremental")(spark, sf).collect()
+    assert(a.length == b.length && a.sameElements(b),
+      s"flavors diverged: gram=${a.length} rows, banded=${b.length} rows")
+  }
+
   test("minhash-lsh precision: high-confidence candidates are real near-dups") {
     val confident = toPairs(
       DedupOps.minhashCandidates(spark, sf).where("est_jac >= 0.7"))
