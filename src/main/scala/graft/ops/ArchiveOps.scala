@@ -367,13 +367,13 @@ object ArchiveOps {
     Q("partitioned_write_pruning",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents WHERE source = 'web'
+        |FROM documents WHERE source = 'src7'
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val dir = TempDirs.memoStaged(s"part-docs:$d", "graft-part") { tmp =>
         Tables.documents(s, d).write.mode("overwrite")
           .partitionBy("source").parquet(tmp)
       }
-      s.read.parquet(dir).where(col("source") === "web")
+      s.read.parquet(dir).where(col("source") === "src7")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).cast("bigint").as("chars"))

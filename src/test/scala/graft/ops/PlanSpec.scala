@@ -634,7 +634,7 @@ class PlanSpec extends SparkSpec {
     val p = planOf("partitioned_write_pruning")
     assert(p.contains("PartitionFilters"),
       "source filter must resolve against partition directories:\n" + p)
-    assert(p.toLowerCase.contains("= web") || p.contains("web)"),
+    assert(p.contains("src7"),
       "the literal partition value must appear in PartitionFilters:\n" + p)
     // the partition column never becomes a row-level Filter over data
     assert(!p.contains("PushedFilters: [IsNotNull(source)"),
