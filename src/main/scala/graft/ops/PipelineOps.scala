@@ -660,9 +660,15 @@ object PipelineOps {
         |  round(CAST(sum(CAST(CAST(tf.c AS DOUBLE) * lm.llr AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS log_weight
         |FROM tf JOIN lm ON tf.w = lm.w
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
+      // the (doc,word) relation is keyed on xxhash64(word), not the word
+      // string — the gram-index trick: the tf shuffle and every LM key
+      // drops from ~35 bytes to 8 (collisions at 30k-word vocab are
+      // ~2⁻⁴⁸-scale — immaterial; the oracle stays string-keyed and the
+      // hash-green gate IS the collision check)
       val tf = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"),
-          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"))
+          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("ws"))
+        .select(col("doc_id"), col("source"), xxhash64(col("ws")).as("w"))
         .groupBy(col("doc_id"), col("source"), col("w"))
         .agg(count(lit(1)).as("c"))
       val cr = tf.groupBy(col("w")).agg(sum(col("c")).as("cr"))
