@@ -307,42 +307,47 @@ object TextOps {
     // addition), and the final mean rounds to 4 digits to absorb engine
     // ln ulp differences.
     Q("text_perplexity_ngram",
-      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
-        |bg AS (
-        |  SELECT doc_id, w[CAST(u AS INT)] AS w1, w[CAST(u+1 AS INT)] AS w2
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS u FROM w) t),
-        |lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-        |ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-        |terms AS (
-        |  SELECT b.doc_id,
-        |    -ln(CAST(lm.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)) AS t
-        |  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
-        |  JOIN ctx ON b.w1 = ctx.w1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(CAST(t AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS xent
-        |FROM terms GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
-      val bg = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-        .select(col("doc_id"), explode(expr(
-          // ordered bigrams WITH multiplicity (word_ngrams dedups, so not
-          // usable here); the If guards sequence() against size < 2
-          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
-            "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
-          "ELSE array() END")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      // context totals derive from the aggregated LM (c1 = Σ_w2 c12), not
-      // from a second full corpus bigram pass — the LM is vocab²-sized
-      val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val lmp = lm.join(ctx, Seq("w1"))
-      bg.join(broadcast(lmp), Seq("w1", "w2"))
-        .select(col("doc_id"),
-          (-log(col("c12").cast("double") / col("c1").cast("double"))).as("t"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("t").cast("decimal(30,12)")).cast("double") / count(lit(1)), 4)
-            .as("xent"))
+      s"""WITH $perplexityXentCtes
+        |SELECT doc_id, n_bigrams, xent
+        |FROM px ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
+      perplexityXent(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("xent"))
         .orderBy(col("doc_id")).limit(500)
+    },
+
+    // CCNet's perplexity-bucket routing, composed on the same LM kernel:
+    // per LANGUAGE, documents split into head/middle/tail terciles of
+    // bigram cross-entropy (ntile over the ROUNDED xent with doc_id
+    // tiebreak — identical split in both engines), and the pipeline keeps
+    // head+middle. This is the quality knob CCNet applies after language
+    // ID and before dedup; here the audit reports each bucket's size and
+    // id checksum with its keep decision. Scale: the bucket pass adds one
+    // lang-partitioned window over the per-doc xent relation (1 row/doc —
+    // corpus-narrow, nothing like the bigram explode upstream of it);
+    // everything heavier is the already-audited perplexity kernel.
+    Q("perplexity_bucket_filter",
+      s"""WITH $perplexityXentCtes,
+        |bk AS (
+        |  SELECT lang, doc_id,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS b
+        |  FROM px)
+        |SELECT lang,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  (b <= 2) AS kept, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM bk GROUP BY lang, b ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      val b = ntile(3).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("xent"), col("doc_id")))
+      perplexityXent(s, d)
+        .withColumn("b", b)
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("doc_id")).cast("bigint").as("id_sum"))
+        .select(col("lang"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          (col("b") <= 2).as("kept"), col("n_docs"), col("id_sum"))
+        .orderBy(col("lang"), col("bucket"))
     },
 
     // Corpus TF-IDF with top-3 terms per document — the classic distinctive-
@@ -637,6 +642,57 @@ object TextOps {
     * distinct terms, tens of MB broadcast — safe; beyond it, take the
     * term-shuffle path even if the row gate would have passed. */
   private val BroadcastVocabMaxBytes = 64L << 20
+
+  /** Per-doc bigram-LM cross-entropy relation (lang, doc_id, n_bigrams,
+    * xent) — the kernel shared by text_perplexity_ngram and the CCNet
+    * bucket router. xent is rounded to 4 digits (absorbs ln() ulp
+    * differences) so downstream ordering/tiling is engine-identical.
+    * Docs with fewer than two words have no bigrams and no row. */
+  private[graft] def perplexityXent(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bg = Tables.fan(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        // ordered bigrams WITH multiplicity (word_ngrams dedups, so not
+        // usable here); the If guards sequence() against size < 2
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
+        "ELSE array() END")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // context totals derive from the aggregated LM (c1 = Σ_w2 c12), not
+    // from a second full corpus bigram pass — the LM is vocab²-sized
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val lmp = lm.join(ctx, Seq("w1"))
+    bg.join(broadcast(lmp), Seq("w1", "w2"))
+      .select(col("doc_id"), col("lang"),
+        (-log(col("c12").cast("double") / col("c1").cast("double"))).as("t"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("t").cast("decimal(30,12)")).cast("double") / count(lit(1)), 4)
+          .as("xent"))
+  }
+
+  /** DuckDB twin of [[perplexityXent]] as CTEs ending in
+    * `px(lang, doc_id, n_bigrams, xent)`. A def: referenced from `all`. */
+  private def perplexityXentCtes: String =
+    """w AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, w[CAST(u AS INT)] AS w1, w[CAST(u+1 AS INT)] AS w2
+      |  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS u FROM w) t),
+      |lm AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |terms AS (
+      |  SELECT b.doc_id, b.lang,
+      |    -ln(CAST(lm.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)) AS t
+      |  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      |  JOIN ctx ON b.w1 = ctx.w1),
+      |px AS (
+      |  SELECT lang, doc_id, count(*) AS n_bigrams,
+      |    round(CAST(sum(CAST(t AS DECIMAL(30,12))) AS DOUBLE) / count(*), 4) AS xent
+      |  FROM terms GROUP BY lang, doc_id)""".stripMargin
 
   /** The tf-idf hybrid's planning-time decision, exposed so the scale
     * smoke can assert the branch actually FLIPS on a large corpus
