@@ -594,6 +594,85 @@ object PipelineOps {
         .orderBy(col("source"))
     },
 
+    // Decontamination, BLOOM-PREFILTER flavor — the same contract as
+    // decontam_ngram_overlap, but the plan a 100 TB corpus needs when the
+    // eval-gram set outgrows a broadcast HASH relation (a full benchmark
+    // battery's 8-gram set can reach tens of GB of strings; its BLOOM
+    // FILTER is megabytes — bits, not entries). Shape: (1) aggregate the
+    // eval grams into one bloom filter (BloomFilterAggregate over
+    // xxhash64(gram), the same kernel Spark's own runtime row-filters
+    // use); the 1 MiB binary is collected driver-side exactly like Spark
+    // materializes a runtime-filter's scalar subquery, then rides the
+    // corpus scan as a foldable literal predicate — might_contain is
+    // cheap bit-probing INSIDE whole-stage codegen, before any exchange;
+    // (2) survivors (true contaminations + ~e-digit false-positive rate)
+    // are exact-confirmed with a SHUFFLED semi-join against the eval
+    // grams — keyed work ∝ bloom survivors, not corpus grams. False
+    // positives cost only confirm-join traffic, never correctness, so
+    // the oracle is decontam_ngram_overlap's verbatim.
+    Q("decontam_bloom",
+      """WITH w AS (
+        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS wa FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(wa) = 0 THEN []
+        |         WHEN len(wa) < 8 THEN [array_to_string(wa, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(wa) - 6),
+        |                u -> array_to_string(wa[CAST(u AS INT):CAST(u+7 AS INT)], ' ')))
+        |    END) AS gram
+        |  FROM w),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id, g.source
+        |  FROM g JOIN eg ON g.gram = eg.gram
+        |  WHERE g.doc_id % 10 <> 7),
+        |train AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT t.source, count(*) AS n_train,
+        |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(sum(c.doc_id), 0) AS BIGINT) AS contam_id_sum
+        |FROM train t LEFT JOIN contam c
+        |  ON t.doc_id = c.doc_id AND t.source = c.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftshim.ColumnShim
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.types.BinaryType
+      val grams = Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), col("source"),
+          explode(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 8)).as("gram"))
+      val evalGrams = grams.where(col("doc_id") % 10 === 7)
+        .select(col("gram")).distinct()
+      // the bloom build is one aggregate job over the (small) eval side;
+      // 2^23 bits = 1 MiB regardless of eval entry count — the broadcast
+      // artifact stays bounded as the benchmark battery grows
+      val bloom = evalGrams
+        .select(ColumnShim.column(new BloomFilterAggregate(
+          ColumnShim.expression(xxhash64(col("gram"))),
+          Literal(1L << 18), Literal(1L << 23)).toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      require(bloom != null, "decontam_bloom: empty eval set — no bloom built")
+      val survivors = grams.where(col("doc_id") % 10 =!= 7)
+        .where(ColumnShim.column(BloomFilterMightContain(
+          Literal.create(bloom, BinaryType),
+          ColumnShim.expression(xxhash64(col("gram"))))))
+      // exact confirm: SHUFFLE_HASH pins the no-broadcast scale shape —
+      // at fixture size AQE would happily broadcast eval grams, which is
+      // exactly the plan this flavor exists to avoid
+      val contam = survivors
+        .join(evalGrams.hint("SHUFFLE_HASH"), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("source")).distinct()
+        .withColumn("is_contam", lit(1))
+      documents(s, d).where(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source"))
+        .join(contam, Seq("doc_id", "source"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          count(col("is_contam")).as("n_contaminated"),
+          coalesce(sum(when(col("is_contam") === 1, col("doc_id"))), lit(0L))
+            .as("contam_id_sum"))
+        .orderBy(col("source"))
+    },
+
     // Vocabulary construction + OOV audit — the tokenizer-training precursor:
     // rank words by corpus frequency (ties broken lexically, so the cut is a
     // total order), keep the top 16 as the vocabulary, and measure each

@@ -686,4 +686,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "the verified shape is the non-broadcast join:\n" + p)
   }
+
+  test("decontam_bloom: literal bloom prefilter ahead of a shuffled exact confirm") {
+    // the eval-gram bloom must probe as a foldable literal predicate in
+    // the corpus stage (no exchange feeding it), and the exact confirm
+    // must be the hinted SHUFFLE join — broadcasting the full eval-gram
+    // relation is the plan this flavor exists to avoid
+    val p = planOf("decontam_bloom")
+    assert(p.contains("might_contain"),
+      "bloom prefilter must reach the corpus-gram stage:\n" + p)
+    assert(p.contains("ShuffledHashJoin LeftSemi") ||
+        p.contains("SortMergeJoin LeftSemi"),
+      "exact confirm must stay a shuffled semi-join:\n" + p)
+  }
 }
