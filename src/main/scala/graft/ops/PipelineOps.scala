@@ -804,6 +804,50 @@ object PipelineOps {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // Multi-epoch upsampling — the quality-weighted repetition knob of a
+    // pretraining mix (high-quality sources repeated 2-3 epochs, bulk web
+    // seen once): each document is EXPANDED to one row per epoch with a
+    // per-(doc, epoch) splitmix64 shuffle key, so a downstream range sort
+    // on the key (the global_shuffle shape) interleaves epochs uniformly
+    // through the stream instead of replaying the corpus back-to-back.
+    // Scale: a generator explode at the scan — zero shuffle, output rows
+    // ∝ Σ epochs; the audit aggregate below is the only wide op, keyed on
+    // (source, epoch). bit_xor is the order-proof checksum (associative,
+    // commutative, exact on int64) pinning every expanded key at every
+    // multiplicity.
+    Q("epoch_expansion",
+      s"""WITH e0 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 5 THEN 3
+         |         WHEN CAST(substr(source, 4, 8) AS INT) < 10 THEN 2
+         |         ELSE 1 END AS epochs
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, source, unnest(range(0, epochs)) AS epoch FROM e0),
+         |s0 AS (SELECT source, epoch,
+         |  CAST(doc_id * 4 + epoch AS HUGEINT) AS z FROM ex),
+         |${SqlKernels.smixCtes("ee", "s0", "source, epoch")},
+         |h AS (SELECT source, epoch,
+         |  CAST(z % 9223372036854775808 AS BIGINT) AS h FROM ee6)
+         |SELECT source, CAST(epoch AS INT) AS epoch, count(*) AS n_docs,
+         |  CAST(bit_xor(h) AS BIGINT) AS key_xor
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"), expr(
+          """CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 3
+            |     WHEN CAST(substring(source, 4) AS INT) < 10 THEN 2
+            |     ELSE 1 END""".stripMargin).as("epochs"))
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(0, epochs - 1)")).as("epoch"))
+        .select(col("source"), col("epoch"),
+          splitmix64((col("doc_id") * 4 + col("epoch")).cast("long"))
+            .bitwiseAND(lit(Long.MaxValue)).as("h"))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("key_xor"))
+        .orderBy(col("source"), col("epoch"))
+    },
+
     // Z-order layout key — multi-dimensional clustering for scan locality:
     // interleaving the bits of (l_partkey, l_suppkey) gives a single sort
     // key under which every contiguous file of rows covers a bounded

@@ -443,6 +443,58 @@ object TextOps {
         .orderBy(col("doc_id")).limit(500)
     },
 
+    // Context-window truncation — the pre-packing budget cut every
+    // sequence pipeline applies before pack_sequences: cap each document
+    // at 64 whitespace tokens, preferring the last sentence boundary
+    // ('.'-terminated token) inside the budget so training examples don't
+    // end mid-sentence; hard cut at the budget only when no boundary
+    // exists. A PURE PROJECTION at the scan — the token array, the
+    // boundary search (one bounded higher-order pass over ≤64 indices)
+    // and the substring rebuild all stay inside whole-stage codegen, zero
+    // shuffle at any corpus size. Kept text is md5-pinned so the oracle
+    // proves the exact cut position AND the rebuilt bytes.
+    Q("token_budget_truncate",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS wa FROM documents),
+        |c AS (
+        |  SELECT doc_id, wa, len(wa) AS n,
+        |    list_filter(list_transform(range(1, least(len(wa), 64) + 1),
+        |      i -> CASE WHEN ends_with(wa[CAST(i AS INT)], '.') THEN i ELSE 0 END),
+        |      x -> x > 0) AS dots
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, wa, n,
+        |    CASE WHEN n <= 64 THEN n
+        |         WHEN len(dots) > 0 THEN CAST(dots[-1] AS BIGINT)
+        |         ELSE 64 END AS cut
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(cut AS BIGINT) AS n_kept,
+        |  CAST(n > 64 AS INT) AS was_truncated,
+        |  md5(array_to_string(wa[1:CAST(cut AS INT)], ' ')) AS kept_md5
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '\\\\S+', 0)").as("wa"))
+        .withColumn("n", size(col("wa")).cast("long"))
+        // n = 0 guard: sequence(1, 0) DESCENDS in Spark and element_at
+        // would fault under ANSI — an empty doc short-circuits to no
+        // boundaries before any index is built
+        .withColumn("dots", expr(
+          """CASE WHEN n = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+            |ELSE filter(transform(sequence(1, least(n, 64L)),
+            |  i -> IF(endswith(element_at(wa, CAST(i AS INT)), '.'), i, 0L)),
+            |  x -> x > 0) END""".stripMargin))
+        .withColumn("cut", expr(
+          """CASE WHEN n <= 64 THEN n
+            |     WHEN size(dots) > 0 THEN element_at(dots, -1)
+            |     ELSE 64L END""".stripMargin))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("cut").as("n_kept"),
+          (col("n") > 64).cast("int").as("was_truncated"),
+          md5(expr("array_join(slice(wa, 1, CAST(cut AS INT)), ' ')"))
+            .as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Model-scored quality filtering — the classifier-gate shape of
     // CCNet/FineWeb-style corpus curation: a LINEAR model over cheap
     // per-doc features (stopword fraction, mean word length, alphabetic
