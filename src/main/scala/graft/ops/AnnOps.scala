@@ -657,6 +657,74 @@ object AnnOps {
         .select(col("cid").as("cluster_id"), col("rn"), col("vec_id"), col("h"))
         .orderBy(col("cluster_id"), col("rn"))
     },
+
+    // Per-dimension feature standardization — the embedding-space
+    // preprocessing every distance-based op (k-means, cosine cells, SQ8
+    // quantization) assumes: z-score each dimension with corpus-trained
+    // mean/std, then APPLY corpus-wide. Stats: one (dim) aggregate over
+    // the exploded corpus (map-side combine leaves ≤64 rows per
+    // partition); the 64 (mean, std) pairs are planning-sized and ride
+    // the apply projection as LITERAL arrays — zero shuffle, zero join
+    // at any corpus size (the kmeans broadcast-centroid pattern).
+    // Determinism: inputs quantized to 7 decimals, stats from exact
+    // DECIMAL sums/sum-of-squares (merge-order-proof), mean/std one IEEE
+    // op each from identical inputs, per-vector z-sums through
+    // DECIMAL(18,4) so the label rollup is associative.
+    Q("feature_normalize",
+      """WITH dd AS (SELECT unnest(range(1, 65)) AS dim),
+        |x AS (
+        |  SELECT e.vec_id, e.label, d.dim,
+        |    round(CAST(e.embedding[CAST(d.dim AS INT)] AS DOUBLE), 7) AS x7
+        |  FROM embeddings e CROSS JOIN dd d),
+        |st AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(CAST(x7 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS mean,
+        |    CAST(sum(CAST(x7 AS DECIMAL(18,7)) * CAST(x7 AS DECIMAL(18,7)))
+        |         AS DOUBLE) / count(*) AS msq
+        |  FROM x GROUP BY dim),
+        |sd AS (SELECT dim, mean,
+        |  sqrt(greatest(msq - mean * mean, 1e-12)) AS std FROM st),
+        |z AS (
+        |  SELECT x.vec_id, x.label,
+        |    CAST(round((x.x7 - sd.mean) / sd.std, 4) AS DECIMAL(18,4)) AS z4
+        |  FROM x JOIN sd ON x.dim = sd.dim)
+        |SELECT label, CAST(count(*) / 64 AS BIGINT) AS n_vecs,
+        |  CAST(sum(z4) AS DOUBLE) AS norm_sum
+        |FROM z GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val x = Tables.fan(s, embeddings(s, d))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+          round(col("e").cast("double"), 7).as("x7"))
+      val st = x.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("x7").cast("decimal(18,7)")).cast("double") / count(lit(1)))
+            .as("mean"),
+          (sum(col("x7").cast("decimal(18,7)") * col("x7").cast("decimal(18,7)"))
+            .cast("double") / count(lit(1))).as("msq"))
+        .select(col("dim"), col("mean"),
+          sqrt(greatest(col("msq") - col("mean") * col("mean"), lit(1e-12)))
+            .as("std"))
+        .orderBy(col("dim")).collect()
+      require(st.length == dims, s"feature_normalize: ${st.length} dims")
+      val means = array(st.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+      val stds  = array(st.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+      embeddings(s, d)
+        .select(col("label"), col("embedding"),
+          means.as("m_"), stds.as("s_"))
+        .select(col("label"), expr(
+          """aggregate(
+            |  zip_with(embedding, sequence(1, 64), (x, i) ->
+            |    CAST(round((round(CAST(x AS DOUBLE), 7) - element_at(m_, i))
+            |               / element_at(s_, i), 4) AS DECIMAL(18,4))),
+            |  CAST(0 AS DECIMAL(28,4)),
+            |  (a, v) -> CAST(a + v AS DECIMAL(28,4)))""".stripMargin)
+          .as("vsum"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("vsum")).cast("double").as("norm_sum"))
+        .orderBy(col("label"))
+    },
   )
 
   /** Shared oracle CTE chain `e..a2`: quantized embeddings → seed

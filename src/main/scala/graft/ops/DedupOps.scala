@@ -890,6 +890,55 @@ object DedupOps {
             .as("clean_md5"))
         .orderBy(col("doc_id"))
     },
+
+    // Temporal debounce dedup — the crawl-refetch window rule: a row whose
+    // content digest repeats for the same user within 72 h of the PREVIOUS
+    // sighting is a refetch, not new content; a repeat after a longer gap
+    // re-enters as fresh (content may have changed meaning/context, and
+    // retention policies want it re-archived). Gaps-and-islands on
+    // (user_id, digest): lag + a gap flag, keep = island head. This is
+    // the BATCH twin of stream_dedup_counts' watermarked state dedup —
+    // same contract, no state store. Scale: two window passes partitioned
+    // on the (user, digest) key — the natural high-cardinality shuffle
+    // key; exact-microsecond integer gap arithmetic in both engines.
+    Q("dedup_temporal_debounce",
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, md5(props) AS digest,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, event_id,
+        |    lag(t) OVER (PARTITION BY user_id, digest ORDER BY t, event_id) AS p,
+        |    t
+        |  FROM e),
+        |f AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN p IS NULL OR t - p > 259200000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM l)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(is_new) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(is_new) AS BIGINT) AS n_suppressed,
+        |  CAST(bit_xor(CASE WHEN is_new = 1 THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_xor
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("digest"))
+        .orderBy(col("t"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          md5(col("props")).as("digest"), unix_micros(col("ts")).as("t"))
+        .withColumn("p", lag(col("t"), 1).over(w))
+        .withColumn("is_new",
+          when(col("p").isNull || col("t") - col("p") > 259200000000L, 1)
+            .otherwise(0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("is_new")).as("n_kept"),
+          (count(lit(1)) - sum(col("is_new"))).as("n_suppressed"),
+          expr("bit_xor(CASE WHEN is_new = 1 THEN event_id ELSE 0L END)")
+            .as("kept_id_xor"))
+        .orderBy(col("event_type"))
+    },
   )
 
   /** Best cross-watermark match per new doc at jac ≥ 0.5 — the shared
