@@ -460,6 +460,55 @@ object DedupOps {
         .orderBy(col("canonical_id"))
     },
 
+    // Quality-aware canonical selection — the keep-decision refinement a
+    // production dedup pipeline layers on clustering: within each near-dup
+    // cluster keep the HIGHEST-QUALITY member (classifier z from the
+    // shared TextOps kernel; min doc_id breaks exact ties), not the
+    // arbitrary lowest id — refetches and mirrors usually differ in
+    // boilerplate/truncation, and dropping the cleanest copy wastes
+    // curation work upstream. Same component machinery as
+    // dedup_cluster_canonical; the score join touches only CLUSTERED
+    // docs (a sliver of the corpus), one equi-join + one window per
+    // cluster. The z cut is bit-identical across engines by the
+    // classifier determinism theorem, so argmax is exact.
+    Q("dedup_cluster_best_quality",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM jpairs
+         |  UNION ALL SELECT d2, d1 FROM jpairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |${graft.ops.TextOps.classifierScoreCtes("bq", "documents")},
+         |m AS (
+         |  SELECT c.comp, c.id, s.z,
+         |    row_number() OVER (PARTITION BY c.comp ORDER BY s.z DESC, c.id) AS rn
+         |  FROM comps c JOIN bqsc s ON s.doc_id = c.id)
+         |SELECT comp AS cluster_root,
+         |  count(*) AS n_members,
+         |  CAST(sum(id) AS BIGINT) AS id_sum,
+         |  CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS best_doc,
+         |  round(max(CASE WHEN rn = 1 THEN z END), 6) AS best_z
+         |FROM m GROUP BY comp ORDER BY comp""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      val comps = graft.operators.DedupClustering.connectedComponents(pairs)
+      val z = graft.ops.TextOps.scoredDocs(documents(s, d))
+        .select(col("doc_id").as("id"), col("z"))
+      comps.join(z, Seq("id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("comp")).orderBy(col("z").desc, col("id"))))
+        .groupBy(col("comp").as("cluster_root"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("id_sum"),
+          max(when(col("rn") === 1, col("id"))).as("best_doc"),
+          round(max(when(col("rn") === 1, col("z"))), 6).as("best_z"))
+        .orderBy(col("cluster_root"))
+    },
+
     // MinHash + LSH banding, production shape: candidates from band-bucket
     // collisions, then EXACT Jaccard verification of candidates only —
     // work ∝ colliding pairs, results exact. That makes the op

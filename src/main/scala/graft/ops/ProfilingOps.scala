@@ -408,5 +408,52 @@ object ProfilingOps {
             col("est_direct") <= 0.01).as("merged_close_to_direct"))
         .orderBy(col("event_type"))
     },
+
+    // Count-min-sketch heavy hitters — the streaming-mergeable frequency
+    // sketch beside profile_hll_mergeable's distinct sketch: per-slice CMS
+    // sketches union by cell-wise addition, so corpus-wide token heavy
+    // hitters come from sketch merges instead of re-scans. Exact top-10
+    // (count DESC, word — a TakeOrdered prefix over the word aggregate)
+    // is the oracle-checked frame; the CMS side is gate-checked against
+    // its ε/δ contract: est ≥ true always (CMS never undercounts), and
+    // est ≤ true + ε·N with the fixed seed making the estimate
+    // deterministic. The sketch binary collects driver-side
+    // planning-sized (ε=0.001, δ=0.99 ⇒ ~2720×5 longs ≈ 109 KB) and the
+    // ten estimates ride the exact frame as a literal map.
+    Q("profile_cms_heavyhitters",
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS n FROM t GROUP BY word)
+        |SELECT word, CAST(n AS BIGINT) AS n,
+        |  CAST(1 AS BOOLEAN) AS est_ge_true,
+        |  CAST(1 AS BOOLEAN) AS est_within_eps
+        |FROM wc ORDER BY n DESC, word LIMIT 10""".stripMargin) { (s, d) =>
+      val words = Tables.fan(s, documents(s, d))
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("word"))
+      val wc = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      // probe jobs: the sketch aggregate + the exact top-10 + total N are
+      // planning-sized collects; the CONTRACT frame below recomputes the
+      // top-10 distributedly so the gate checks the distributed aggregate
+      val bytes = words
+        .select(expr("count_min_sketch(word, CAST(0.001 AS DOUBLE), " +
+          "CAST(0.99 AS DOUBLE), 42)").as("cms"))
+        .head.getAs[Array[Byte]]("cms")
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val top = wc.orderBy(col("n").desc, col("word")).limit(10).collect()
+      val totalN = wc.agg(sum(col("n"))).head.getLong(0)
+      val estPairs = top.flatMap { r =>
+        Seq(lit(r.getString(0)), lit(cms.estimateCount(r.getString(0))))
+      }
+      val estMap = map(estPairs.toIndexedSeq: _*)
+      val slack = math.ceil(0.001 * totalN).toLong
+      wc.orderBy(col("n").desc, col("word")).limit(10)
+        .select(col("word"), col("n"),
+          (element_at(estMap, col("word")) >= col("n")).as("est_ge_true"),
+          (element_at(estMap, col("word")) <= col("n") + lit(slack))
+            .as("est_within_eps"))
+    },
   )
 }
