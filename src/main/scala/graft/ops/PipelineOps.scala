@@ -804,6 +804,66 @@ object PipelineOps {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // Ratio-interleaved dataset mixing — the training-stream merge knob
+    // (HF interleave_datasets / Llama-style mixes): three corpus families
+    // with weights web:books:code = 6:3:1 emit into a single stream where
+    // every 10-slot block carries 6 web, 3 books, 1 code document (until
+    // a family exhausts). The interleave KEY is pure arithmetic on each
+    // document's within-dataset ordinal: block = (rn-1) div w, slot =
+    // (rn-1) mod w — so the merge is a sort on (block, dataset, slot),
+    // never a zipper loop. The ordinal comes from the TWO-PHASE
+    // distributed row_number (pack_sequences' shape): per-(dataset,
+    // chunk) counts → broadcast exclusive offsets → intra-chunk
+    // row_number, parallelism = datasets × 256 chunks regardless of
+    // family size — a window partitioned on 3 datasets alone would
+    // serialize each family onto one task at 100 TB. Contract output =
+    // the first 1000 stream slots (TakeOrdered prefix, no global
+    // row_number).
+    Q("interleave_datasets",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 10 THEN 'web'
+        |         WHEN CAST(substr(source, 4, 8) AS INT) < 15 THEN 'books'
+        |         ELSE 'code' END AS dataset
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, dataset,
+        |    row_number() OVER (PARTITION BY dataset ORDER BY doc_id) AS rn,
+        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 10 THEN 6
+        |         WHEN CAST(substr(source, 4, 8) AS INT) < 15 THEN 3
+        |         ELSE 1 END AS w
+        |  FROM documents JOIN t USING (doc_id))
+        |SELECT CAST((rn - 1) // w AS BIGINT) AS block, dataset,
+        |  CAST((rn - 1) % w AS BIGINT) AS slot, doc_id
+        |FROM r ORDER BY block, dataset, slot LIMIT 1000""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d).select(col("doc_id"), expr(
+        """CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 'web'
+          |     WHEN CAST(substring(source, 4) AS INT) < 15 THEN 'books'
+          |     ELSE 'code' END""".stripMargin).as("dataset"))
+      val maxId = t.agg(max(col("doc_id"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      val chunkW = math.max(1L, (maxId + 256L) / 256L)
+      val c = t.withColumn("chunk", expr(s"doc_id div ${chunkW}L"))
+      val offs = c.groupBy(col("dataset"), col("chunk"))
+        .agg(count(lit(1)).as("sub"))
+        .withColumn("off", coalesce(
+          sum(col("sub")).over(Window.partitionBy(col("dataset"))
+            .orderBy(col("chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("dataset"), col("chunk"), col("off"))
+      c.join(broadcast(offs), Seq("dataset", "chunk"))
+        .withColumn("rn", col("off") + row_number().over(
+          Window.partitionBy(col("dataset"), col("chunk")).orderBy(col("doc_id"))))
+        .withColumn("w", expr(
+          "CASE dataset WHEN 'web' THEN 6 WHEN 'books' THEN 3 ELSE 1 END"))
+        .select(expr("(rn - 1) div w").as("block"), col("dataset"),
+          expr("(rn - 1) % w").as("slot"), col("doc_id"))
+        .orderBy(col("block"), col("dataset"), col("slot")).limit(1000)
+    },
+
     // Multi-epoch upsampling — the quality-weighted repetition knob of a
     // pretraining mix (high-quality sources repeated 2-3 epochs, bulk web
     // seen once): each document is EXPANDED to one row per epoch with a
