@@ -29,11 +29,20 @@ object TextOps {
     * the composed curation_pipeline so the two can never drift. Returns
     * (doc_id, source, text, z); a pure projection at the scan. */
   private[graft] def scoredDocs(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = scoredDocs(docs, Nil)
+
+  /** [[scoredDocs]] with extra input columns carried through to the
+    * output unchanged (the ensemble gate needs lang/n_chars beside z;
+    * callers passing Nil keep the narrow legacy shape so arbitrary
+    * (doc_id, source, text) frames — the curation pipeline's — still
+    * resolve). */
+  private[graft] def scoredDocs(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    val extra = carry.map(col)
     docs
-      .select(col("doc_id"), col("source"), col("text"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa"))
+      .select(Seq(col("doc_id"), col("source"), col("text"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa")) ++ extra: _*)
       .withColumn("nw", size(col("wa")))
       .withColumn("swf", when(col("nw") === 0, 0.0).otherwise(
         size(expr("""filter(wa, x -> array_contains(
@@ -45,9 +54,9 @@ object TextOps {
       .withColumn("af", when(length(col("text")) === 0, 0.0).otherwise(
         size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("double")
           / length(col("text"))))
-      .select(col("doc_id"), col("source"), col("text"),
+      .select(Seq(col("doc_id"), col("source"), col("text"),
         (lit(10.0) * col("swf") + lit(5.0) * col("af")
-          + lit(0.5) * col("mwl") - lit(6.5)).as("z"))
+          + lit(0.5) * col("mwl") - lit(6.5)).as("z")) ++ extra: _*)
   }
 
   /** The classifier-score CTE chain of the same model for DuckDB oracles:
@@ -573,6 +582,97 @@ object TextOps {
           count(when(keep, 1)).as("n_kept"),
           coalesce(sum(when(keep, col("doc_id"))), lit(0L)).as("kept_id_sum"),
           min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy(col("source"))
+    },
+
+    // Quality ENSEMBLE gate — the three trained gates the suite verifies
+    // individually (classifier z, bigram-LM perplexity, per-source IQR
+    // length fences) composed the way CCNet/FineWeb actually stack them:
+    // a document survives only if ALL rules pass, and the audit reports
+    // each rule's attrition separately so a threshold regression is
+    // attributable. The perplexity rule is RANK-trained: per language,
+    // t2 = the exact 2/3-order-statistic of rounded xent (k = ⌈2n/3⌉ —
+    // integer arithmetic, no quantile interpolation whose ulp could flip
+    // a boundary doc across engines); keep iff xent ≤ t2; docs too short
+    // to score (no bigrams) fail the rule. Scale: classifier and fences
+    // are projection + broadcast (their standalone notes); the xent
+    // relation is corpus-narrow (1 row/doc) and meets the corpus in ONE
+    // doc_id equi-join; thresholds are per-lang rows, broadcast. The
+    // rank pass trains on the full corpus here — at 100 TB the trainer
+    // side subsamples (thresholds are statistics, not per-doc state),
+    // the apply side is unchanged.
+    Q("curation_quality_ensemble",
+      s"""WITH ${classifierScoreCtes("en", "documents")},
+        |$perplexityXentCtes,
+        |iq AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY source),
+        |fb AS (
+        |  SELECT source, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM iq),
+        |pr AS (
+        |  SELECT lang, doc_id, xent,
+        |    row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rn
+        |  FROM px),
+        |pn AS (SELECT lang, count(*) AS n FROM px GROUP BY lang),
+        |thr AS (
+        |  SELECT pr.lang, pr.xent AS t2
+        |  FROM pr JOIN pn ON pr.lang = pn.lang
+        |  WHERE pr.rn = (2 * pn.n + 2) // 3),
+        |fl AS (
+        |  SELECT d.doc_id, d.source,
+        |    (s.z >= 0.5) AS pc,
+        |    coalesce(px.xent <= thr.t2, FALSE) AS pp,
+        |    (d.n_chars >= fb.lo AND d.n_chars <= fb.hi) AS pl
+        |  FROM documents d
+        |  JOIN ensc s ON s.doc_id = d.doc_id
+        |  JOIN fb ON fb.source = d.source
+        |  LEFT JOIN px ON px.doc_id = d.doc_id
+        |  LEFT JOIN thr ON thr.lang = d.lang)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (pc) AS n_pass_classifier,
+        |  count(*) FILTER (pp) AS n_pass_perplexity,
+        |  count(*) FILTER (pl) AS n_pass_length,
+        |  count(*) FILTER (pc AND pp AND pl) AS n_keep,
+        |  CAST(coalesce(sum(doc_id) FILTER (pc AND pp AND pl), 0) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val base = scoredDocs(Tables.fan(s, docs), Seq("lang", "n_chars"))
+        .select(col("doc_id"), col("source"), col("z"), col("lang"),
+          col("n_chars"))
+      val fences = docs.groupBy(col("source")).agg(
+          expr("percentile(n_chars, 0.25)").as("q1"),
+          expr("percentile(n_chars, 0.75)").as("q3"))
+        .select(col("source"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      val px = perplexityXent(s, d)
+      val thr = px
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("xent"), col("doc_id"))))
+        .join(px.groupBy(col("lang")).agg(count(lit(1)).as("n")), Seq("lang"))
+        .where(col("rn") === expr("(2 * n + 2) div 3"))
+        .select(col("lang"), col("xent").as("t2"))
+      base
+        .join(broadcast(fences), Seq("source"))
+        .join(px.select(col("doc_id"), col("xent")), Seq("doc_id"), "left_outer")
+        .join(broadcast(thr), Seq("lang"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          (col("z") >= 0.5).as("pc"),
+          coalesce(col("xent") <= col("t2"), lit(false)).as("pp"),
+          (col("n_chars") >= col("lo") && col("n_chars") <= col("hi")).as("pl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pc"), 1)).as("n_pass_classifier"),
+          count(when(col("pp"), 1)).as("n_pass_perplexity"),
+          count(when(col("pl"), 1)).as("n_pass_length"),
+          count(when(col("pc") && col("pp") && col("pl"), 1)).as("n_keep"),
+          coalesce(sum(when(col("pc") && col("pp") && col("pl"), col("doc_id"))),
+            lit(0L)).as("kept_id_sum"))
         .orderBy(col("source"))
     },
 

@@ -699,4 +699,26 @@ class PlanSpec extends SparkSpec {
         p.contains("SortMergeJoin LeftSemi"),
       "exact confirm must stay a shuffled semi-join:\n" + p)
   }
+
+  test("interleave_datasets: chunk offsets broadcast; prefix via TakeOrdered") {
+    // the two-phase ordinal's offset frame is datasets × 256 rows — the
+    // corpus must meet it through a broadcast, never shuffle on
+    // (dataset, chunk); and the 1000-slot contract prefix must plan as
+    // TakeOrdered, not a global sort
+    val p = planOf("interleave_datasets")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "offset join must broadcast the planning-sized frame:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "stream prefix must be TakeOrdered:\n" + p)
+  }
+
+  test("feature_normalize: the apply pass is join-free (literal stats)") {
+    // stats ride the projection as literal arrays — the normalize apply
+    // must contain no join of any kind; its only exchange is the final
+    // label rollup
+    val p = planOf("feature_normalize")
+    assert(!p.contains("Join"),
+      "apply phase must not join the stats back:\n" + p)
+  }
 }
