@@ -642,13 +642,20 @@ object PipelineOps {
           explode(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 8)).as("gram"))
       val evalGrams = grams.where(col("doc_id") % 10 === 7)
         .select(col("gram")).distinct()
-      // the bloom build is one aggregate job over the (small) eval side;
-      // 2^23 bits = 1 MiB regardless of eval entry count — the broadcast
-      // artifact stays bounded as the benchmark battery grows
+      // the bloom build is one aggregate job over the (small) eval side,
+      // SIZED from the documents footer row count (driver-side metadata,
+      // no Spark job — the pack_sequences probe pattern): ~3 distinct
+      // eval grams per corpus doc at a 10% eval rate, 16 bits per item,
+      // capped at Spark's BloomFilterAggregate limits (4M items / 2^26
+      // bits = 8 MiB) — bits, not entries, so the broadcast artifact
+      // stays bounded as the benchmark battery grows
+      val estItems = math.min(4000000L,
+        math.max(1L << 16, Tables.parquetRowCount(s, d, "documents") * 3))
+      val numBits = math.min(1L << 26, estItems * 16)
       val bloom = evalGrams
         .select(ColumnShim.column(new BloomFilterAggregate(
           ColumnShim.expression(xxhash64(col("gram"))),
-          Literal(1L << 18), Literal(1L << 23)).toAggregateExpression()).as("bf"))
+          Literal(estItems), Literal(numBits)).toAggregateExpression()).as("bf"))
         .head.getAs[Array[Byte]]("bf")
       require(bloom != null, "decontam_bloom: empty eval set — no bloom built")
       val survivors = grams.where(col("doc_id") % 10 =!= 7)
@@ -822,15 +829,15 @@ object PipelineOps {
     Q("interleave_datasets",
       """WITH t AS (
         |  SELECT doc_id,
-        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 10 THEN 'web'
-        |         WHEN CAST(substr(source, 4, 8) AS INT) < 15 THEN 'books'
+        |    CASE WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 10 THEN 'web'
+        |         WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 15 THEN 'books'
         |         ELSE 'code' END AS dataset
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, dataset,
         |    row_number() OVER (PARTITION BY dataset ORDER BY doc_id) AS rn,
-        |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 10 THEN 6
-        |         WHEN CAST(substr(source, 4, 8) AS INT) < 15 THEN 3
+        |    CASE WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 10 THEN 6
+        |         WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 15 THEN 3
         |         ELSE 1 END AS w
         |  FROM documents JOIN t USING (doc_id))
         |SELECT CAST((rn - 1) // w AS BIGINT) AS block, dataset,
@@ -838,8 +845,8 @@ object PipelineOps {
         |FROM r ORDER BY block, dataset, slot LIMIT 1000""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val t = documents(s, d).select(col("doc_id"), expr(
-        """CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 'web'
-          |     WHEN CAST(substring(source, 4) AS INT) < 15 THEN 'books'
+        """CASE WHEN TRY_CAST(substring(source, 4) AS INT) < 10 THEN 'web'
+          |     WHEN TRY_CAST(substring(source, 4) AS INT) < 15 THEN 'books'
           |     ELSE 'code' END""".stripMargin).as("dataset"))
       val maxId = t.agg(max(col("doc_id"))).head() match {
         case r if r.isNullAt(0) => 0L
@@ -878,8 +885,8 @@ object PipelineOps {
     Q("epoch_expansion",
       s"""WITH e0 AS (
          |  SELECT doc_id, source,
-         |    CASE WHEN CAST(substr(source, 4, 8) AS INT) < 5 THEN 3
-         |         WHEN CAST(substr(source, 4, 8) AS INT) < 10 THEN 2
+         |    CASE WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 5 THEN 3
+         |         WHEN TRY_CAST(substr(source, 4, 8) AS INT) < 10 THEN 2
          |         ELSE 1 END AS epochs
          |  FROM documents),
          |ex AS (
@@ -894,8 +901,8 @@ object PipelineOps {
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("source"), expr(
-          """CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 3
-            |     WHEN CAST(substring(source, 4) AS INT) < 10 THEN 2
+          """CASE WHEN TRY_CAST(substring(source, 4) AS INT) < 5 THEN 3
+            |     WHEN TRY_CAST(substring(source, 4) AS INT) < 10 THEN 2
             |     ELSE 1 END""".stripMargin).as("epochs"))
         .select(col("doc_id"), col("source"),
           explode(expr("sequence(0, epochs - 1)")).as("epoch"))

@@ -818,7 +818,13 @@ object TextOps {
     // from a second full corpus bigram pass — the LM is vocab²-sized
     val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val lmp = lm.join(ctx, Seq("w1"))
-    bg.join(broadcast(lmp), Seq("w1", "w2"))
+    // the scoring join is FOOTER-GATED like tfidf's dictionary: a sane
+    // corpus's bigram LM broadcasts, a web corpus's (open vocabulary,
+    // distinct bigrams ∝ corpus) cannot — past the gate the join stays
+    // an unhinted (w1, w2) equi-join and AQE may still demote the
+    // exchange when the measured LM is small
+    val dict = if (tfidfBroadcastGate(s, d)) broadcast(lmp) else lmp
+    bg.join(dict, Seq("w1", "w2"))
       .select(col("doc_id"), col("lang"),
         (-log(col("c12").cast("double") / col("c1").cast("double"))).as("t"))
       .groupBy(col("doc_id"), col("lang"))

@@ -96,7 +96,15 @@ object ScaleSmoke {
       "text_quality_score", "quality_filter_iqr_trained",
       "tfidf_topterms", "pack_sequences", "dsir_importance",
       "curation_pipeline", "curation_pipeline_subdoc",
-      "ann_ivf_topk", "ann_bruteforce_topk", "kmeans_train")
+      "ann_ivf_topk", "ann_bruteforce_topk", "kmeans_train",
+      // session additions: the bloom decontam sizes its filter from the
+      // footer probe; the perplexity kernel's LM join flips off the
+      // broadcast branch at this tier (same gate as tfidf); interleave
+      // runs its two-phase ordinals; feature_normalize's only collect is
+      // 64 stat rows at any corpus size
+      "decontam_bloom", "text_perplexity_ngram", "curation_quality_ensemble",
+      "interleave_datasets", "epoch_expansion", "token_budget_truncate",
+      "feature_normalize")
     val timings = only.fold(names)(ns => names.filter(ns)).map { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
