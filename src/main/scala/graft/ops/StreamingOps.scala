@@ -401,5 +401,77 @@ object StreamingOps {
           col("n_events").cast("long").as("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))
     },
+
+    // Streaming CDC — cdc_upsert_merge's change-log MERGE driven from a
+    // LIVE stream: the change-log arrives as two single-file micro-batches
+    // (maxFilesPerTrigger=1 forces real multi-batch merging), each batch
+    // merged into the generation-pointer snapshot store by
+    // StreamingArchiver.cdcMergeStream (latest-wins reduce → one
+    // full-outer upsert/delete join → new generation → atomic repoint).
+    // Every key carries exactly ONE change across the log, so the final
+    // snapshot is batch-split- and batch-order-independent — the
+    // determinism the oracle needs — and the audit reads the PUBLISHED
+    // snapshot through the pointer, pinning the whole store protocol, not
+    // just the join.
+    Q("stream_cdc_upsert",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS key, 'U' AS op, o_totalprice + 100.0 AS price
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE) FROM orders
+        |  WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'I', o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 = 0 AND o_orderkey <> 0),
+        |m AS (
+        |  SELECT coalesce(c.key, b.o_orderkey) AS key,
+        |    CASE WHEN c.key IS NULL THEN b.o_totalprice ELSE c.price END AS price,
+        |    CASE WHEN c.op = 'D' THEN 1 ELSE 0 END AS del
+        |  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.key)
+        |SELECT count(*) FILTER (del = 0) AS n_rows,
+        |  count(*) FILTER (del = 0 AND key < 0) AS n_inserted,
+        |  CAST(sum(key) FILTER (del = 0) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) FILTER (del = 0) AS DOUBLE)
+        |    AS total_price
+        |FROM m""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+      val root = TempDirs.register(java.nio.file.Files
+        .createTempDirectory("graft-stream-cdc").toString)
+      val chDir = s"$root/changes"
+      base.where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 14 =!= 0)
+        .select(col("o_orderkey").as("key"), lit(1).as("seq"),
+          lit("U").as("op"), (col("o_totalprice") + lit(100.0)).as("price"))
+        .coalesce(1).write.mode("overwrite").parquet(chDir)
+      base.where(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey").as("key"), lit(1).as("seq"),
+          lit("D").as("op"), lit(null).cast("double").as("price"))
+        // o_orderkey = 0 exists in the fixture and -0 = 0 would collide
+        // with its own delete — the one-change-per-key premise the
+        // batch-order independence argument needs
+        .unionAll(base.where(col("o_orderkey") % 11 === 0 && col("o_orderkey") =!= 0)
+          .select((-col("o_orderkey")).as("key"), lit(1).as("seq"),
+            lit("I").as("op"), col("o_totalprice").as("price")))
+        .coalesce(1).write.mode("append").parquet(chDir)
+      // seed the store: the base snapshot is generation zero, published
+      // BEFORE the stream starts (a CDC consumer always begins from an
+      // initial load — the reference's full sync — then tails changes)
+      val snapRoot = s"$root/snapshot"
+      base.select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+        .write.mode("overwrite").parquet(s"$snapRoot/gen-init")
+      StreamingArchiver.publishSnapshot(s, snapRoot, "gen-init")
+      val schema = s.read.parquet(chDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(chDir)
+      val q = StreamingArchiver.cdcMergeStream(stream,
+        snapRoot, s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      StreamingArchiver.currentSnapshot(s, snapRoot)
+        .getOrElse(sys.error("stream_cdc_upsert: no published snapshot"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("key") < 0, 1)).as("n_inserted"),
+          sum(col("key")).as("key_sum"),
+          sum(col("price").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+    },
   )
 }
