@@ -151,30 +151,42 @@ object StreamingArchiver {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(snapshotRoot)
-        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-        val base = currentSnapshot(s, snapshotRoot).getOrElse {
-          import org.apache.spark.sql.types._
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("key", LongType),
-              StructField("price", DoubleType))))
-        }
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("seq").desc)
-        val last = batch.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("key").as("c_key"), col("op"), col("price").as("c_price"))
-        val merged = base.join(last, col("key") === col("c_key"), "full_outer")
-          .where(col("op").isNull || col("op") =!= "D")
-          .select(coalesce(col("c_key"), col("key")).as("key"),
-            when(col("c_key").isNull, col("price")).otherwise(col("c_price"))
-              .as("price"))
-        merged.write.mode("overwrite").parquet(s"$snapshotRoot/gen-$id")
-        publishSnapshot(s, snapshotRoot, s"gen-$id")
+        mergeBatch(batch.sparkSession, snapshotRoot, batch, id)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One CDC merge step: reduce `batch` latest-wins per key, apply to the
+    * CURRENT generation with a full-outer upsert/delete join, write
+    * generation `gen-<id>`, repoint. Public (and directly spec-tested)
+    * because its IDEMPOTENCE is the exactly-once argument: re-running a
+    * committed id rebuilds a byte-identical generation from the same
+    * inputs and repoints to the same place. */
+  def mergeBatch(s: SparkSession, snapshotRoot: String,
+      batch: DataFrame, id: Long): Unit = {
+    val base = currentSnapshot(s, snapshotRoot).getOrElse {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("key", LongType),
+          StructField("price", DoubleType))))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    val last = batch.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("key").as("c_key"), col("op"), col("price").as("c_price"))
+    val merged = base.join(last, col("key") === col("c_key"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("c_key"), col("key")).as("key"),
+        when(col("c_key").isNull, col("price")).otherwise(col("c_price"))
+          .as("price"))
+      // the write below replaces gen-<id> while `base` may be lazily
+      // reading the SAME dir on a replay (id committed, then replayed):
+      // materialize the merge result before touching the target
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$snapshotRoot/gen-$id")
+    publishSnapshot(s, snapshotRoot, s"gen-$id")
   }
 
   /** Atomically repoint CURRENT at `gen` (an existing generation dir

@@ -217,4 +217,32 @@ class StreamingSpec extends SparkSpec {
       assert(n == distinct, s"emitted $n vs $distinct distinct keys")
     } finally q.stop()
   }
+
+  test("cdc mergeBatch: replayed batch is a no-op (exactly-once without markers)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdc-replay").toString
+    // seed: keys 1..10, price = key * 10
+    spark.range(1, 11)
+      .select(col("id").as("key"), (col("id") * 10).cast("double").as("price"))
+      .write.mode("overwrite").parquet(s"$root/gen-init")
+    StreamingArchiver.publishSnapshot(spark, root, "gen-init")
+    // batch 0: update 3 (price 99), delete 7, insert 42; key 5 gets two
+    // ops — seq 2 (price 55) must win over seq 1 (delete)
+    val batch = Seq(
+      (3L, 1, "U", 99.0), (7L, 1, "D", 0.0), (42L, 1, "I", 5.0),
+      (5L, 1, "D", 0.0), (5L, 2, "U", 55.0))
+      .toDF("key", "seq", "op", "price")
+    StreamingArchiver.mergeBatch(spark, root, batch, 0L)
+    def state() = StreamingArchiver.currentSnapshot(spark, root).get
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val once = state()
+    assert(once.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L, 10L, 42L))
+    assert(once.toMap.apply(3L) == 99.0, "update must land")
+    assert(once.toMap.apply(5L) == 55.0, "seq 2 must beat the seq-1 delete")
+    // replay the SAME batch id against the already-merged store: upserts
+    // set state, the delete hits an absent key — state must not move
+    StreamingArchiver.mergeBatch(spark, root, batch, 0L)
+    assert(state() == once, "replayed batch must leave the snapshot unchanged")
+  }
 }
