@@ -84,6 +84,46 @@ object AnnOps {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // FILTERED vector search — top-k under a metadata predicate (label ∈
+    // {1,2,3}), the retrieval composition every vector store now names:
+    // the filter applies BEFORE scoring (pre-filter), so the top-k is
+    // exact over the qualifying subset — post-filtering an unfiltered
+    // top-k under-returns whenever fewer than k of the global neighbors
+    // qualify. In the plan the predicate is an ordinary Catalyst filter
+    // at the scan (PushedFilters prunes row groups on label min/max
+    // stats), the probes broadcast, and per-query ranking runs over the
+    // filtered stream only — selectivity cuts scoring cost
+    // proportionally, which is exactly what a dedicated vector DB's
+    // filtered index buys and a columnar scan gets for free.
+    Q("ann_filtered_topk",
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+        |    list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (p, s) -> p + s)
+        |      / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (p, s) -> p + s))
+        |       * sqrt(list_reduce(list_transform(c.v, x -> x * x), (p, s) -> p + s))) AS cos
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id AND c.label IN (1, 2, 3))
+        |SELECT query_id, neighbor_id, label, cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.where(col("label").isin(1, 2, 3))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+                cosine(col("qv"), col("v")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Exact cosine RANGE search — every corpus vector with cos ≥ t of each
     // probe — in IVF topology with a PROVABLE probe set: probes scan only
     // cells whose centroid angle passes the spherical triangle-inequality
