@@ -275,5 +275,64 @@ object TemporalJoinOps {
                  |  ELSE f_t - p_t END AS BIGINT)""".stripMargin).as("delta_us"))
         .orderBy(col("p_id"))
     },
+
+    // Last-touch attribution — the marketing/conversion analytic composed
+    // on the SAME as-of kernel as asof_join_events: each purchase is
+    // attributed to the user's most recent click, but only when that
+    // click falls inside a 7-day lookback window (the latest click being
+    // stale implies every earlier one is staler — the window test needs
+    // only the as-of result, never a second scan). Per-user rollup with
+    // a decimal-exact attributed-revenue sum and a bit_xor pin of
+    // exactly WHICH click ids won. Scale: identical to the as-of join —
+    // one user_id shuffle, O(n log n) per user partition; the rollup
+    // reuses the same key.
+    Q("events_attribution",
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS is_p, value,
+        |         CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 0, CAST(NULL AS DOUBLE),
+        |         event_id, CAST(ts AS TIMESTAMP)
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT user_id, event_id, is_p, value, epoch_us(ts) AS t,
+        |    last_value(click_id IGNORE NULLS) OVER win AS c_id,
+        |    epoch_us(last_value(click_ts IGNORE NULLS) OVER win) AS c_t
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN c_id IS NOT NULL AND t - c_t <= 604800000000
+        |         THEN c_id END AS attrib
+        |  FROM w WHERE is_p = 1)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(count(attrib) AS BIGINT) AS n_attributed,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (attrib IS NOT NULL)
+        |       AS DOUBLE) AS attributed_value,
+        |  CAST(bit_xor(coalesce(attrib, 0)) AS BIGINT) AS attrib_click_xor
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_id").as("click_id"), col("ts").as("click_ts"))
+      graft.operators.TemporalJoins
+        .asof(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
+              valueCols = Seq("click_id", "click_ts"), tiebreak = "event_id")
+        .withColumn("attrib",
+          when(col("asof_click_id").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))
+              <= 604800000000L, col("asof_click_id")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("attrib")).as("n_attributed"),
+          sum(when(col("attrib").isNotNull, col("value").cast("decimal(18,2)")))
+            .cast("double").as("attributed_value"),
+          expr("bit_xor(coalesce(attrib, 0L))").as("attrib_click_xor"))
+        .orderBy(col("user_id"))
+    },
   )
 }
