@@ -355,6 +355,50 @@ object ArchiveOps {
           .orderBy(col("l_returnflag"))
     },
 
+    // XML interchange roundtrip — the third staging codec beside NDJSON
+    // and ORC (Spark 4 ships the XML source natively): events hop through
+    // <event> row-tagged XML and come back under an EXPLICIT schema
+    // (inference on XML text is nondeterministic across corpus slices —
+    // a production contract pins the schema, so does this one).
+    // Timestamp fidelity: XML's default timestamp rendering is
+    // millisecond-truncating, so the hop carries epoch MICROS as a long —
+    // the same integer-fidelity trick the NDJSON landing zone uses;
+    // doubles survive textually because Java's shortest-roundtrip
+    // rendering parses back bit-exact. Oracle reads the original table —
+    // the codec must never change results.
+    Q("xml_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_t,
+        |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_t
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        val dir = TempDirs.memoStaged(s"xml-events:$d", "graft-xml") { tmp =>
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("t_us"), col("value"))
+            .write.mode("overwrite").option("rowTag", "event")
+            .format("xml").save(tmp)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("t_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        s.read.format("xml").option("rowTag", "event").schema(schema).load(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("value_sum"),
+            min(col("t_us")).as("min_t"),
+            max(col("t_us")).as("max_t"))
+          .orderBy(col("event_type"))
+    },
+
     // Hive-style partitioned layout + partition PRUNING — the third
     // layout lever (with bucketing and z-order): documents written once
     // partitioned by source, then a source-filtered aggregate reads ONLY

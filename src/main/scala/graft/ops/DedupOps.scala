@@ -232,8 +232,11 @@ object DedupOps {
     * ±1 votes, chunked candidate join, hamming ≤ 6. Token-less documents
     * produce no vote rows here (unnest of an empty list), matching the
     * Spark side's explicit empty-token filter. */
-  private val simhashOracleSql: String =
-    s"""WITH toks AS (
+  /** The simhash chain as bare CTEs (ending in `cand(d1, d2, sg1, sg2)`)
+    * so the agreement-matrix oracle can compose it with the gram-pair
+    * kernels; [[simhashOracleSql]] wraps it for the standalone query. */
+  private val simhashPairCtes: String =
+    s"""toks AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
       |  FROM documents),
       |ph AS (
@@ -264,7 +267,10 @@ object DedupOps {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sg1, b.sig AS sg2
       |  FROM chunks a JOIN chunks b
-      |    ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+      |    ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashOracleSql: String =
+    s"""WITH $simhashPairCtes
       |SELECT d1, d2, bit_count(xor(sg1, sg2)) AS hamming
       |FROM cand WHERE bit_count(xor(sg1, sg2)) <= 6
       |ORDER BY d1, d2""".stripMargin
@@ -938,6 +944,58 @@ object DedupOps {
               " THEN struct(bi, btext) END)), x -> x.btext)")))
             .as("clean_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // Dedup METHOD-AGREEMENT matrix — the audit a pipeline runs before
+    // trusting any single near-dup detector: the three pair detectors
+    // with genuinely different failure modes (symmetric gram Jaccard,
+    // asymmetric containment, simhash hamming) tagged into one relation,
+    // per-pair membership flags, and the count + id-checksum of every
+    // flag combination. Containment-only pairs are the quote/boilerplate
+    // inclusions Jaccard misses; simhash-only pairs are
+    // global-fingerprint matches below the gram thresholds; three-way
+    // pairs are safe to delete under any policy. ONE distributed pass:
+    // each kernel runs once, the union is pair-sized (tiny), and both
+    // rollups key on the pair. Exactly oracle-checked because all three
+    // kernels already are.
+    Q("dedup_agreement_matrix",
+      s"""WITH
+         |$jaccardPairsSql,
+         |cpairs AS (
+         |  SELECT d1, d2
+         |  FROM rawpairs
+         |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) >= 0.8),
+         |$simhashPairCtes,
+         |tagged AS (
+         |  SELECT d1, d2, 'jac' AS m FROM jpairs
+         |  UNION ALL SELECT d1, d2, 'con' FROM cpairs
+         |  UNION ALL SELECT d1, d2, 'sim' FROM cand
+         |  WHERE bit_count(xor(sg1, sg2)) <= 6),
+         |per AS (
+         |  SELECT d1, d2,
+         |    max(CASE WHEN m = 'jac' THEN 1 ELSE 0 END) AS by_jaccard,
+         |    max(CASE WHEN m = 'con' THEN 1 ELSE 0 END) AS by_containment,
+         |    max(CASE WHEN m = 'sim' THEN 1 ELSE 0 END) AS by_simhash
+         |  FROM tagged GROUP BY d1, d2)
+         |SELECT by_jaccard, by_containment, by_simhash,
+         |  count(*) AS n_pairs, CAST(sum(d1 + d2) AS BIGINT) AS pair_id_sum
+         |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val jp = jaccardPairs(s, d).select(col("d1"), col("d2"), lit("jac").as("m"))
+      val cp = gramPairs(s, d)
+        .where(col("inter").cast("double") / least(col("sz1"), col("sz2")) >= 0.8)
+        .select(col("d1"), col("d2"), lit("con").as("m"))
+      val sp = simhashCandidates(s, d).where(col("hamming") <= 6)
+        .select(col("d1"), col("d2"), lit("sim").as("m"))
+      jp.unionAll(cp).unionAll(sp)
+        .groupBy(col("d1"), col("d2"))
+        .agg(max(when(col("m") === "jac", 1).otherwise(0)).as("by_jaccard"),
+             max(when(col("m") === "con", 1).otherwise(0)).as("by_containment"),
+             max(when(col("m") === "sim", 1).otherwise(0)).as("by_simhash"))
+        .groupBy(col("by_jaccard"), col("by_containment"), col("by_simhash"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("d1") + col("d2")).as("pair_id_sum"))
+        .orderBy(col("by_jaccard"), col("by_containment"), col("by_simhash"))
     },
 
     // Temporal debounce dedup — the crawl-refetch window rule: a row whose
