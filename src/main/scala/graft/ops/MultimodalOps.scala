@@ -268,6 +268,74 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     },
 
+    // Keyframe selection — the step after shot segmentation in a video
+    // curation pipeline: one REPRESENTATIVE frame per shot (argmax of a
+    // per-frame sharpness score, earliest frame on ties), which is what
+    // actually gets decoded/embedded downstream — the expansion factor
+    // drops from every-frame to one-per-shot before any expensive
+    // per-frame work. Same deterministic feature arithmetic as
+    // mm_shot_boundaries (integer hashes of (doc, frame) — the codec
+    // stays out of the contract); the argmax is a row_number per
+    // (doc, shot) over the already-segmented frame relation — one more
+    // window pass on the same partition key, no new shuffle key.
+    Q("mm_keyframe_select",
+      """WITH meta AS (
+        |  SELECT doc_id, 10 + doc_id % 110 AS duration_s
+        |  FROM documents WHERE doc_id < 200),
+        |frames AS (
+        |  SELECT doc_id, CAST(unnest(range(0, duration_s * 30, 60)) AS BIGINT) AS frame_idx
+        |  FROM meta),
+        |feat AS (
+        |  SELECT doc_id, frame_idx,
+        |    (doc_id * 131 + frame_idx * 7919) % 256 AS f,
+        |    (doc_id * 37 + frame_idx * 104729) % 1000 AS sharp
+        |  FROM frames),
+        |brk AS (
+        |  SELECT doc_id, frame_idx, sharp,
+        |    CASE WHEN abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 128
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM feat),
+        |sid AS (
+        |  SELECT doc_id, frame_idx, sharp,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM brk),
+        |rk AS (
+        |  SELECT doc_id, shot, frame_idx, sharp,
+        |    row_number() OVER (PARTITION BY doc_id, shot
+        |                       ORDER BY sharp DESC, frame_idx) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id, shot) AS shot_len
+        |  FROM sid)
+        |SELECT doc_id, CAST(shot AS BIGINT) AS shot, CAST(shot_len AS BIGINT) AS shot_len,
+        |  frame_idx AS key_frame, CAST(sharp AS BIGINT) AS key_sharp
+        |FROM rk WHERE rn = 1 ORDER BY doc_id, shot""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), (lit(10) + col("doc_id") % 110).as("duration_s"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, duration_s * 30 - 1, 60)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .withColumn("f", (col("doc_id") * 131 + col("frame_idx") * 7919) % 256)
+        .withColumn("sharp",
+          (col("doc_id") * 37 + col("frame_idx") * 104729) % 1000)
+        .withColumn("b",
+          when(abs(col("f") - lag(col("f"), 1).over(byFrame)) > 128, 1).otherwise(0))
+        .withColumn("shot", sum(col("b")).over(
+          byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("shot"))
+            .orderBy(col("sharp").desc, col("frame_idx"))))
+        .withColumn("shot_len", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"), col("shot"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("shot").cast("long").as("shot"),
+          col("shot_len").cast("long").as("shot_len"),
+          col("frame_idx").as("key_frame"),
+          col("sharp").cast("long").as("key_sharp"))
+        .orderBy(col("doc_id"), col("shot"))
+    },
+
     // Audio-style windowing: n_samples → 1024-sample frames with 512 hop;
     // per-doc window count and coverage (pure integer arithmetic).
     Q("mm_audio_windows",
