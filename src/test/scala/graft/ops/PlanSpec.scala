@@ -713,6 +713,16 @@ class PlanSpec extends SparkSpec {
       "stream prefix must be TakeOrdered:\n" + p)
   }
 
+  test("dedup_agreement_matrix: three pair kernels, zero cartesian") {
+    // the union of three pair detectors must inherit each kernel's
+    // index-join shape — any BroadcastNestedLoopJoin/CartesianProduct
+    // means a kernel regressed to all-pairs
+    val p = planOf("dedup_agreement_matrix")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "agreement matrix must stay on index joins:\n" + p)
+  }
+
   test("feature_normalize: the apply pass is join-free (literal stats)") {
     // stats ride the projection as literal arrays — the normalize apply
     // must contain no join of any kind; its only exchange is the final
