@@ -946,6 +946,50 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
 
+    // SOFT dedup — reweighting instead of removal: each near-dup cluster
+    // member keeps weight 1/|cluster| (singletons weight 1), so the
+    // corpus's EFFECTIVE size per source is preserved for mixture math
+    // while repeated content stops being over-represented — the
+    // SoftDeDup alternative when hard deletion would lose coverage
+    // (weights feed sample_weighted_topn / corpus_mix downstream).
+    // Same component machinery as the canonical ops; the weight join
+    // touches only clustered docs. Determinism: 1/n is one IEEE division
+    // of exact integers, rounded to 12 digits and summed in DECIMAL so
+    // the per-source rollup is merge-order-proof.
+    Q("dedup_soft_weights",
+      s"""WITH RECURSIVE
+         |$jaccardPairsSql,
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM jpairs
+         |  UNION ALL SELECT d2, d1 FROM jpairs),
+         |walk(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |csizes AS (SELECT comp, count(*) AS n FROM comps GROUP BY comp),
+         |dw AS (SELECT c.id, s.n FROM comps c JOIN csizes s ON c.comp = s.comp)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(count(dw.n) AS BIGINT) AS n_in_clusters,
+         |  CAST(sum(CAST(coalesce(round(1.0 / dw.n, 12), 1.0)
+         |       AS DECIMAL(20,12))) AS DOUBLE) AS effective_size
+         |FROM documents d LEFT JOIN dw ON d.doc_id = dw.id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      val comps = graft.operators.DedupClustering.connectedComponents(pairs)
+      val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+      val docW = comps.join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("n"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(docW, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n")).as("n_in_clusters"),
+          sum(coalesce(round(lit(1.0) / col("n"), 12), lit(1.0))
+            .cast("decimal(20,12)")).cast("double").as("effective_size"))
+        .orderBy(col("source"))
+    },
+
     // Dedup METHOD-AGREEMENT matrix — the audit a pipeline runs before
     // trusting any single near-dup detector: the three pair detectors
     // with genuinely different failure modes (symmetric gram Jaccard,

@@ -104,7 +104,11 @@ object ScaleSmoke {
       // 64 stat rows at any corpus size
       "decontam_bloom", "text_perplexity_ngram", "curation_quality_ensemble",
       "interleave_datasets", "epoch_expansion", "token_budget_truncate",
-      "feature_normalize")
+      "feature_normalize",
+      // late-session: the agreement matrix unions three pair kernels in
+      // one pass; soft weights rides the component machinery; keyframe
+      // is a bounded synthetic expansion
+      "dedup_agreement_matrix", "dedup_soft_weights", "mm_keyframe_select")
     val timings = only.fold(names)(ns => names.filter(ns)).map { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
