@@ -226,6 +226,45 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // Language-ID CONFUSION matrix — the eval audit for the marker
+    // heuristic above: predicted vs fixture-truth language counts plus
+    // each cell's share of its truth row (recall on the diagonal). The
+    // model-eval primitive every classifier in the pipeline needs; here
+    // it doubles as the drift monitor a production langid gate runs per
+    // crawl batch. Same per-doc kernel as text_langid (a projection),
+    // then one matrix-sized aggregate; the share is one IEEE division of
+    // exact integers — bit-identical across engines.
+    Q("text_langid_confusion", {
+      val occs = langMarkers.map { case (l, m) =>
+        s"${occSql("concat(' ', lower(text), ' ')", m)} AS s_$l" }.mkString(",\n  ")
+      val maxExpr = langMarkers.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+      val caseChain = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $maxExpr THEN '$l'" }.mkString(" ")
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN $maxExpr = 0 THEN 'unk' $caseChain END AS pred_lang
+         |  FROM (SELECT lang, $occs FROM documents) t)
+         |SELECT lang, pred_lang, count(*) AS n,
+         |  CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY lang) AS frac_of_truth
+         |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val padded = "concat(' ', lower(text), ' ')"
+      val df = documents(s, d).select(col("lang") +:
+        langMarkers.map { case (l, m) => expr(occSql(padded, m)).as(s"s_$l") }: _*)
+      val mx = greatest(langMarkers.map(l => col(s"s_${l._1}")): _*)
+      val pred = langMarkers.foldLeft(when(mx === 0, "unk")) {
+        case (acc, (l, _)) => acc.when(col(s"s_$l") === mx, l)
+      }
+      df.withColumn("pred_lang", pred)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_truth", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+
     Q("text_token_stats",
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
