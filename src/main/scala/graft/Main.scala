@@ -50,10 +50,47 @@ object Main {
       s
     }
 
+    // SIGTERM/SIGQUIT parity with the reference (cmd/main.go:29-35:
+    // signal → context cancel). The JVM runs shutdown hooks on both
+    // signals; the hook cancels every running Spark job and sweeps the
+    // transient staging root. The staged-load commit protocol makes the
+    // interruption safe — the next run's chokepoints replay recovery and
+    // the staging dir is rewritten with Overwrite — and the process exits
+    // with the kill's own 128+signal code (non-zero), matching the
+    // reference's cancelled-context exit.
+    val hook = new Thread(() => cancelAndSweep(spark, staging(targetDir)),
+      "graft-signal-cancel")
+    Runtime.getRuntime.addShutdownHook(hook)
     val correct =
       try run(spark, cfg, sourceDir, targetDir, t0, mode, landing)
-      finally spark.stop()
+      finally {
+        try Runtime.getRuntime.removeShutdownHook(hook)
+        catch { case _: IllegalStateException => () } // already shutting down
+        spark.stop()
+      }
     if (!correct) sys.exit(2)
+  }
+
+  /** Job-group tag every archive action runs under, so the signal hook
+    * cancels exactly the archive's jobs — the per-group analogue of the
+    * reference's per-process context (in the CLI deployment the process
+    * owns the session, so group-cancel ≡ cancel-all; in a shared session
+    * it cancels only us). interruptOnCancel interrupts task threads
+    * blocked on JDBC I/O. */
+  private[graft] val JobGroup = "graft-archiver"
+
+  /** The signal hook's body, factored out so MainSpec can fire it against
+    * an in-flight run: cancel the archive's Spark jobs (the
+    * context-cancel analogue) and remove the staging root so no
+    * half-staged batch outlives the process. Committed target files are
+    * NOT touched — the idempotent copyInto tombstone protocol owns that
+    * state, and a replayed batch against it is a no-op. */
+  private[graft] def cancelAndSweep(spark: SparkSession,
+      stagingRoot: String): Unit = {
+    spark.sparkContext.cancelJobGroup(JobGroup)
+    val p = new org.apache.hadoop.fs.Path(stagingRoot)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true): Unit
   }
 
   /** The CLI body minus session/process lifecycle (testable directly):
@@ -61,7 +98,16 @@ object Main {
   def run(spark: SparkSession, cfg: ArchiverConfig,
       sourceDir: String, targetDir: String,
       t0: Long = System.nanoTime(), mode: String = "full",
-      landing: Option[String] = None): Boolean = {
+      landing: Option[String] = None): Boolean = try {
+    spark.sparkContext.setJobGroup(JobGroup, "graft archive run",
+      interruptOnCancel = true)
+    runBody(spark, cfg, sourceDir, targetDir, t0, mode, landing)
+  } finally spark.sparkContext.clearJobGroup()
+
+  private def runBody(spark: SparkSession, cfg: ArchiverConfig,
+      sourceDir: String, targetDir: String,
+      t0: Long, mode: String,
+      landing: Option[String]): Boolean = {
     val archiver = landing match {
       case Some(fmt) =>
         // landing drops are schemaless text: the sink schema comes from

@@ -204,8 +204,16 @@ object CurationOps {
     Q("curation_pipeline_subdoc",
       oracleSqlOver(graft.ops.DedupOps.paragraphRewriteCtes + ",\n",
         "cd", carryChars = true)) { (s, d) =>
+      // the rewrite is a whole computed corpus, not a scan: the chain
+      // reads it three times (classifier score, LSH candidates, exact
+      // verify), and without a stage boundary each consumer re-runs the
+      // block window + reassembly — measured 1.5× the base chain at the
+      // 1.3M-doc tier. Materialize it once (the packedBins rule; a
+      // production pipeline writes the cleaned corpus between stages
+      // anyway) and every downstream pass reads the artifact.
       runPipeline(
-        DedupOps.paragraphRewrittenDocs(Tables.fan(s, documents(s, d))),
+        DedupOps.paragraphRewrittenDocs(Tables.fan(s, documents(s, d)))
+          .localCheckpoint(true),
         carryChars = true)
     },
   )

@@ -896,6 +896,28 @@ object DedupOps {
       paragraphRollup(blocks.join(firsts, "bh"))
     },
 
+    // The PROBE-GATED dispatcher over the two stat flavors above, same
+    // oracle: the window plan is the cheaper shape on an organic corpus
+    // (one shuffle, no join), but a boilerplate-skewed corpus needs the
+    // aggregate+join plan (see dedup_paragraph_skewsafe's scaladoc). The
+    // escalation the docs previously left to the operator is now a
+    // bounded planning probe — [[paragraphSkewGate]] samples 20k docs and
+    // flips when one digest owns ≥1% of sampled blocks. Both branches are
+    // the already-hash-verified flavors; ScaleSmoke asserts the flip on a
+    // deliberately skewed synthetic corpus and the non-flip on organics.
+    Q("dedup_paragraph_gated", paragraphGlobalSql) { (s, d) =>
+      val blocks = paragraphBlocks(s, d)
+      if (paragraphSkewGate(s, d)) {
+        val firsts = blocks.groupBy(col("bh"))
+          .agg(min(col("doc_id") * 100000 + col("bi")).as("fst"))
+        paragraphRollup(blocks.join(firsts, "bh"))
+      } else {
+        val fst = min(col("doc_id") * 100000 + col("bi"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bh")))
+        paragraphRollup(blocks.withColumn("fst", fst))
+      }
+    },
+
     // The TRANSFORM half of dedup_paragraph_global: actually REWRITE each
     // document with its globally-duplicated blocks removed (first
     // occurrence kept, in-document order preserved), pinned by md5 of the
@@ -1171,13 +1193,47 @@ object DedupOps {
     * referenced from `all` (object init order, the cosinePairsSql
     * pattern). */
   private def paragraphBlocks(s: SparkSession, d: String): DataFrame =
-    Tables.fan(s, documents(s, d))
+    paragraphBlocksOf(Tables.fan(s, documents(s, d)))
+
+  /** The block-explode stage over an arbitrary (doc_id, text, …) frame —
+    * split out so [[paragraphSkewGate]] can run it over a bounded sample
+    * instead of the whole corpus. */
+  private def paragraphBlocksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
           " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))")))
       .select(col("doc_id"), col("pos").as("bi"),
         xxhash64(col("col")).as("bh"), length(col("col")).as("blen"))
+
+  /** How many documents the skew probe reads, and the hot-digest share
+    * that flips the gated flavor to the aggregate+join plan. 20k docs is
+    * bounded work at ANY corpus size (the limit stops the scan early) and
+    * ample to surface boilerplate skew: a digest owning ≥1% of corpus
+    * blocks appears >100 times in the sample with overwhelming
+    * probability, while fixture-style organic duplication stays well
+    * under the threshold. */
+  private val ParagraphProbeDocs = 20000
+  private val ParagraphSkewShare = 0.01
+
+  /** Planning probe for the gated sub-document flavor: does ONE block
+    * digest own a skew-sized share of the sampled blocks? Boilerplate
+    * skew is corpus-wide by nature (navigation chrome, license blocks
+    * recur everywhere), so a contiguous document sample sees it at its
+    * corpus-wide rate — the same probe-then-pick pattern as the tfidf
+    * footer gate, paid as one bounded job instead of a footer read
+    * (footers cannot see content skew). Public so ScaleSmoke can assert
+    * the flip on a deliberately skewed corpus. */
+  def paragraphSkewGate(s: SparkSession, d: String): Boolean = {
+    val sample = Tables.fan(s, documents(s, d))
+      .select(col("doc_id"), col("text")).limit(ParagraphProbeDocs)
+    val r = paragraphBlocksOf(sample)
+      .groupBy(col("bh")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot")).head
+    !r.isNullAt(1) && r.getLong(1) > 0 &&
+      r.getLong(0).toDouble / r.getLong(1) >= ParagraphSkewShare
+  }
 
   /** Per-doc survival rollup over blocks carrying their first-occurrence
     * rank `fst` — shared by the window and aggregate+join flavors. */

@@ -53,48 +53,7 @@ object MultimodalOps {
       import s.implicits._
       val ids = Tables.fan(s,
         documents(s, d).where(col("doc_id") < 20).select(col("doc_id")))
-      val encoded = ids.as[Long].mapPartitions(_.map { id =>
-        val w = (8 + id % 5).toInt; val h = (8 + id % 7).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val r = ((x * 7 + y * 13 + id) % 256).toInt
-            val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
-            val b = ((x + y + 3 * id) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        (id, baos.toByteArray)
-      }).toDF("doc_id", "payload")
-      val decoded = encoded.as[(Long, Array[Byte])].mapPartitions(_.map {
-        case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          val w = img.getWidth; val h = img.getHeight
-          var pxSum = 0L; var mx = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
-              val b = rgb & 0xFF
-              pxSum += r + g + b
-              mx = math.max(mx, math.max(r, math.max(g, b)))
-              x += 1
-            }
-            y += 1
-          }
-          (id, w, h, pxSum, mx)
-      }).toDF("doc_id", "width", "height", "px_sum", "max_channel")
-      decoded.orderBy(col("doc_id"))
+      imageFeaturesKernel(s, ids.as[Long]).orderBy(col("doc_id"))
     },
 
     // Video-style frame sampling: metadata → sampled frame index expansion
@@ -360,4 +319,57 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     },
   )
+
+  /** The PNG encode→decode→feature kernel behind mm_image_features,
+    * parametric over the id set and image size so ScaleSmoke can drive it
+    * at 100k+ images (`dimBase` 32 → ~32-38 px sides) while the oracle
+    * query keeps the fixture-exact 8-px formulas. Two mapPartitions
+    * stages on executors — the one place mapPartitions is justified (no
+    * Catalyst expression decodes PNG); nothing returns to the driver. */
+  private[graft] def imageFeaturesKernel(s: SparkSession,
+      ids: org.apache.spark.sql.Dataset[Long],
+      dimBase: Int = 8): DataFrame = {
+    import s.implicits._
+    val encoded = ids.mapPartitions(_.map { id =>
+      val w = (dimBase + id % 5).toInt; val h = (dimBase + id % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + y * 13 + id) % 256).toInt
+          val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+          val b = ((x + y + 3 * id) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      (id, baos.toByteArray)
+    }).toDF("doc_id", "payload")
+    encoded.as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val w = img.getWidth; val h = img.getHeight
+        var pxSum = 0L; var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            pxSum += r + g + b
+            mx = math.max(mx, math.max(r, math.max(g, b)))
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, pxSum, mx)
+    }).toDF("doc_id", "width", "height", "px_sum", "max_channel")
+  }
 }

@@ -845,8 +845,8 @@ object PipelineOps {
         |FROM r ORDER BY block, dataset, slot LIMIT 1000""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val t = documents(s, d).select(col("doc_id"), expr(
-        """CASE WHEN TRY_CAST(substring(source, 4) AS INT) < 10 THEN 'web'
-          |     WHEN TRY_CAST(substring(source, 4) AS INT) < 15 THEN 'books'
+        """CASE WHEN TRY_CAST(substring(source, 4, 8) AS INT) < 10 THEN 'web'
+          |     WHEN TRY_CAST(substring(source, 4, 8) AS INT) < 15 THEN 'books'
           |     ELSE 'code' END""".stripMargin).as("dataset"))
       val maxId = t.agg(max(col("doc_id"))).head() match {
         case r if r.isNullAt(0) => 0L
@@ -901,8 +901,8 @@ object PipelineOps {
          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("source"), expr(
-          """CASE WHEN TRY_CAST(substring(source, 4) AS INT) < 5 THEN 3
-            |     WHEN TRY_CAST(substring(source, 4) AS INT) < 10 THEN 2
+          """CASE WHEN TRY_CAST(substring(source, 4, 8) AS INT) < 5 THEN 3
+            |     WHEN TRY_CAST(substring(source, 4, 8) AS INT) < 10 THEN 2
             |     ELSE 1 END""".stripMargin).as("epochs"))
         .select(col("doc_id"), col("source"),
           explode(expr("sequence(0, epochs - 1)")).as("epoch"))

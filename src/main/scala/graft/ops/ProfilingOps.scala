@@ -414,46 +414,51 @@ object ProfilingOps {
     // sketches union by cell-wise addition, so corpus-wide token heavy
     // hitters come from sketch merges instead of re-scans. Exact top-10
     // (count DESC, word — a TakeOrdered prefix over the word aggregate)
-    // is the oracle-checked frame; the CMS side is gate-checked against
-    // its ε/δ contract: est ≥ true always (CMS never undercounts), and
-    // est ≤ true + ε·N with the fixed seed making the estimate
-    // deterministic. The sketch binary collects driver-side
-    // planning-sized (ε=0.001, δ=0.99 ⇒ ~2720×5 longs ≈ 109 KB) and the
-    // ten estimates ride the exact frame as a literal map.
+    // is the oracle-checked frame; the CMS side gates ONLY the guaranteed
+    // invariant — est ≥ true (CMS never undercounts, holds with
+    // probability 1). The ε bound (est ≤ true + ε·N) holds only with
+    // confidence δ=0.99, so asserting it in the oracle would let a future
+    // fixture fail parity with CORRECT code — it lives in
+    // ProfilingOpsSpec instead, where the fixed seed makes it a
+    // deterministic property of THIS fixture. The sketch binary collects
+    // driver-side planning-sized (ε=0.001, δ=0.99 ⇒ ~2720×5 longs
+    // ≈ 109 KB) and the ten estimates ride the exact frame as a literal
+    // map. A word-less corpus short-circuits to the (empty) exact frame —
+    // no sketch to read, no NPE.
     Q("profile_cms_heavyhitters",
       """WITH t AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
         |  FROM documents),
         |wc AS (SELECT word, count(*) AS n FROM t GROUP BY word)
         |SELECT word, CAST(n AS BIGINT) AS n,
-        |  CAST(1 AS BOOLEAN) AS est_ge_true,
-        |  CAST(1 AS BOOLEAN) AS est_within_eps
+        |  CAST(1 AS BOOLEAN) AS est_ge_true
         |FROM wc ORDER BY n DESC, word LIMIT 10""".stripMargin) { (s, d) =>
       val words = Tables.fan(s, documents(s, d))
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
           .as("word"))
       val wc = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
-      // probe jobs: the sketch aggregate + the exact top-10 + total N are
+      // probe jobs: the sketch aggregate + the exact top-10 are
       // planning-sized collects; the CONTRACT frame below recomputes the
       // top-10 distributedly so the gate checks the distributed aggregate
-      val bytes = words
+      val bytesRow = words
         .select(expr("count_min_sketch(word, CAST(0.001 AS DOUBLE), " +
           "CAST(0.99 AS DOUBLE), 42)").as("cms"))
-        .head.getAs[Array[Byte]]("cms")
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      val top = wc.orderBy(col("n").desc, col("word")).limit(10).collect()
-      val totalN = wc.agg(sum(col("n"))).head.getLong(0)
-      val estPairs = top.flatMap { r =>
-        Seq(lit(r.getString(0)), lit(cms.estimateCount(r.getString(0))))
+        .head
+      val exactTop = wc.orderBy(col("n").desc, col("word")).limit(10)
+      if (bytesRow.isNullAt(0)) {
+        exactTop.select(col("word"), col("n"), lit(true).as("est_ge_true"))
+      } else {
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(
+            bytesRow.getAs[Array[Byte]](0)))
+        val top = exactTop.collect()
+        val estPairs = top.flatMap { r =>
+          Seq(lit(r.getString(0)), lit(cms.estimateCount(r.getString(0))))
+        }
+        val estMap = map(estPairs.toIndexedSeq: _*)
+        exactTop.select(col("word"), col("n"),
+          (element_at(estMap, col("word")) >= col("n")).as("est_ge_true"))
       }
-      val estMap = map(estPairs.toIndexedSeq: _*)
-      val slack = math.ceil(0.001 * totalN).toLong
-      wc.orderBy(col("n").desc, col("word")).limit(10)
-        .select(col("word"), col("n"),
-          (element_at(estMap, col("word")) >= col("n")).as("est_ge_true"),
-          (element_at(estMap, col("word")) <= col("n") + lit(slack))
-            .as("est_within_eps"))
     },
   )
 }

@@ -855,8 +855,16 @@ object TextOps {
         "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
           "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
         "ELSE array() END")).as("b"))
+      // keyed on xxhash64 of each side, not the word strings — the
+      // dsir_importance gram-index trick (PipelineOps): the LM groupBy,
+      // the context aggregate, and the scoring equi-join all shuffle
+      // 8-byte (h1, h2) longs instead of ~35-byte word pairs. At the
+      // 1.3M-doc tier the LM has ~70M distinct pairs, so the byte ratio
+      // is the op's dominant shuffle cost. Collisions at that vocab are
+      // ~2⁻⁴⁸-scale — immaterial; the oracle stays string-keyed and the
+      // hash-green gate IS the collision check.
       .select(col("doc_id"), col("lang"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
+        xxhash64(col("b.w1")).as("w1"), xxhash64(col("b.w2")).as("w2"))
     val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // context totals derive from the aggregated LM (c1 = Σ_w2 c12), not
     // from a second full corpus bigram pass — the LM is vocab²-sized

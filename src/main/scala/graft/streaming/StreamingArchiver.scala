@@ -171,8 +171,13 @@ object StreamingArchiver {
         StructType(Seq(StructField("key", LongType),
           StructField("price", DoubleType))))
     }
+    // full tiebreak past seq: a malformed upstream emitting duplicate
+    // (key, seq) rows must still reduce DETERMINISTICALLY or the replay
+    // rebuilds a different generation and the byte-identical idempotence
+    // argument breaks — op then price break the tie totally
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("seq").desc)
+      .partitionBy(col("key"))
+      .orderBy(col("seq").desc, col("op").asc, col("price").asc_nulls_first)
     val last = batch.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("key").as("c_key"), col("op"), col("price").as("c_price"))
@@ -190,35 +195,46 @@ object StreamingArchiver {
   }
 
   /** Atomically repoint CURRENT at `gen` (an existing generation dir
-    * under `snapshotRoot`). Rename refuses to overwrite on HDFS-like
-    * stores: delete-then-rename leaves a no-pointer instant a reader
-    * retries through (a production deployment points through a
-    * transactional catalog). */
+    * under `snapshotRoot`). Uses FileContext's OVERWRITE rename — unlike
+    * FileSystem.rename, it replaces the target in one metadata op on
+    * HDFS-like stores, so there is NO instant where the pointer is
+    * absent and a concurrent [[currentSnapshot]] reader sees None (a
+    * production deployment points through a transactional catalog). */
   def publishSnapshot(s: SparkSession, snapshotRoot: String,
       gen: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(snapshotRoot)
-    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val conf = s.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(root, s".CURRENT-$gen")
     val out = fs.create(tmp, true)
     out.write(gen.getBytes("UTF-8")); out.close()
     val ptr = new org.apache.hadoop.fs.Path(root, "CURRENT")
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"pointer publish failed for $gen")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The live generation named by the CURRENT pointer, if any. */
+  /** The live generation named by the CURRENT pointer, if any. The short
+    * bounded retry below is belt-and-braces for stores whose rename is
+    * not atomic-overwrite (object-store semantics): a reader racing a
+    * publish waits out the sub-second window instead of crashing. A
+    * genuinely absent pointer (cold start) costs three quick probes. */
   def currentSnapshot(s: SparkSession, snapshotRoot: String)
       : Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(snapshotRoot)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     val ptr = new org.apache.hadoop.fs.Path(root, "CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val gen =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      Some(s.read.parquet(s"$snapshotRoot/$gen"))
+    var attempt = 0
+    while (attempt < 3) {
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        val gen =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        return Some(s.read.parquet(s"$snapshotRoot/$gen"))
+      }
+      attempt += 1
+      if (attempt < 3) Thread.sleep(50L * attempt)
     }
+    None
   }
 }

@@ -84,6 +84,37 @@ object ScaleSmoke {
     require(!graft.ops.PipelineOps.packTwoPhaseGate(spark, smallDir),
       "pack gate must stay on the single-window branch at fixture scale")
 
+    // --- skewed sibling corpus for the paragraph-dedup probe gate: every
+    // third document opens with the SAME 10-word boilerplate block (the
+    // "all rights reserved" shape), so one digest owns ~5-8% of all
+    // blocks — far past the 1% flip threshold. The organic tier above
+    // must NOT flip (its hottest digests are 50-member exact-dup groups,
+    // a vanishing share of ~7M blocks).
+    val skewDir = s"$dir/skewed"
+    val wantSkew = only.forall(_.exists(_.contains("paragraph")))
+    if (wantSkew) {
+    spark.range(docRows)
+      .select(
+        col("id").as("doc_id"),
+        expr("""concat(
+            CASE WHEN id % 3 = 0
+              THEN 'all rights reserved by the original publisher of this work '
+              ELSE '' END,
+            concat_ws(' ', transform(
+              sequence(0, 19 + cast(pmod(xxhash64(id, 2), 20) AS INT)),
+              i -> concat('w', pmod(xxhash64(id, i + 10), 30000)))))""")
+          .as("text"),
+        lit("en").as("lang"), lit("web").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    require(graft.ops.DedupOps.paragraphSkewGate(spark, skewDir),
+      "paragraph gate must flip to the aggregate+join plan on the skewed corpus")
+    require(!graft.ops.DedupOps.paragraphSkewGate(spark, dir),
+      "paragraph gate must stay on the window plan on the organic corpus")
+    require(!graft.ops.DedupOps.paragraphSkewGate(spark, smallDir),
+      "paragraph gate must stay on the window plan at fixture scale")
+    }
+
     // --- heavy families at scale. Wall times recorded, not asserted
     // (host-load noise); completion itself is the assertion that no
     // driver-side structure grows with the corpus.
@@ -108,14 +139,59 @@ object ScaleSmoke {
       // late-session: the agreement matrix unions three pair kernels in
       // one pass; soft weights rides the component machinery; keyframe
       // is a bounded synthetic expansion
-      "dedup_agreement_matrix", "dedup_soft_weights", "mm_keyframe_select")
-    val timings = only.fold(names)(ns => names.filter(ns)).map { name =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE $name%-28s $sec%8.2f s")
-      name -> sec
+      "dedup_agreement_matrix", "dedup_soft_weights", "mm_keyframe_select",
+      // round-9 additions: the probe-gated paragraph dispatcher (runs the
+      // window plan here — the organic corpus does not flip it) and the
+      // full-corpus k-NN graph at the 100k-vector tier
+      "dedup_paragraph_gated", "knn_graph_ivf")
+
+    // Non-query scale probes, same timing discipline. Each is a closure
+    // so the `only` filter applies uniformly.
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val extras: Seq[(String, () => Unit)] = Seq(
+      // the gated dispatcher ON the skewed corpus — takes the skewsafe
+      // branch (gate asserted above); its window sibling on the same
+      // corpus is the measured argument for why the escalation exists
+      "x_paragraph_gated_skewed" -> (() =>
+        noop(graft.SparkEntry.queries("dedup_paragraph_gated")(spark, skewDir))),
+      "x_paragraph_window_skewed" -> (() =>
+        noop(graft.SparkEntry.queries("dedup_paragraph_global")(spark, skewDir))),
+      // CDC merge with snapshot ≫ delta: 3M-key base generation, 10k-row
+      // batch — the incremental-merge regime the fixture-scale oracle
+      // cannot exercise (full-outer join must stay snapshot-bounded,
+      // nothing driver-side grows with the base)
+      "x_cdc_big_snapshot" -> { () =>
+        val cdcRoot = s"$dir/cdc"
+        spark.range(3000000L)
+          .select(col("id").as("key"),
+            (col("id") % 1000).cast("double").as("price"))
+          .write.mode("overwrite").parquet(s"$cdcRoot/gen-init")
+        graft.streaming.StreamingArchiver.publishSnapshot(spark, cdcRoot, "gen-init")
+        val delta = spark.range(10000L)
+          .select((col("id") * 300).as("key"), lit(1).as("seq"),
+            when(col("id") % 10 === 0, "D").otherwise("U").as("op"),
+            (col("id") + 0.5).cast("double").as("price"))
+        graft.streaming.StreamingArchiver.mergeBatch(spark, cdcRoot, delta, 1L)
+      },
+      // real PNG encode+decode at 100k images (~32-38 px sides) — the
+      // executor-side codec path at 5000× the oracle query's image count
+      "x_image_decode_100k" -> { () =>
+        import spark.implicits._
+        noop(graft.ops.MultimodalOps.imageFeaturesKernel(
+          spark, spark.range(100000L).as[Long], 32))
+      })
+
+    val tasks: Seq[(String, () => Unit)] =
+      names.map(n => n -> (() =>
+        noop(graft.SparkEntry.queries(n)(spark, dir)))) ++ extras
+    val timings = only.fold(tasks)(ns => tasks.filter(t => ns(t._1))).map {
+      case (name, body) =>
+        val t0 = System.nanoTime()
+        body()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE $name%-28s $sec%8.2f s")
+        name -> sec
     }
 
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }

@@ -126,4 +126,56 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, cfg, srcDir, tgt, mode = "incremental"))
     assert(spark.read.parquet(tgt).count() == expected)
   }
+
+  test("SIGTERM analogue: cancel hook mid-run, incremental recovery is exact") {
+    // the signal path (reference cmd/main.go:29-35): the shutdown hook
+    // fires Main.cancelAndSweep against an IN-FLIGHT archive — jobs
+    // cancelled, staging root swept at an arbitrary instant — and the
+    // process dies. Recovery is the incremental mode resuming from the
+    // committed-key watermark (ascending-key commit order makes any
+    // interruption leave a key-prefix). The assertion: whatever instant
+    // the hook hit, the recovered target holds EXACTLY one copy of every
+    // matching source row.
+    val srcDir = Files.createTempDirectory("graft-main-sig-src").toString
+    val tgt = Files.createTempDirectory("graft-main-sig-tgt").toString + "/t"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode("overwrite").parquet(s"$srcDir/orders.parquet")
+    val db = new java.io.File(srcDir).getName
+    val cfg = ArchiverConfig.fromJson(
+      s"""{
+         |  "sourceDB": "$db",
+         |  "sourceTable": "orders",
+         |  "sourceWhereCondition": "o_totalprice > 5000",
+         |  "sourceSplitKey": "o_orderkey",
+         |  "batchSize": 50,
+         |  "maxThread": 2
+         |}""".stripMargin).fold(e => fail(s"config parse: $e"), identity)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val th = new Thread(() => {
+      // the interrupted process: outcome irrelevant (it would be SIGKILLed
+      // dead in production) — only the on-disk state it leaves matters
+      try { Main.run(spark, cfg, srcDir, tgt, mode = "incremental"); () }
+      catch { case _: Throwable => () }
+      finally done.set(true)
+    }, "graft-sig-run")
+    th.start()
+    // fire the hook once the run is genuinely in flight (first committed
+    // target file) — or immediately at thread end if it outran the poll
+    val fs = new org.apache.hadoop.fs.Path(tgt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!done.get() && !fs.exists(new org.apache.hadoop.fs.Path(tgt))
+        && System.nanoTime() < deadline) Thread.sleep(5)
+    Main.cancelAndSweep(spark, s"$tgt.staging")
+    th.join(180000)
+    assert(!th.isAlive, "interrupted run thread must terminate")
+    // fresh process, same config: the delta run resumes from the watermark
+    assert(Main.run(spark, cfg, srcDir, tgt, mode = "incremental"))
+    val src = spark.read.parquet(s"$srcDir/orders.parquet")
+      .where("o_totalprice > 5000")
+    val got = spark.read.parquet(tgt)
+    assert(got.count() == src.count(), "recovery must not lose rows")
+    assert(got.select("o_orderkey").distinct().count() == src.count(),
+      "no half-committed batch may survive as duplicates")
+  }
 }

@@ -69,6 +69,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rs.map(_._2) == rs.map(_._1).scanLeft(0L)(_ + _).tail)
   }
 
+  test("profile_cms_heavyhitters: CMS ε bound holds on the fixture (fixed seed)") {
+    // the ε contract (est ≤ true + ε·N) only holds with confidence
+    // δ=0.99, so the ORACLE gates just the guaranteed est ≥ true
+    // invariant; here, with seed 42 and this fixture, the estimate is
+    // deterministic and the bound is a stable property worth pinning
+    import org.apache.spark.sql.functions._
+    val words = Tables.fan(spark, Tables.documents(spark, sf))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("word"))
+    val bytes = words
+      .select(expr("count_min_sketch(word, CAST(0.001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val totalN = words.count()
+    val slack = math.ceil(0.001 * totalN).toLong
+    val top = rows("profile_cms_heavyhitters")
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (word, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(word)
+      assert(est >= n, s"CMS undercounted $word: $est < $n")
+      assert(est <= n + slack,
+        s"CMS ε bound violated for $word: $est > $n + $slack")
+    }
+  }
+
   test("anomaly_mad: outliers are a strict minority under the 3-MAD screen") {
     rows("anomaly_mad").foreach { r =>
       val (n, outliers) = (r.getLong(1), r.getLong(4))

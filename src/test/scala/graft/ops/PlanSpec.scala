@@ -616,6 +616,30 @@ class PlanSpec extends SparkSpec {
       "corpus rewrite must stay window + rollup:\n" + p)
   }
 
+  test("curation_pipeline_subdoc: rewrite materialized once, chain plans over the artifact") {
+    // the subdoc flavor's rewrite is a computed corpus consumed by THREE
+    // downstream passes (classifier, LSH candidates, exact verify);
+    // without the stage-boundary checkpoint each pass re-runs the block
+    // window + reassembly (measured 1.5× the base chain at 1.3M docs).
+    // Fused shape: the rewrite's WindowExec sits BEHIND the checkpoint,
+    // so the pipeline's own plan contains no window over block digests —
+    // it scans the materialized artifact instead.
+    val p = planOf("curation_pipeline_subdoc")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "chain must read the checkpointed rewrite artifact:\n" + p)
+    assert(!p.contains("xxhash64(btext"),
+      "block-digest window must not be re-planned downstream:\n" + p)
+  }
+
+  test("dedup_paragraph_gated: organic fixture keeps the window plan (gate off)") {
+    val p = planOf("dedup_paragraph_gated")
+    // at fixture scale the probe must not flip: same single-shuffle
+    // window shape as dedup_paragraph_global, no join
+    assert(p.contains("Window"), "fixture-scale gated plan must be the window flavor:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "fixture-scale gated plan must not join:\n" + p)
+  }
+
   test("dedup_paragraph_skewsafe: aggregate+join, no WindowExec (hot-digest remedy shape)") {
     val p = planOf("dedup_paragraph_skewsafe")
     // the skew-safe flavor must NOT plan a window: a partition-by-digest

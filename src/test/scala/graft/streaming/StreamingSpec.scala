@@ -245,4 +245,29 @@ class StreamingSpec extends SparkSpec {
     StreamingArchiver.mergeBatch(spark, root, batch, 0L)
     assert(state() == once, "replayed batch must leave the snapshot unchanged")
   }
+
+  test("cdc mergeBatch: duplicate (key, seq) rows reduce deterministically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdc-dupseq").toString
+    spark.range(1, 4)
+      .select(col("id").as("key"), (col("id") * 10).cast("double").as("price"))
+      .write.mode("overwrite").parquet(s"$root/gen-init")
+    StreamingArchiver.publishSnapshot(spark, root, "gen-init")
+    // a malformed upstream emits THREE rows for (key 2, seq 5): the full
+    // (seq desc, op, price) tiebreak must pick the same winner on every
+    // run/replay — 'D' < 'U' lexicographically, so the delete wins
+    val batch = Seq(
+      (2L, 5, "U", 77.0), (2L, 5, "D", 0.0), (2L, 5, "U", 88.0))
+      .toDF("key", "seq", "op", "price")
+    def state() = StreamingArchiver.currentSnapshot(spark, root).get
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val runs = (0 to 2).map { _ =>
+      StreamingArchiver.mergeBatch(spark, root, batch, 0L); state()
+    }
+    assert(runs.distinct.size == 1,
+      s"duplicate (key, seq) must resolve identically across replays: $runs")
+    assert(runs.head.map(_._1) == Seq(1L, 3L),
+      "the deterministic winner for (2, seq 5) is the delete")
+  }
 }
