@@ -597,22 +597,41 @@ object AnnOps {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rk FROM scored) t2
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      // Cell count is a FOOTER-GATED planning decision: the oracle's
+      // K=16 below 10k vectors (every fixture — the oracle pins this
+      // branch bit-for-bit: same centroid ids, same (cs DESC, cid DESC)
+      // tie-break), K=⌈√N⌉ capped at 4096 beyond. Fixed K=16 collapses
+      // at the 100k-vector tier — ~6250 members/cell × 2 probes ≈ 1.25B
+      // candidate pairs (measured 941 s); √N cells bound candidates at
+      // ~2N·√N (~63M there). Like every IVF op the result is
+      // approximate-by-contract, so the scale branch changing the cell
+      // structure changes candidates, never the exact re-rank — the
+      // recall story is ann_recall_eval's. Cell scoring shuffles NARROW
+      // (vec_id, cid, cs) rows — embeddings never ride the ranking
+      // window; they re-attach by equi-join afterwards (~N rows a side).
       val nprobe = 2; val k = 3
       val e = vecs(s, d)
-      val cents: Array[(Long, Array[Double])] =
-        e.where(col("vec_id") >= 5 && col("vec_id") < 21)
-          .select(col("vec_id"), col("v")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      def cellScores(v: Column): Column = array(cents.map { case (cid, w) =>
-        struct(cosine(v, typedLit(w)).as("c"), lit(cid).as("cid"))
-      }: _*)
-      val assigned = e.withColumn("cell",
-        array_max(cellScores(col("v"))).getField("cid"))
-      val probes = e
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(transform(
-            slice(sort_array(cellScores(col("v")), asc = false), 1, nprobe),
-            _.getField("cid"))).as("cell"))
+      val nVec = Tables.parquetRowCount(s, d, "embeddings")
+      val kCells =
+        if (nVec <= 10000L) 16L
+        else math.min(4096L, math.ceil(math.sqrt(nVec.toDouble)).toLong)
+      val cents = e
+        .where(col("vec_id") >= 5 && col("vec_id") < lit(5L + kCells))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val ranked = e.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosine(col("v"), col("cv")).as("cs"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("cs").desc, col("cid").desc)))
+      val assigned = ranked.where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+        .join(e, Seq("vec_id"))
+      val probes = ranked.where(col("rn") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+        .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+          Seq("query_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       assigned.join(probes, Seq("cell"))
