@@ -140,7 +140,8 @@ object Main {
     if (report.quarantined > 0)
       println(s"[quarantine] ${report.quarantined} corrupt landing rows excluded")
     val m = report.metrics
-    println(f"[metrics] read=${m.rowsRead} rows (${m.readRowsPerSec}%.0f rows/s) " +
+    println(f"[metrics] read=${m.rowsRead} rows (${m.readRowsPerSec}%.0f rows/s, " +
+      f"${m.readRowsPerSec10s}%.0f rows/s over the last 10s) " +
       s"written=${m.bytesWritten} bytes")
     println(f"[done] total ${(System.nanoTime() - t0) / 1e9}%.1f s")
     rc.correct

@@ -897,14 +897,17 @@ object DedupOps {
     },
 
     // The PROBE-GATED dispatcher over the two stat flavors above, same
-    // oracle: the window plan is the cheaper shape on an organic corpus
-    // (one shuffle, no join), but a boilerplate-skewed corpus needs the
-    // aggregate+join plan (see dedup_paragraph_skewsafe's scaladoc). The
+    // oracle: the window plan is the cheaper shape as long as every
+    // digest's slice fits one task (one shuffle, no join — and measured
+    // faster even on a 5%-boilerplate corpus at the 1.3M-doc tier), but
+    // a hot digest outgrowing a task's window buffer breaks WindowExec
+    // with no remedy (see dedup_paragraph_skewsafe's scaladoc). The
     // escalation the docs previously left to the operator is now a
-    // bounded planning probe — [[paragraphSkewGate]] samples 20k docs and
-    // flips when one digest owns ≥1% of sampled blocks. Both branches are
-    // the already-hash-verified flavors; ScaleSmoke asserts the flip on a
-    // deliberately skewed synthetic corpus and the non-flip on organics.
+    // bounded planning probe — [[paragraphSkewGate]] projects the
+    // hottest digest's corpus-wide row count from a 20k-doc sample and
+    // flips past [[ParagraphWindowMaxHotRows]]. Both branches are the
+    // already-hash-verified flavors; ScaleSmoke asserts the projection
+    // on a deliberately skewed corpus and the decision flip at 100×.
     Q("dedup_paragraph_gated", paragraphGlobalSql) { (s, d) =>
       val blocks = paragraphBlocks(s, d)
       if (paragraphSkewGate(s, d)) {
@@ -1207,33 +1210,52 @@ object DedupOps {
       .select(col("doc_id"), col("pos").as("bi"),
         xxhash64(col("col")).as("bh"), length(col("col")).as("blen"))
 
-  /** How many documents the skew probe reads, and the hot-digest share
-    * that flips the gated flavor to the aggregate+join plan. 20k docs is
-    * bounded work at ANY corpus size (the limit stops the scan early) and
-    * ample to surface boilerplate skew: a digest owning ≥1% of corpus
-    * blocks appears >100 times in the sample with overwhelming
-    * probability, while fixture-style organic duplication stays well
-    * under the threshold. */
+  /** How many documents the skew probe reads, and the estimated ABSOLUTE
+    * hot-digest row count past which the window plan is unsafe. The
+    * criterion is deliberately not a share: a digest owning even 5% of a
+    * 1.3M-doc corpus is ~500k narrow 28-byte rows — one task buffers
+    * that comfortably, and the measured A/B says the window plan is
+    * still the FASTER one there (8.9 s vs the aggregate+join's 15.2 s,
+    * scale_smoke_r9_new.json). What breaks the window flavor is the hot
+    * slice outgrowing a single task — partition-by-digest WindowExec has
+    * no skew remedy — so the flip point is an absolute row count sized
+    * to a task's window buffer (4M rows ≈ ~112 MB), which the same
+    * boilerplate share only reaches on a corpus two orders larger. */
   private val ParagraphProbeDocs = 20000
-  private val ParagraphSkewShare = 0.01
+  private[graft] val ParagraphWindowMaxHotRows = 4L << 20
 
-  /** Planning probe for the gated sub-document flavor: does ONE block
-    * digest own a skew-sized share of the sampled blocks? Boilerplate
-    * skew is corpus-wide by nature (navigation chrome, license blocks
-    * recur everywhere), so a contiguous document sample sees it at its
-    * corpus-wide rate — the same probe-then-pick pattern as the tfidf
-    * footer gate, paid as one bounded job instead of a footer read
-    * (footers cannot see content skew). Public so ScaleSmoke can assert
-    * the flip on a deliberately skewed corpus. */
-  def paragraphSkewGate(s: SparkSession, d: String): Boolean = {
+  /** Estimated corpus-wide row count of the hottest block digest, from a
+    * bounded sample: boilerplate skew is corpus-wide by nature
+    * (navigation chrome, license blocks recur everywhere), so a
+    * contiguous [[ParagraphProbeDocs]]-doc sample sees the hot digest at
+    * its corpus rate and `topCount · footerDocs / sampleDocs` projects
+    * it to the corpus. One bounded job at any corpus size (the limit
+    * stops the scan early) + a footer read — footers alone cannot see
+    * content skew. Public so ScaleSmoke can assert the projection. */
+  def paragraphHotRowEstimate(s: SparkSession, d: String): Double = {
+    val footerDocs = Tables.parquetRowCount(s, d, "documents")
+    if (footerDocs == 0L) return 0.0
+    // the limit returns exactly min(probe, total) docs, and every doc
+    // yields ≥1 block, so the sample size needs no second count job
+    val sampleDocs = math.min(footerDocs, ParagraphProbeDocs.toLong)
     val sample = Tables.fan(s, documents(s, d))
       .select(col("doc_id"), col("text")).limit(ParagraphProbeDocs)
     val r = paragraphBlocksOf(sample)
       .groupBy(col("bh")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("top"), sum(col("c")).as("tot")).head
-    !r.isNullAt(1) && r.getLong(1) > 0 &&
-      r.getLong(0).toDouble / r.getLong(1) >= ParagraphSkewShare
+      .agg(max(col("c")).as("top")).head
+    if (r.isNullAt(0)) 0.0
+    else r.getLong(0).toDouble * footerDocs.toDouble / sampleDocs.toDouble
   }
+
+  /** The planning decision for the gated sub-document flavor, split from
+    * the estimate so ScaleSmoke can assert the FLIP as a pure function
+    * of corpus scale (the live tiers below the threshold correctly keep
+    * the faster window plan; the projection at 100× crosses it). */
+  def paragraphSkewDecision(estimatedHotRows: Double): Boolean =
+    estimatedHotRows > ParagraphWindowMaxHotRows.toDouble
+
+  def paragraphSkewGate(s: SparkSession, d: String): Boolean =
+    paragraphSkewDecision(paragraphHotRowEstimate(s, d))
 
   /** Per-doc survival rollup over blocks carrying their first-occurrence
     * rank `fst` — shared by the window and aggregate+join flavors. */

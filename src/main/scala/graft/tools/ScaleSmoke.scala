@@ -107,8 +107,24 @@ object ScaleSmoke {
         lit("en").as("lang"), lit("web").as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
-    require(graft.ops.DedupOps.paragraphSkewGate(spark, skewDir),
-      "paragraph gate must flip to the aggregate+join plan on the skewed corpus")
+    // The gate criterion is the estimated ABSOLUTE hot-digest row count
+    // (share is the wrong proxy — see DedupOps scaladoc; the measured A/B
+    // on this very corpus has the window plan FASTER, 8.9 vs 15.2 s,
+    // because ~500k narrow rows still fit one task). Asserted here:
+    //  (a) the probe SEES the planted boilerplate and projects it to the
+    //      corpus within sane bounds (~1/3 of docs share one block);
+    //  (b) at this tier the decision correctly KEEPS the window plan on
+    //      all three corpora;
+    //  (c) the same projection at a 100×-larger corpus crosses the task
+    //      buffer threshold and flips — the pure-function flip is what
+    //      protects the 100 TB regime.
+    val hotSkew = graft.ops.DedupOps.paragraphHotRowEstimate(spark, skewDir)
+    require(hotSkew > docRows / 10.0 && hotSkew < docRows,
+      s"skew probe must project the planted boilerplate (got $hotSkew of $docRows docs)")
+    require(!graft.ops.DedupOps.paragraphSkewDecision(hotSkew),
+      "at this tier the hot slice fits a task: window plan must be kept")
+    require(graft.ops.DedupOps.paragraphSkewDecision(hotSkew * 100),
+      "the 100x projection must flip to the aggregate+join plan")
     require(!graft.ops.DedupOps.paragraphSkewGate(spark, dir),
       "paragraph gate must stay on the window plan on the organic corpus")
     require(!graft.ops.DedupOps.paragraphSkewGate(spark, smallDir),
