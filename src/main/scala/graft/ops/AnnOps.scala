@@ -609,12 +609,21 @@ object AnnOps {
       // recall story is ann_recall_eval's. Cell scoring shuffles NARROW
       // (vec_id, cid, cs) rows — embeddings never ride the ranking
       // window; they re-attach by equi-join afterwards (~N rows a side).
-      val nprobe = 2; val k = 3
+      val k = 3
       val e = vecs(s, d)
       val nVec = Tables.parquetRowCount(s, d, "embeddings")
       val kCells =
         if (nVec <= 10000L) 16L
         else math.min(4096L, math.ceil(math.sqrt(nVec.toDouble)).toLong)
+      // probe count scales with the cell count (else the probed corpus
+      // FRACTION collapses as K grows — at K=317, nprobe=2 sees 0.6% of
+      // the corpus and measured recall@3 fell to 0.10 on the
+      // uniform-random tier; nprobe=K/32 restores a ~3% probe ratio at
+      // ~4× candidate cost, still ~√N-bounded). Candidates per query
+      // stay nprobe·N/K ≈ √N/32·√N — linear in N corpus-wide per probe.
+      // The smoke's x_knn_graph_recall records the (recall, cost) pair;
+      // real embeddings cluster, so the uniform tier is the floor.
+      val nprobe = math.max(2L, kCells / 32L).toInt
       val cents = e
         .where(col("vec_id") >= 5 && col("vec_id") < lit(5L + kCells))
         .select(col("vec_id").as("cid"), col("v").as("cv"))

@@ -162,7 +162,9 @@ object ScaleSmoke {
       "dedup_paragraph_gated", "knn_graph_ivf")
 
     // Non-query scale probes, same timing discipline. Each is a closure
-    // so the `only` filter applies uniformly.
+    // so the `only` filter applies uniformly. Probes may deposit named
+    // quality numbers (recall etc.) into `metrics` for the JSON record.
+    val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val extras: Seq[(String, () => Unit)] = Seq(
@@ -196,6 +198,40 @@ object ScaleSmoke {
         import spark.implicits._
         noop(graft.ops.MultimodalOps.imageFeaturesKernel(
           spark, spark.range(100000L).as[Long], 32))
+      },
+      // recall audit of knn_graph_ivf's √N-cell SCALE branch: 50 sampled
+      // queries' graph edges vs their brute-force top-3 over the full
+      // 100k corpus. Recorded, not hard-gated (uniform random vectors
+      // are IVF's worst case — neighbors barely cluster — so the number
+      // is a floor on real-embedding behavior, where locality is the
+      // point); the fixture branch's recall contract is ann_recall_eval.
+      "x_knn_graph_recall" -> { () =>
+        val g = graft.SparkEntry.queries("knn_graph_ivf")(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val queries = e.where(pmod(col("vec_id"), lit(2000)) === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val dot = expr(
+          "aggregate(zip_with(qv, v, (a, b) -> a * b), 0d, (a, x) -> a + x)")
+        val nrm = (c: String) => expr(
+          s"sqrt(aggregate(transform($c, x -> x * x), 0d, (a, x) -> a + x))")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val truth = queries.crossJoin(e)
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (dot / (nrm("qv") * nrm("v"))).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        val hit = truth.join(g, Seq("query_id", "neighbor_id")).count()
+        val total = truth.count()
+        val recall = if (total == 0) 0.0 else hit.toDouble / total
+        metrics += ("knn_graph_recall_at3" -> recall)
+        println(f"SCALE-METRIC knn_graph_recall_at3 = $recall%.3f ($hit of $total)")
       })
 
     val tasks: Seq[(String, () => Unit)] =
@@ -212,8 +248,10 @@ object ScaleSmoke {
 
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val ms = metrics.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"doc_rows":$docRows,"vec_rows":$vecRows,"tfidf_broadcast_gate":$tfidfBroadcast,"pack_two_phase_gate":$packTwoPhase,"action":"noop-sink","queries":$qs}"""
+      s"""{"doc_rows":$docRows,"vec_rows":$vecRows,"tfidf_broadcast_gate":$tfidfBroadcast,"pack_two_phase_gate":$packTwoPhase,"action":"noop-sink","queries":$qs,"metrics":$ms}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(s"WROTE $outPath")
     spark.stop()
