@@ -232,11 +232,54 @@ object ScaleSmoke {
         val recall = if (total == 0) 0.0 else hit.toDouble / total
         metrics += ("knn_graph_recall_at3" -> recall)
         println(f"SCALE-METRIC knn_graph_recall_at3 = $recall%.3f ($hit of $total)")
+      },
+      // the honest RocksDB crossover probe at STREAMING state the
+      // fixtures never reach: a 3.3M-event stream deduplicating to 3M
+      // distinct keys (~375k keys/partition held in state across 4
+      // micro-batches). sf0.1 A/Bs (SCALE.md) showed RocksDB losing on
+      // thousands of keys — per-batch native-instance cost dominating;
+      // this records both providers at the millions regime so the
+      // env-switch recommendation rests on a measured curve, not a
+      // single point.
+      "x_stream_dedup_3m_crossover" -> { () =>
+        val srcDir = s"$dir/stream3m"
+        spark.range(3300000L)
+          .select((col("id") % 3000000L).as("key"),
+            expr("timestamp_micros(1700000000000000 + id * 1000)").as("ts"))
+          .repartition(8).write.mode("overwrite").parquet(srcDir)
+        def run(rocks: Boolean): Double = {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", "8")
+          if (rocks) s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ckpt = Files.createTempDirectory("graft-x-stream").toString
+          val in = s2.readStream.schema("key LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "2").parquet(srcDir)
+          val t0 = System.nanoTime()
+          val q = in.dropDuplicates("key")
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val h = run(rocks = false); val r = run(rocks = true)
+        metrics += ("stream_dedup_3m_hdfs_s" -> h)
+        metrics += ("stream_dedup_3m_rocksdb_s" -> r)
+        println(f"SCALE-METRIC stream_dedup_3m hdfs=$h%.1f s rocksdb=$r%.1f s")
       })
 
     val tasks: Seq[(String, () => Unit)] =
       names.map(n => n -> (() =>
-        noop(graft.SparkEntry.queries(n)(spark, dir)))) ++ extras
+        noop(graft.SparkEntry.queries(n)(spark, dir)))) ++
+        // the RocksDB crossover probe is OPT-IN (name it in `only`): the
+        // RocksDB JNI teardown can SIGSEGV at JVM exit (after results are
+        // written — measurement unaffected), and a default sweep must
+        // exit 0. Measured 2026-08: 3M keys, hdfs 6.4 s vs rocksdb 15.4 s.
+        extras.filterNot(t =>
+          t._1 == "x_stream_dedup_3m_crossover" && only.isEmpty)
     val timings = only.fold(tasks)(ns => tasks.filter(t => ns(t._1))).map {
       case (name, body) =>
         val t0 = System.nanoTime()
