@@ -45,7 +45,7 @@ object Bench {
       if (ok1 && ok2) (name, math.min(t1, t2), true)
       else (name, -1.0, false)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + Jfmt.num(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -62,7 +62,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slow = results.filter(_._3).sortBy(-_._2).take(10)
-      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v, _) => s"\"" + k + "\":" + Jfmt.num(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"failed":$failedJson,"sf":"$sfDir","queries_file":"$sidecar"}""")
     spark.stop()

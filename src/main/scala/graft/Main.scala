@@ -87,9 +87,21 @@ object Main {
     * state, and a replayed batch against it is a no-op. */
   private[graft] def cancelAndSweep(spark: SparkSession,
       stagingRoot: String): Unit = {
-    spark.sparkContext.cancelJobGroup(JobGroup)
+    // Runs in a JVM shutdown hook CONCURRENTLY with Spark's own shutdown
+    // hook: any SparkContext/sessionState call may see an already-stopped
+    // context and throw IllegalStateException, which would abort this
+    // hook before the staging sweep. The cancel is best-effort (a stopped
+    // context has no jobs left to cancel) and the sweep must not depend
+    // on the session — fall back to a bare Hadoop conf.
+    try if (!spark.sparkContext.isStopped)
+      spark.sparkContext.cancelJobGroup(JobGroup)
+    catch { case _: IllegalStateException => () }
+    val conf =
+      try spark.sessionState.newHadoopConf()
+      catch { case _: IllegalStateException =>
+        new org.apache.hadoop.conf.Configuration() }
     val p = new org.apache.hadoop.fs.Path(stagingRoot)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) fs.delete(p, true): Unit
   }
 

@@ -25,11 +25,17 @@ final class MetricsRecorder private (start: Long,
   private val inBytes = new LongAdder
   private val outRecords = new LongAdder
   private val outBytes = new LongAdder
-  // sliding-window ring: bucketEpoch(i) names the second bucketRows(i)
-  // currently accumulates; a reader trusts a slot only when the tag
-  // matches the second it wants (source/stats.go's timeseries.Range)
-  private val bucketRows = new AtomicLongArray(WindowBuckets)
-  private val bucketEpoch = new AtomicLongArray(WindowBuckets)
+  // sliding-window ring, one WORD per slot: epoch tag (high 24 bits,
+  // second mod 2^24) + row count (low 40 bits), so claim-and-reset and
+  // read are each a single atomic op. Two words per slot had a lost-update
+  // race: writer A CASes the epoch to the new second, writer B (same
+  // second) adds its rows, then A's count reset wipes B's contribution —
+  // and a reader between A's two writes attributed the wrapped second's
+  // rows to the new one. The 24-bit tag wraps at ~194 days (the 64 s ring
+  // means no two LIVE seconds collide; a stale 194-day-old tag match is
+  // telemetry noise, not state); the 40-bit count saturates at ~1.1e12
+  // rows per second per slot. (source/stats.go's timeseries.Range)
+  private val slots = new AtomicLongArray(WindowBuckets)
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
@@ -47,15 +53,21 @@ final class MetricsRecorder private (start: Long,
   private[graft] def recordWindow(rows: Long): Unit = {
     val sec = clockSec()
     val i = math.floorMod(sec, WindowBuckets.toLong).toInt
-    val tagged = bucketEpoch.get(i)
-    if (tagged != sec) {
-      // first writer of this second claims the slot; a lost race means
-      // another writer already claimed it for the SAME second (the ring
-      // is longer than any window, so no live second contends for a slot
-      // with a different live second)
-      if (bucketEpoch.compareAndSet(i, tagged, sec)) bucketRows.set(i, 0L)
+    val tag = sec & MetricsRecorder.EpochMask
+    var done = false
+    while (!done) {
+      val cur = slots.get(i)
+      val next =
+        if ((cur >>> MetricsRecorder.CountBits) == tag)
+          // same second: saturating add within the packed count field
+          (cur & ~MetricsRecorder.CountMask) |
+            math.min((cur & MetricsRecorder.CountMask) + rows,
+              MetricsRecorder.CountMask)
+        else // new second claims the slot: tag + this write's rows, one CAS
+          (tag << MetricsRecorder.CountBits) |
+            math.min(rows, MetricsRecorder.CountMask)
+      done = slots.compareAndSet(i, cur, next)
     }
-    bucketRows.addAndGet(i, rows): Unit
   }
 
   /** Rows/s over the trailing `windowSecs` seconds — the reference's
@@ -68,7 +80,9 @@ final class MetricsRecorder private (start: Long,
     while (k < w) {
       val sec = now - k
       val i = math.floorMod(sec, WindowBuckets.toLong).toInt
-      if (bucketEpoch.get(i) == sec) sum += bucketRows.get(i)
+      val cur = slots.get(i) // one-word read: tag and count are coherent
+      if ((cur >>> MetricsRecorder.CountBits) == (sec & MetricsRecorder.EpochMask))
+        sum += cur & MetricsRecorder.CountMask
       k += 1
     }
     sum.toDouble / w
@@ -87,6 +101,11 @@ object MetricsRecorder {
   /** Ring length in seconds — must exceed the largest queried window so
     * two live seconds never share a slot. */
   private[metrics] val WindowBuckets = 64
+  /** Packed-slot layout: low CountBits = row count, high bits = second
+    * tag (mod 2^(64-CountBits)). */
+  private[metrics] val CountBits = 40
+  private[metrics] val CountMask = (1L << CountBits) - 1
+  private[metrics] val EpochMask = (1L << (64 - CountBits)) - 1
 
   final case class Snapshot(rowsRead: Long, bytesRead: Long,
       rowsWritten: Long, bytesWritten: Long,

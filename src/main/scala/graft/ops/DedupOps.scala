@@ -1224,26 +1224,53 @@ object DedupOps {
   private val ParagraphProbeDocs = 20000
   private[graft] val ParagraphWindowMaxHotRows = 4L << 20
 
+  /** Scan bound of the skew probe: at most this many data files are read,
+    * chosen at a constant stride over the path-sorted listing so the
+    * probe sees every REGION of the corpus. A contiguous head sample
+    * (the previous `limit()` design) assumed boilerplate skew is
+    * uniformly corpus-wide — false for corpora concatenated by source,
+    * where a boilerplate-heavy source appended late is invisible to the
+    * head and the gate would keep the window plan straight into the
+    * unbounded-buffer failure it exists to prevent. Residual blind spot:
+    * a source spanning fewer than `files/64` consecutive files can still
+    * fall between stride picks; raise this bound if sources are that
+    * narrow. */
+  private val ParagraphProbeMaxFiles = 64
+
   /** Estimated corpus-wide row count of the hottest block digest, from a
-    * bounded sample: boilerplate skew is corpus-wide by nature
-    * (navigation chrome, license blocks recur everywhere), so a
-    * contiguous [[ParagraphProbeDocs]]-doc sample sees the hot digest at
-    * its corpus rate and `topCount · footerDocs / sampleDocs` projects
-    * it to the corpus. One bounded job at any corpus size (the limit
-    * stops the scan early) + a footer read — footers alone cannot see
-    * content skew. Public so ScaleSmoke can assert the projection. */
+    * bounded region-covering sample: up to [[ParagraphProbeMaxFiles]]
+    * evenly-strided data files, thinned WITHIN files to
+    * ~[[ParagraphProbeDocs]] docs by a hash predicate on `doc_id`
+    * (`pmod(xxhash64(doc_id), k) = 0` — uniform over docs, independent
+    * of layout order), so the probe cost stays O(64 files) at any corpus
+    * size while the sample covers every corpus region. The exact sampled
+    * doc count rides on the same job via an `Observation` (no second
+    * scan), and `topCount · footerDocs / sampleDocs` projects the hot
+    * digest to the corpus. Footers alone cannot see content skew.
+    * Public so ScaleSmoke can assert the projection. */
   def paragraphHotRowEstimate(s: SparkSession, d: String): Double = {
     val footerDocs = Tables.parquetRowCount(s, d, "documents")
     if (footerDocs == 0L) return 0.0
-    // the limit returns exactly min(probe, total) docs, and every doc
-    // yields ≥1 block, so the sample size needs no second count job
-    val sampleDocs = math.min(footerDocs, ParagraphProbeDocs.toLong)
-    val sample = Tables.fan(s, documents(s, d))
-      .select(col("doc_id"), col("text")).limit(ParagraphProbeDocs)
+    val files = Tables.dataFiles(s, d, "documents")
+    val stride = math.max(1, files.size / ParagraphProbeMaxFiles)
+    val picked = files.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+    // rows in the picked files, estimated by byte share: only sizes the
+    // within-file thinning factor — the projection divides by the exact
+    // observed sample count, so this needs no footer reads per file
+    val totalBytes = math.max(files.map(_.getLen).sum, 1L).toDouble
+    val pickedRows = math.max(1L,
+      (footerDocs * (picked.map(_.getLen).sum / totalBytes)).toLong)
+    val k = math.max(1L, pickedRows / ParagraphProbeDocs)
+    val obs = org.apache.spark.sql.Observation()
+    val sample = s.read.parquet(picked.map(_.getPath.toString): _*)
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(xxhash64(col("doc_id")), lit(k)) === lit(0L))
+      .observe(obs, count(lit(1)).as("docs"))
     val r = paragraphBlocksOf(sample)
       .groupBy(col("bh")).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("top")).head
-    if (r.isNullAt(0)) 0.0
+    val sampleDocs = obs.get("docs").asInstanceOf[Long]
+    if (r.isNullAt(0) || sampleDocs == 0L) 0.0
     else r.getLong(0).toDouble * footerDocs.toDouble / sampleDocs.toDouble
   }
 

@@ -199,6 +199,23 @@ object Tables {
       case _ => df
     }
   }
+  /** Sorted data-file listing of a table (same recursion/underscore rules
+    * as [[parquetRowCount]]), for planners that probe a bounded,
+    * region-covering SUBSET of files rather than the whole scan. */
+  def dataFiles(spark: SparkSession, dir: String,
+                name: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(conf)
+    def list(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(list)
+      else Seq(st)
+    }
+    list(fs.getFileStatus(p)).sortBy(_.getPath.toString)
+  }
+
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -69,12 +69,12 @@ object BenchMedian {
       samples.get(n).map(ss => n -> median(ss)))
     val failed = names.filterNot(samples.contains)
     val total = med.map(_._2).sum
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + graft.Jfmt.num(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val action = if (useCount) "count" else "noop-sink"
     val json =
-      s"""{"metric":"total_of_medians","value":${f"$total%.3f"},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","action":"$action","failed":$failedJson,"queries":$qs}"""
+      s"""{"metric":"total_of_medians","value":${graft.Jfmt.num(total, 3)},"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","action":"$action","failed":$failedJson,"queries":$qs}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(s"WROTE $outPath total_of_medians=" + f"$total%.2f")
     spark.stop()
