@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * deterministic RGB fixtures to PNG in one executor pass and decodes them
   * back in another — actual binary codec work on the executors, with a
   * closed-form oracle derived from the generator arithmetic (PNG is
-  * lossless). Audio/video features remain arithmetic stand-ins: the JDK
-  * ships no codec for those; swap the per-partition lambda for a real
-  * library and the plumbing (binary in, fixed-schema features out,
-  * partition-preserving) stays identical.
+  * lossless). The AUDIO path is likewise real for WAV PCM:
+  * `javax.sound.sampled` (also JDK-native) container-encodes 16-bit mono
+  * clips and decodes them back (mm_audio_decode), lossless → closed-form
+  * oracle. Video and compressed-audio features remain arithmetic
+  * stand-ins: the JDK ships no codec for those; swap the per-partition
+  * lambda for a real library and the plumbing (binary in, fixed-schema
+  * features out, partition-preserving) stays identical.
   */
 object MultimodalOps {
   import Tables._
@@ -318,6 +321,43 @@ object MultimodalOps {
             .otherwise(expr("((n_samples - 1024) div 512) * 512 + 1024")).cast("long"))
         .orderBy(col("doc_id"))
     },
+
+    // Binary ingest → per-partition REAL WAV decode → typed DSP features,
+    // the audio twin of mm_image_features: deterministic 16-bit mono PCM
+    // clips are WAV-encoded on the executors via `javax.sound.sampled`
+    // (JDK-native, zero new dependencies), then decoded back through
+    // `AudioSystem.getAudioInputStream` — actual container+codec work on
+    // the executors, with the sample rate read from the DECODED format
+    // (asserting the header survives the round trip). WAV PCM is
+    // lossless, so every decoded 16-bit sample equals the generator
+    // formula and the oracle rebuilds sum/peak/zero-crossings from
+    // arithmetic alone.
+    Q("mm_audio_decode",
+      """WITH ids AS (
+        |  SELECT doc_id, 1000 + (doc_id % 17) * 100 AS n
+        |  FROM documents WHERE doc_id < 200),
+        |sm AS (
+        |  SELECT doc_id, u AS idx,
+        |    ((u * 31 + doc_id * 17) % 65536) - 32768 AS s, n
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 2600)) AS u) us
+        |  WHERE u < n),
+        |lagd AS (
+        |  SELECT doc_id, s, n,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY idx) AS ps
+        |  FROM sm)
+        |SELECT doc_id,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(any_value(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sample_sum,
+        |  CAST(max(abs(s)) AS INT) AS peak,
+        |  CAST(sum(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_x
+        |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.fan(s,
+        documents(s, d).where(col("doc_id") < 200).select(col("doc_id")))
+      audioFeaturesKernel(s, ids.as[Long]).orderBy(col("doc_id"))
+    },
   )
 
   /** The PNG encode→decode→feature kernel behind mm_image_features,
@@ -371,5 +411,60 @@ object MultimodalOps {
         }
         (id, w, h, pxSum, mx)
     }).toDF("doc_id", "width", "height", "px_sum", "max_channel")
+  }
+
+  /** The WAV encode→decode→feature kernel behind mm_audio_decode,
+    * parametric over the id set and clip length so ScaleSmoke can drive
+    * it at 100k clips while the oracle query keeps the fixture-exact
+    * formulas. Same two-mapPartitions shape as [[imageFeaturesKernel]]:
+    * stage 1 synthesizes deterministic 16-bit mono PCM and WAV-encodes it
+    * (the binary column a crawl would hand us), stage 2 is the decode
+    * under test — `AudioSystem.getAudioInputStream` parses the RIFF
+    * header, the sample rate comes from the DECODED format, and the
+    * feature loop (sum, peak, zero crossings) runs over the decoded
+    * little-endian frames. Nothing returns to the driver. */
+  private[graft] def audioFeaturesKernel(s: SparkSession,
+      ids: org.apache.spark.sql.Dataset[Long],
+      nBase: Int = 1000): DataFrame = {
+    import s.implicits._
+    val encoded = ids.mapPartitions(_.map { id =>
+      val n = nBase + (id % 17).toInt * 100
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((i.toLong * 31 + id * 17) % 65536) - 32768).toInt
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        16000f, 16, 1, true, false) // 16 kHz, 16-bit, mono, signed, LE
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      (id, baos.toByteArray)
+    }).toDF("doc_id", "payload")
+    encoded.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val sampleRate = fmt.getSampleRate.toInt
+      val data = ais.readAllBytes()
+      ais.close()
+      val n = data.length / 2
+      var sum = 0L; var peak = 0; var zx = 0L; var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+        sum += v
+        peak = math.max(peak, math.abs(v))
+        if (i > 0 && ((v < 0) != (prev < 0))) zx += 1
+        prev = v
+        i += 1
+      }
+      (id, sampleRate, n.toLong, sum, peak, zx)
+    }).toDF("doc_id", "sample_rate", "n_samples", "sample_sum", "peak", "zero_x")
   }
 }
