@@ -199,6 +199,14 @@ object ScaleSmoke {
         noop(graft.ops.MultimodalOps.imageFeaturesKernel(
           spark, spark.range(100000L).as[Long], 32))
       },
+      // real WAV encode+decode at 100k clips (~2-3.6k samples each,
+      // ~250M decoded samples) — the executor-side audio codec path at
+      // 500× the oracle query's clip count
+      "x_audio_decode_100k" -> { () =>
+        import spark.implicits._
+        noop(graft.ops.MultimodalOps.audioFeaturesKernel(
+          spark, spark.range(100000L).as[Long], 2000))
+      },
       // recall audit of knn_graph_ivf's √N-cell SCALE branch: 50 sampled
       // queries' graph edges vs their brute-force top-3 over the full
       // 100k corpus. Recorded, not hard-gated (uniform random vectors
@@ -208,30 +216,9 @@ object ScaleSmoke {
       "x_knn_graph_recall" -> { () =>
         val g = graft.SparkEntry.queries("knn_graph_ivf")(spark, dir)
           .select(col("query_id"), col("neighbor_id"))
-        val e = spark.read.parquet(s"$dir/embeddings.parquet")
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> cast(x as double))").as("v"))
-        val queries = e.where(pmod(col("vec_id"), lit(2000)) === 0)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val dot = expr(
-          "aggregate(zip_with(qv, v, (a, b) -> a * b), 0d, (a, x) -> a + x)")
-        val nrm = (c: String) => expr(
-          s"sqrt(aggregate(transform($c, x -> x * x), 0d, (a, x) -> a + x))")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        val truth = queries.crossJoin(e)
-          .where(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"),
-            (dot / (nrm("qv") * nrm("v"))).as("cos"))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 3)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        val hit = truth.join(g, Seq("query_id", "neighbor_id")).count()
-        val total = truth.count()
-        val recall = if (total == 0) 0.0 else hit.toDouble / total
+        val recall = knnRecallAt3(spark, s"$dir/embeddings.parquet", g)
         metrics += ("knn_graph_recall_at3" -> recall)
-        println(f"SCALE-METRIC knn_graph_recall_at3 = $recall%.3f ($hit of $total)")
+        println(f"SCALE-METRIC knn_graph_recall_at3 = $recall%.3f")
       },
       // the honest RocksDB crossover probe at STREAMING state the
       // fixtures never reach: a 3.3M-event stream deduplicating to 3M
@@ -269,6 +256,55 @@ object ScaleSmoke {
         metrics += ("stream_dedup_3m_hdfs_s" -> h)
         metrics += ("stream_dedup_3m_rocksdb_s" -> r)
         println(f"SCALE-METRIC stream_dedup_3m hdfs=$h%.1f s rocksdb=$r%.1f s")
+      },
+      // CLUSTERED-corpus knn-graph probe, the regime IVF exists for and
+      // the skew case the uniform tier cannot produce: 30% of vectors in
+      // one tight Gaussian-ish blob (sum-of-uniforms offsets around a
+      // hashed center, deterministic), the rest across 15 loose blobs.
+      // Asserts (1) the trained scale branch COMPLETES despite one cell
+      // family holding 30k+ members (hot join key — records whether AQE
+      // actually skew-splits the cell join), (2) the trained-vs-seeded
+      // centroid A/B on data with learnable structure (the measured
+      // justification for wiring the Lloyd trainer in).
+      "x_knn_graph_skewed" -> { () =>
+        val cDir = s"$dir/clustered"
+        spark.range(vecRows)
+          .withColumn("blob", expr(
+            "CASE WHEN pmod(xxhash64(id, 5), 10) < 3 THEN 0 " +
+            "ELSE 1 + cast(pmod(xxhash64(id, 6), 15) AS INT) END"))
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63), j -> cast(
+                (cast(pmod(xxhash64(blob, j + 200), 2001) AS DOUBLE) / 1000.0 - 1.0)
+                + (CASE WHEN blob = 0 THEN 0.05 ELSE 0.25 END) *
+                  ((cast(pmod(xxhash64(id, j * 3 + 300), 1001) AS DOUBLE)
+                  + cast(pmod(xxhash64(id, j * 3 + 301), 1001) AS DOUBLE)
+                  + cast(pmod(xxhash64(id, j * 3 + 302), 1001) AS DOUBLE)) / 1000.0 - 1.5)
+              AS FLOAT)))""").as("embedding"),
+            col("blob").cast("int").as("label"))
+          .write.mode("overwrite").parquet(s"$cDir/embeddings.parquet")
+        val df = graft.SparkEntry.queries("knn_graph_ivf")(spark, cDir)
+        val t0 = System.nanoTime()
+        val nEdges = df.queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        val aqeSkew = if (plan.contains("skew=true")) 1.0 else 0.0
+        metrics += ("knn_skewed_graph_s" -> sec)
+        metrics += ("knn_skewed_aqe_split" -> aqeSkew)
+        println(f"SCALE-METRIC knn_skewed graph=$sec%.1f s edges=$nEdges aqe_skew_split=$aqeSkew%.0f")
+        val rT = knnRecallAt3(spark, s"$cDir/embeddings.parquet", df)
+        val e0 = spark.read.parquet(s"$cDir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val en = graft.ops.AnnOps.normalizedVecs(e0)
+        val seeded = graft.ops.AnnOps.normalizedCents(
+          e0.where(col("vec_id") >= 5 && col("vec_id") < lit(5L + 317))
+            .select(col("vec_id").as("cid"), col("v").as("cv")))
+        val gSeeded = graft.ops.AnnOps.knnGraphScale(en, seeded, 9, 3)
+        val rS = knnRecallAt3(spark, s"$cDir/embeddings.parquet", gSeeded)
+        metrics += ("knn_skewed_recall_trained" -> rT)
+        metrics += ("knn_skewed_recall_seeded" -> rS)
+        println(f"SCALE-METRIC knn_skewed recall trained=$rT%.3f seeded=$rS%.3f")
       })
 
     val tasks: Seq[(String, () => Unit)] =
@@ -289,14 +325,46 @@ object ScaleSmoke {
         name -> sec
     }
 
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + graft.Jfmt.num(v, 2) }
       .mkString("{", ",", "}")
-    val ms = metrics.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val ms = metrics.map { case (k, v) => "\"" + k + "\":" + graft.Jfmt.num(v) }
       .mkString("{", ",", "}")
     val json =
       s"""{"doc_rows":$docRows,"vec_rows":$vecRows,"tfidf_broadcast_gate":$tfidfBroadcast,"pack_two_phase_gate":$packTwoPhase,"action":"noop-sink","queries":$qs,"metrics":$ms}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(s"WROTE $outPath")
     spark.stop()
+  }
+
+  /** recall@3 of a knn-graph result vs brute-force truth over 500
+    * hash-sampled queries (unit-normalized, native dot — 50M pairs in
+    * ~13 s at the 100k tier). Truth ties break toward the SMALLER
+    * vec_id; the scale graph breaks toward the larger, so exact-tie
+    * edges may count as misses — noise at the 2⁻²⁷ ranking quantum. */
+  private def knnRecallAt3(spark: org.apache.spark.sql.SparkSession,
+      embPath: String, g: org.apache.spark.sql.DataFrame): Double = {
+    import graft.functions.VectorOps.dot_d
+    val en = spark.read.parquet(embPath)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / greatest(nrm, 1e-30d))").as("v"))
+    val queries = en.where(pmod(col("vec_id"), lit(200)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = queries.crossJoin(en)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot_d(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint(true)
+    val hit = truth.join(g.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count()
+    val total = truth.count()
+    if (total == 0) 0.0 else hit.toDouble / total
   }
 }

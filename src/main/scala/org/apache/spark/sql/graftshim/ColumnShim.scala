@@ -13,6 +13,16 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Bounded top-k aggregate over `c`'s values per group (array sorted
+    * descending by natural ordering; `reverse` flips to k-smallest
+    * ascending). `CollectTopK` is `private[sql]` in Spark 4, so the
+    * constructor call lives here. */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .CollectTopK(ExpressionUtils.expression(c), k, reverse, 0, 0)
+        .toAggregateExpression())
+
   /** Register a function into an ALREADY-RUNNING session's registry.
     * `SparkSessionExtensions` only applies while a session is being
     * constructed — a library attaching to a caller's existing session
