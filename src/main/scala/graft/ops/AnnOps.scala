@@ -563,9 +563,8 @@ object AnnOps {
         // narrow (vec_id → cell) row per vector reaches the exchange,
         // never the N·K scored relation. The 5 probe queries rank their
         // cells in a 5-row window and broadcast into the cell join.
-        val kCells = math.min(4096L,
-          math.ceil(math.sqrt(nVec.toDouble)).toLong).toInt
-        val nprobe = math.max(4, kCells / 32)
+        val kCells = ivfCellCount(nVec).toInt
+        val nprobe = math.max(4, ivfNprobe(kCells))
         // unit-normalize once so the N·K assignment loop is a single
         // native dot per pair instead of dot + two per-pair norms (same
         // rationale as knn_graph_ivf's scale branch)
@@ -661,9 +660,7 @@ object AnnOps {
       val k = 3
       val e = vecs(s, d)
       val nVec = Tables.parquetRowCount(s, d, "embeddings")
-      val kCells =
-        if (nVec <= 10000L) 16L
-        else math.min(4096L, math.ceil(math.sqrt(nVec.toDouble)).toLong)
+      val kCells = ivfCellCount(nVec)
       // probe count scales with the cell count (else the probed corpus
       // FRACTION collapses as K grows — at K=317, nprobe=2 sees 0.6% of
       // the corpus and measured recall@3 fell to 0.10 on the
@@ -672,7 +669,7 @@ object AnnOps {
       // stay nprobe·N/K ≈ √N/32·√N — linear in N corpus-wide per probe.
       // The smoke's x_knn_graph_recall records the (recall, cost) pair;
       // real embeddings cluster, so the uniform tier is the floor.
-      val nprobe = math.max(2L, kCells / 32L).toInt
+      val nprobe = ivfNprobe(kCells)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
       if (nVec <= 10000L) {
@@ -715,9 +712,20 @@ object AnnOps {
         // per vector up front makes the hot pair loop a single dot_d.
         // cos values are identical up to last-ulp; this branch is
         // approximate-by-contract with no oracle, so the normalized form
-        // is free to differ in float rounding.
-        knnGraphScale(normalizedVecs(e),
-          normalizedCents(scaleCentroidDf(s, d, kCells.toInt)), nprobe, k)
+        // is free to differ in float rounding. Past the flat 4096-cell
+        // cap (⌈√N⌉ > 4096 ⇔ N > ~16.7M) the index goes TWO-LEVEL
+        // (coarse cells × shared residual codebook, [[twoLevelAssignProbes]])
+        // so effective cells keep tracking √N instead of freezing at the
+        // cap — the x_knn_graph_twolevel smoke pins the shape and the
+        // candidates-per-query bound at a forced 1M-vector tier.
+        if (!ivfTwoLevelGate(nVec))
+          knnGraphScale(normalizedVecs(e),
+            normalizedCents(scaleCentroidDf(s, d, kCells.toInt)), nprobe, k)
+        else {
+          val k1 = ivfCoarseCells(nVec)
+          val p1 = math.max(2, k1 / 32)
+          knnGraphTwoLevel(s, normalizedVecs(e), nVec, k1, k1, p1, p1, k)
+        }
       }
     },
 
@@ -970,11 +978,25 @@ object AnnOps {
   private[graft] def scaleTrainedCentroids(s: SparkSession, d: String,
       kCells: Int, iters: Int = 2): Array[(Long, Array[Double])] =
     scaleCentroidCache.computeIfAbsent((s, d, kCells), { case (s2, d2, k) =>
-      val nVec = Tables.parquetRowCount(s2, d2, "embeddings")
-      val m = math.max(1L, nVec / (50L * k))
+      trainKmeansOn(s2, vecs(s2, d2),
+        Tables.parquetRowCount(s2, d2, "embeddings"), k, iters,
+        l2Metric = false)
+    })
+
+  /** The Lloyd loop itself, over an arbitrary (vec_id, v) frame —
+    * shared by the corpus-level spherical trainer above and the
+    * residual-space L2 codebook of the two-level quantizer.
+    * `l2Metric = false` assigns by cosine argmax (spherical k-means);
+    * `true` assigns by L2 argmin via the equivalent
+    * `argmax(dot(v,c) − ||c||²/2)` — no per-pair ||v||² needed. Mean
+    * update either way; an emptied cell keeps its previous centroid. */
+  private[graft] def trainKmeansOn(s: SparkSession, e: DataFrame,
+      nRows: Long, kCells: Int, iters: Int,
+      l2Metric: Boolean): Array[(Long, Array[Double])] = {
+      val m = math.max(1L, nRows / (50L * kCells))
       // corpus-narrow (≤ ~50·K rows) and consumed 1 + iters times — the
       // packedBins rule says materialize once, not rescan per iteration
-      val sample = vecs(s2, d2)
+      val sample = e
         .where(pmod(xxhash64(col("vec_id")), lit(m)) === lit(0L))
         .select(col("vec_id"), col("v"))
         .localCheckpoint(true)
@@ -982,20 +1004,24 @@ object AnnOps {
       // over the corpus, deterministic, no data-order dependence
       var cents: Array[(Long, Array[Double])] = sample
         .orderBy(xxhash64(col("vec_id"), lit(17)).asc, col("vec_id").asc)
-        .limit(k).collect()
+        .limit(kCells).collect()
         .zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
       var it = 0
       while (it < iters) {
-        val centsDf = broadcast(s2.createDataFrame(
+        val centsDf = broadcast(s.createDataFrame(
           cents.map { case (cid, cv) => (cid, cv.toSeq) }.toIndexedSeq)
           .toDF("cid", "cv"))
+        val score =
+          if (l2Metric)
+            dot_d(col("v"), col("cv")) -
+              lit(0.5) * dot_d(col("cv"), col("cv"))
+          else cosine(col("v"), col("cv"))
         // all K scored copies of a vector are task-local after the
         // broadcast join, so the vec_id partial agg collapses to one row
         // per sample vector before the (only) shuffle
         val upd = sample.crossJoin(centsDf)
-          .select(col("vec_id"), col("v"), col("cid"),
-            cosine(col("v"), col("cv")).as("cs"))
+          .select(col("vec_id"), col("v"), col("cid"), score.as("cs"))
           .groupBy(col("vec_id"))
           .agg(max(struct(col("cs"), col("cid"))).as("best"),
             first(col("v")).as("v"))
@@ -1014,7 +1040,7 @@ object AnnOps {
         it += 1
       }
       cents
-    })
+  }
 
   /** The trained scale-branch centroid set as a local (cid, cv)
     * relation — broadcast-sized input to the cell-ranking joins. */
@@ -1023,6 +1049,26 @@ object AnnOps {
     s.createDataFrame(scaleTrainedCentroids(s, d, kCells)
         .map { case (cid, cv) => (cid, cv.toSeq) }.toIndexedSeq)
       .toDF("cid", "cv")
+
+  /** IVF planning formulas, named so GateSpec can pin their laws with
+    * ScalaCheck (monotonicity, caps, probe-fraction floor, the two-level
+    * flip) the way PlannerPropertySpec pins the split generators. All
+    * pure driver-side arithmetic over parquet-footer counts. */
+  private[graft] def ivfCellCount(nVec: Long): Long =
+    if (nVec <= 10000L) 16L
+    else math.min(4096L, math.ceil(math.sqrt(nVec.toDouble)).toLong)
+
+  private[graft] def ivfNprobe(kCells: Long): Int =
+    math.max(2L, kCells / 32L).toInt
+
+  /** Past the flat cap the index goes two-level: ⌈√N⌉ > 4096. */
+  private[graft] def ivfTwoLevelGate(nVec: Long): Boolean =
+    math.ceil(math.sqrt(nVec.toDouble)).toLong > 4096L
+
+  /** Per-level cell count of the two-level index: K1 = K2 = ⌈N^¼⌉
+    * capped at 4096, so K1·K2 ≥ ⌈√N⌉ effective cells to N ≈ 2.8·10¹⁴. */
+  private[graft] def ivfCoarseCells(nVec: Long): Int =
+    math.min(4096L, math.ceil(math.pow(nVec.toDouble, 0.25)).toLong).toInt
 
   /** Unit-normalize a (vec_id, v, …) frame once, so every downstream
     * pair evaluation is a single native dot product instead of
@@ -1079,6 +1125,16 @@ object AnnOps {
       .select(col("query_id"), col("c.cid").as("cell"))
       .join(en.select(col("vec_id").as("query_id"), col("v").as("qv")),
         Seq("query_id"))
+    topKEdges(assigned, probes, en, k)
+  }
+
+  /** Cell-keyed candidate join → per-query top-k edges with exact cosine,
+    * shared by the single- and two-level knn-graph pipelines.
+    * `assigned` = (cell, vec_id, v), `probes` = (cell, query_id, qv),
+    * both unit-normalized. */
+  private[graft] def topKEdges(assigned: DataFrame, probes: DataFrame,
+      en: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK.collect_top_k
     // Final per-query top-k over the nprobe·N²/K candidate pairs — the
     // measured hot stage (287M pairs at the 100k tier). Every SQL shape
     // was A/B'd and loses: the window sorts+shuffles all pairs (~110 s);
@@ -1148,6 +1204,106 @@ object AnnOps {
       .select(col("query_id"), col("neighbor_id"),
         dot_d(col("qv"), col("v")).as("cos"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Two-level residual coarse quantizer — the scale path past the flat
+    * 4096-cell cap. Flat IVF with K = ⌈√N⌉ capped at 4096 degrades past
+    * N ≈ 16.7M vectors: cells widen as N/4096 and both the assignment
+    * fan-out (N·K scored rows) and the candidate count (nprobe·N²/K)
+    * stop tracking √N. The standard fix (faiss IVF-with-residual /
+    * IMI-style): K1 coarse cells over the vectors plus a K2-entry
+    * residual codebook SHARED across coarse cells (trained once on
+    * v − c1 of a bounded sample), giving K1·K2 effective cells —
+    * K_eff up to 4096² ≈ 16.7M, i.e. ⌈√N⌉ cells reachable to
+    * N ≈ 2.8·10¹⁴ — while every scoring pass is only N·(K1 + p1·K2)
+    * rows (two broadcast joins, never N·K_eff).
+    *
+    * Assignment: coarse argmax by dot (unit vectors), then residual L2
+    * argmin via argmax(dot(r,c2) − ||c2||²/2); cell key = c1·K2 + c2.
+    * Probes: top-p1 coarse cells, then top-p2 residual codewords per
+    * probed coarse cell → p1·p2 probe cells per query; candidates per
+    * query ≈ p1·p2·N/(K1·K2). With K1 = K2 = ⌈N^¼⌉ that is
+    * p1·p2·√N — the √N bound the flat cap broke. All trainer collects
+    * stay planning-sized (K×dims ≤ 2 MB). */
+  private[graft] def twoLevelAssignProbes(s: SparkSession, en: DataFrame,
+      nVec: Long, k1: Int, k2: Int, p1: Int,
+      p2: Int): (DataFrame, DataFrame) = {
+    import graft.functions.TopK.collect_top_k
+    // level 1: spherical k-means over the corpus sample, unit-normalized
+    val c1 = trainKmeansOn(s, en, nVec, k1, iters = 2, l2Metric = false)
+      .map { case (cid, cv) =>
+        val n = math.max(math.sqrt(cv.map(x => x * x).sum), 1e-30)
+        (cid, cv.map(_ / n))
+      }
+    val c1Df = broadcast(s.createDataFrame(
+        c1.map { case (cid, cv) => (cid, cv.toSeq) }.toIndexedSeq)
+      .toDF("cid1", "cv1"))
+    // level 2: L2 codebook on residuals of a fresh bounded sample
+    val m2 = math.max(1L, nVec / (50L * k2))
+    val sample2 = en
+      .where(pmod(xxhash64(col("vec_id"), lit(31)), lit(m2)) === lit(0L))
+    val resSample = sample2.crossJoin(c1Df)
+      .select(col("vec_id"), col("v"), col("cid1"),
+        dot_d(col("v"), col("cv1")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), col("cid1"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("best.cid1").as("cid1"))
+      .join(c1Df, Seq("cid1"))
+      .select(col("vec_id"),
+        expr("zip_with(v, cv1, (a, b) -> a - b)").as("v"))
+    val c2 = trainKmeansOn(s, resSample, 50L * k2, k2, iters = 2,
+      l2Metric = true)
+    val c2Df = broadcast(s.createDataFrame(
+        c2.map { case (cid, cv) =>
+          (cid, cv.toSeq, cv.map(x => x * x).sum) }.toIndexedSeq)
+      .toDF("cid2", "cv2", "n2"))
+    // serve: coarse top-p1 per vector (one NARROW aggregate — only
+    // (cs, cid1) structs ride the buffers; cv1 re-attaches by broadcast
+    // join — feeding both the assignment [element 0] and the probe
+    // set), then residual ranking against the shared codebook per
+    // probed coarse cell
+    val top1 = en.crossJoin(c1Df)
+      .select(col("vec_id"),
+        struct(dot_d(col("v"), col("cv1")).as("cs"),
+          col("cid1").as("cid1")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(collect_top_k(col("sc"), p1).as("cells"))
+    def residualScored(frame: DataFrame): DataFrame = frame
+      .join(c1Df, Seq("cid1"))
+      .join(en, Seq("vec_id"))
+      .select(col("vec_id"), col("cid1"),
+        expr("zip_with(v, cv1, (a, b) -> a - b)").as("r"))
+      .crossJoin(c2Df)
+      .select(col("vec_id"), col("cid1"), col("cid2"),
+        (dot_d(col("r"), col("cv2")) - lit(0.5) * col("n2")).as("s2"))
+    val assigned = residualScored(top1
+        .select(col("vec_id"), col("cells")(0).getField("cid1").as("cid1")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("s2"), (col("cid1") * k2 + col("cid2")).as("cell")))
+        .as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+      .join(en, Seq("vec_id"))
+    val probes = residualScored(top1
+        .select(col("vec_id"), explode(col("cells")).as("c"))
+        .select(col("vec_id"), col("c.cid1").as("cid1")))
+      .groupBy(col("vec_id"), col("cid1"))
+      .agg(collect_top_k(struct(col("s2"), col("cid2")), p2).as("subs"))
+      .select(col("vec_id").as("query_id"), col("cid1"),
+        explode(col("subs")).as("sc"))
+      .select(col("query_id"),
+        (col("cid1") * k2 + col("sc.cid2")).as("cell"))
+      .join(en.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
+    (assigned, probes)
+  }
+
+  /** Full-corpus knn graph through the two-level index — same contract
+    * as [[knnGraphScale]], for corpora past the flat cap. */
+  private[graft] def knnGraphTwoLevel(s: SparkSession, en: DataFrame,
+      nVec: Long, k1: Int, k2: Int, p1: Int, p2: Int, k: Int): DataFrame = {
+    val (assigned, probes) = twoLevelAssignProbes(s, en, nVec, k1, k2, p1, p2)
+    topKEdges(assigned, probes, en, k)
   }
 
   private def trainCentroids(s: SparkSession,

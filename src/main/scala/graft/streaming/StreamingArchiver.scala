@@ -192,6 +192,43 @@ object StreamingArchiver {
       .localCheckpoint(true)
     merged.write.mode("overwrite").parquet(s"$snapshotRoot/gen-$id")
     publishSnapshot(s, snapshotRoot, s"gen-$id")
+    retireGenerations(s, snapshotRoot)
+  }
+
+  /** Retire superseded generations — without this the store grows by one
+    * full snapshot per micro-batch, forever. Deletes every `gen-*` dir
+    * STRICTLY OLDER than the one CURRENT names, except the newest
+    * `keepBehind` of them (grace window for a reader that resolved the
+    * pointer just before a publish; a reader holding a lazy frame over
+    * an older generation across ≥2 batch windows is out of contract —
+    * the same reader rule sink.Compaction's tombstone walk documents).
+    * Never touches the current generation, the pointer, or anything
+    * at/after the current id — a concurrent merge may already be
+    * writing `gen-<id+1>` before publishing it. Non-numeric generation
+    * names (e.g. a `gen-init` seed) order as oldest. Idempotent and
+    * crash-safe: a half-finished delete just leaves fewer stale dirs
+    * for the next batch's call to finish. */
+  def retireGenerations(s: SparkSession, snapshotRoot: String,
+      keepBehind: Int = 1): Unit = {
+    val root = new org.apache.hadoop.fs.Path(snapshotRoot)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val ptr = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    if (!fs.exists(ptr)) return
+    val in = fs.open(ptr)
+    val cur =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    def idOf(g: String): Long =
+      g.stripPrefix("gen-").toLongOption.getOrElse(Long.MinValue)
+    val curId = idOf(cur)
+    val stale = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName)
+      .filter(g => g != cur && idOf(g) < curId)
+      .sortBy(idOf)
+      .dropRight(keepBehind)
+    stale.foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, g), true): Unit)
   }
 
   /** Atomically repoint CURRENT at `gen` (an existing generation dir

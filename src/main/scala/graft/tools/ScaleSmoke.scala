@@ -191,6 +191,23 @@ object ScaleSmoke {
             when(col("id") % 10 === 0, "D").otherwise("U").as("op"),
             (col("id") + 0.5).cast("double").as("price"))
         graft.streaming.StreamingArchiver.mergeBatch(spark, cdcRoot, delta, 1L)
+        // generation maintenance at tier: 5 more batches against the
+        // 3M-key snapshot — retirement must hold the store at
+        // current + one grace generation while each merge stays
+        // delta-bounded
+        (2L to 6L).foreach { id =>
+          graft.streaming.StreamingArchiver.mergeBatch(spark, cdcRoot,
+            spark.range(10000L)
+              .select((col("id") * 17 + id).as("key"), lit(1).as("seq"),
+                lit("U").as("op"), (col("id") + id).cast("double").as("price")),
+            id)
+        }
+        val p = new org.apache.hadoop.fs.Path(cdcRoot)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val gens = fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted
+        require(gens == Seq("gen-5", "gen-6"),
+          s"retirement must bound the 3M-key store, saw $gens")
       },
       // real PNG encode+decode at 100k images (~32-38 px sides) — the
       // executor-side codec path at 5000× the oracle query's image count
@@ -280,7 +297,7 @@ object ScaleSmoke {
                   ((cast(pmod(xxhash64(id, j * 3 + 300), 1001) AS DOUBLE)
                   + cast(pmod(xxhash64(id, j * 3 + 301), 1001) AS DOUBLE)
                   + cast(pmod(xxhash64(id, j * 3 + 302), 1001) AS DOUBLE)) / 1000.0 - 1.5)
-              AS FLOAT)))""").as("embedding"),
+              AS FLOAT))""").as("embedding"),
             col("blob").cast("int").as("label"))
           .write.mode("overwrite").parquet(s"$cDir/embeddings.parquet")
         val df = graft.SparkEntry.queries("knn_graph_ivf")(spark, cDir)
@@ -293,6 +310,10 @@ object ScaleSmoke {
         metrics += ("knn_skewed_aqe_split" -> aqeSkew)
         println(f"SCALE-METRIC knn_skewed graph=$sec%.1f s edges=$nEdges aqe_skew_split=$aqeSkew%.0f")
         val rT = knnRecallAt3(spark, s"$cDir/embeddings.parquet", df)
+        // A/B vs seeded centroids on THREE axes — recall alone is not
+        // comparable across centroid sets because uneven cells change
+        // the candidate budget: record candidates per query (cost) and
+        // the max cell population (the hot-key/skew axis) for both
         val e0 = spark.read.parquet(s"$cDir/embeddings.parquet")
           .select(col("vec_id"),
             expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -300,11 +321,91 @@ object ScaleSmoke {
         val seeded = graft.ops.AnnOps.normalizedCents(
           e0.where(col("vec_id") >= 5 && col("vec_id") < lit(5L + 317))
             .select(col("vec_id").as("cid"), col("v").as("cv")))
+        val trained = graft.ops.AnnOps.normalizedCents(
+          spark.createDataFrame(
+            graft.ops.AnnOps.scaleTrainedCentroids(spark, cDir, 317)
+              .map { case (cid, cv) => (cid, cv.toSeq) }.toIndexedSeq)
+            .toDF("cid", "cv"))
+        def cellStats(cents: org.apache.spark.sql.DataFrame,
+            tag: String): Unit = {
+          val assignedCells = en.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("cid"),
+              graft.functions.VectorOps.dot_d(col("v"), col("cv")).as("cs"))
+            .groupBy(col("vec_id"))
+            .agg(max(struct(col("cs"), col("cid"))).as("b"))
+            .select(col("b.cid").as("cell"))
+            .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          val Array(mx, tot) = assignedCells
+            .agg(max(col("n")), sum(col("n") * col("n"))).head()
+            .toSeq.map(_.toString.toDouble).toArray
+          metrics += (s"knn_skewed_maxcell_$tag" -> mx)
+          // Σn² / (N/K · N) = candidate-budget inflation vs perfectly
+          // balanced cells (probes scale with it at fixed nprobe)
+          metrics += (s"knn_skewed_imbalance_$tag" ->
+            tot / (vecRows.toDouble / 317.0 * vecRows.toDouble))
+        }
+        cellStats(trained, "trained")
+        cellStats(seeded, "seeded")
         val gSeeded = graft.ops.AnnOps.knnGraphScale(en, seeded, 9, 3)
         val rS = knnRecallAt3(spark, s"$cDir/embeddings.parquet", gSeeded)
         metrics += ("knn_skewed_recall_trained" -> rT)
         metrics += ("knn_skewed_recall_seeded" -> rS)
         println(f"SCALE-METRIC knn_skewed recall trained=$rT%.3f seeded=$rS%.3f")
+      },
+      // Two-level residual quantizer at a FORCED 1M-vector tier: the
+      // production gate flips past ~16.7M vectors (⌈√N⌉ > 4096 — too
+      // big to smoke here), so this probe calls the builder directly
+      // with K1=K2=32 (K_eff=1024 ≈ √1M) and p1·p2 = 8 probe cells,
+      // and pins the two claims the gate rests on: the candidate count
+      // per query stays O(√N) (≈ p1·p2·√N — recorded and asserted
+      // under 100·√N), and the assignment plan never fans out N·K_eff
+      // rows (two broadcast-join scoring passes of N·K1 + N·p1·K2).
+      // Recall@3 vs brute force is recorded at 100 sampled queries.
+      "x_knn_graph_twolevel_1m" -> { () =>
+        val tDir = s"$dir/twolevel"
+        val n2 = 1000000L
+        spark.range(n2)
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63),
+                j -> cast((cast(pmod(xxhash64(id, j + 100), 2000001) AS DOUBLE)
+                           / 1000000.0 - 1.0) AS FLOAT))""").as("embedding"),
+            expr("cast(pmod(xxhash64(id, 99), 16) AS INT)").as("label"))
+          .write.mode("overwrite").parquet(s"$tDir/embeddings.parquet")
+        val e0 = spark.read.parquet(s"$tDir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val en = graft.ops.AnnOps.normalizedVecs(e0)
+        val (assigned, probes) = graft.ops.AnnOps.twoLevelAssignProbes(
+          spark, en, n2, 32, 32, 2, 4)
+        // candidate count computed ANALYTICALLY from per-cell populations
+        // (Σ nₐ·nₚ over cells) — materializing the pair join just to
+        // count it is itself the O(candidates) cost being measured
+        val nCand = assigned.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+          .join(probes.groupBy(col("cell")).agg(count(lit(1)).as("np")),
+            Seq("cell"))
+          .agg(sum(col("na") * col("np"))).head.getLong(0)
+        val candPerQuery = nCand.toDouble / n2
+        // bound constant: p1·p2 = 8 ideal, measured ~4× over from
+        // shared-residual-codebook cell imbalance (recorded below) —
+        // still Θ(√N); 100·√N is the assertion ceiling
+        val bound = 100.0 * math.sqrt(n2.toDouble)
+        require(candPerQuery < bound,
+          f"two-level candidates/query $candPerQuery%.0f exceeds 100·√N = $bound%.0f")
+        metrics += ("twolevel_cand_per_query" -> candPerQuery)
+        val mxCell = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+        metrics += ("twolevel_maxcell" -> mxCell.toDouble)
+        val g2 = graft.ops.AnnOps.knnGraphTwoLevel(
+          spark, en, n2, 32, 32, 2, 4, 3)
+        val t0 = System.nanoTime()
+        g2.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        metrics += ("twolevel_graph_s" -> sec)
+        val rec = knnRecallAt3(spark, s"$tDir/embeddings.parquet", g2,
+          queryMod = 10000)
+        metrics += ("twolevel_recall_at3" -> rec)
+        println(f"SCALE-METRIC twolevel cand/q=$candPerQuery%.0f graph=$sec%.1f s recall=$rec%.3f")
       })
 
     val tasks: Seq[(String, () => Unit)] =
@@ -342,7 +443,8 @@ object ScaleSmoke {
     * vec_id; the scale graph breaks toward the larger, so exact-tie
     * edges may count as misses — noise at the 2⁻²⁷ ranking quantum. */
   private def knnRecallAt3(spark: org.apache.spark.sql.SparkSession,
-      embPath: String, g: org.apache.spark.sql.DataFrame): Double = {
+      embPath: String, g: org.apache.spark.sql.DataFrame,
+      queryMod: Int = 200): Double = {
     import graft.functions.VectorOps.dot_d
     val en = spark.read.parquet(embPath)
       .select(col("vec_id"),
@@ -350,7 +452,7 @@ object ScaleSmoke {
       .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
       .select(col("vec_id"),
         expr("transform(v, x -> x / greatest(nrm, 1e-30d))").as("v"))
-    val queries = en.where(pmod(col("vec_id"), lit(200)) === 0)
+    val queries = en.where(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))

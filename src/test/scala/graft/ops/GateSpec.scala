@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck laws for the PLANNING GATES — the pure driver-side
+  * functions whose thresholds were measured in the scale smokes
+  * (paragraph skew escalation, IVF cell/probe formulas, the two-level
+  * flip). The smokes pin the measured points; these pin the INVARIANTS
+  * over the whole input space, the way PlannerPropertySpec pins the
+  * split generators. Raw ScalaCheck (no scalatest bridge offline),
+  * `Prop.forAllNoShrink` throughout — shrinking mutates generator
+  * invariants (see the repo's ScalaCheck notes).
+  */
+class GateSpec extends AnyFunSuite {
+
+  private def runProp(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // corpus sizes with the decision edges over-weighted
+  private val genN: Gen[Long] = Gen.frequency(
+    3 -> Gen.chooseNum(1L, 20000L),                    // around the 10k fixture gate
+    3 -> Gen.chooseNum(20000L, 20000000L),             // around the 16.7M two-level flip
+    3 -> Gen.chooseNum(1L, 1000000000000L),            // broad
+    1 -> Gen.const(10000L), 1 -> Gen.const(10001L),
+    1 -> Gen.const(16777216L), 1 -> Gen.const(16785409L)) // 4096² and (4097)²
+
+  test("paragraph skew gate: monotone in the estimate, flips exactly past the task bound") {
+    val genEst = Gen.chooseNum(0.0, 1e12)
+    runProp("monotone", Prop.forAllNoShrink(genEst, genEst) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      // more projected hot rows can never flip BACK toward the window plan
+      !DedupOps.paragraphSkewDecision(lo) || DedupOps.paragraphSkewDecision(hi)
+    })
+    runProp("threshold exact", Prop.forAllNoShrink(genEst) { e =>
+      DedupOps.paragraphSkewDecision(e) ==
+        (e > DedupOps.ParagraphWindowMaxHotRows.toDouble)
+    })
+    // the 100× projection law the round-9 tier A/B rests on: any corpus
+    // whose estimate sits within 100× below the bound escalates at 100×
+    runProp("100x projection flips", Prop.forAllNoShrink(
+      Gen.chooseNum(DedupOps.ParagraphWindowMaxHotRows.toDouble / 100.0 + 1.0,
+        1e12)) { e =>
+      DedupOps.paragraphSkewDecision(e * 100.0)
+    })
+  }
+
+  test("ivf cell count: fixture pin, monotone, √N tracking under the cap") {
+    runProp("fixture pin", Prop.forAllNoShrink(Gen.chooseNum(1L, 10000L)) {
+      n => AnnOps.ivfCellCount(n) == 16L
+    })
+    runProp("monotone past the gate", Prop.forAllNoShrink(genN, genN) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      (lo <= 10000L) || AnnOps.ivfCellCount(lo) <= AnnOps.ivfCellCount(hi)
+    })
+    runProp("capped and √N-tracking", Prop.forAllNoShrink(genN) { n =>
+      val k = AnnOps.ivfCellCount(n)
+      k <= 4096L && k >= 16L &&
+        (n <= 10000L || k >= math.min(4096L, math.floor(math.sqrt(n.toDouble)).toLong))
+    })
+  }
+
+  test("ivf nprobe: probed fraction never collapses as K grows") {
+    val genK = Gen.chooseNum(16L, 4096L)
+    runProp("floor", Prop.forAllNoShrink(genK) { k =>
+      val np = AnnOps.ivfNprobe(k)
+      // the round-9 lesson: fixed nprobe collapsed the probed fraction
+      // to 0.6% and recall to 0.10; the law keeps fraction ≥ (K/32−1)/K
+      np >= 2 && np * 32L >= k - 31L
+    })
+    runProp("monotone", Prop.forAllNoShrink(genK, genK) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      AnnOps.ivfNprobe(lo) <= AnnOps.ivfNprobe(hi)
+    })
+  }
+
+  test("two-level flip: exactly when flat √N exceeds the cap; effective cells keep tracking √N") {
+    runProp("flip point", Prop.forAllNoShrink(genN) { n =>
+      AnnOps.ivfTwoLevelGate(n) ==
+        (math.ceil(math.sqrt(n.toDouble)).toLong > 4096L)
+    })
+    runProp("per-level cap", Prop.forAllNoShrink(genN) { n =>
+      val k1 = AnnOps.ivfCoarseCells(n)
+      k1 >= 1 && k1 <= 4096
+    })
+    // past the flip (and under the two-level envelope ~2.8·10¹⁴),
+    // K1·K2 ≥ ⌈√N⌉ — the property the flat cap broke
+    runProp("√N tracking past the flip", Prop.forAllNoShrink(
+      Gen.chooseNum(16777217L, 280000000000000L)) { n =>
+      val k1 = AnnOps.ivfCoarseCells(n).toLong
+      k1 * k1 >= math.ceil(math.sqrt(n.toDouble)).toLong
+    })
+  }
+}

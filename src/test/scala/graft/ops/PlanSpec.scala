@@ -755,4 +755,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"),
       "apply phase must not join the stats back:\n" + p)
   }
+
+  test("knn two-level index: broadcast scoring, equi cell join, no window re-rank") {
+    import org.apache.spark.sql.functions._
+    // the past-the-cap shape, forced at fixture scale: every scoring
+    // pass must be a broadcast join (N·K1 / N·p1·K2 rows, never
+    // N·K1·K2), the candidate join must be a partitionable equi-join on
+    // the composite cell, and the final re-rank must be the combiner —
+    // not the 287M-row window shape the A/B retired
+    val en = graft.ops.AnnOps.normalizedVecs(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v")))
+    val (a, pr) = graft.ops.AnnOps.twoLevelAssignProbes(
+      spark, en, 500L, 4, 4, 2, 2)
+    val g = graft.ops.AnnOps.topKEdges(a, pr, en, 3)
+    val p = g.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    val nljTypes = """BroadcastNestedLoopJoin (\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(nljTypes.subsetOf(Set("Cross")),
+      s"two-level scoring degenerated to a nested loop ($nljTypes):\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "cell-equi candidate join expected:\n" + p)
+    assert(!p.contains("Window"),
+      "scale re-rank must be the combiner, not a window:\n" + p)
+    // the forced index is live end-to-end: every vector gets neighbors
+    val rows = g.limit(10).collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) >= 1))
+  }
 }

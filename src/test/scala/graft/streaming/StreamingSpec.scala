@@ -270,4 +270,48 @@ class StreamingSpec extends SparkSpec {
     assert(runs.head.map(_._1) == Seq(1L, 3L),
       "the deterministic winner for (2, seq 5) is the delete")
   }
+
+  test("cdc retireGenerations: a 20-batch run keeps the store bounded and correct") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdc-retire").toString
+    spark.range(1, 101)
+      .select(col("id").as("key"), (col("id") * 10).cast("double").as("price"))
+      .write.mode("overwrite").parquet(s"$root/gen-init")
+    StreamingArchiver.publishSnapshot(spark, root, "gen-init")
+    def gens(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted
+    }
+    (0L until 20L).foreach { id =>
+      // each batch upserts key (id+1) to price -id and inserts 1000+id
+      val batch = Seq(
+        (id + 1, 1, "U", -id.toDouble), (1000L + id, 1, "I", id.toDouble))
+        .toDF("key", "seq", "op", "price")
+      StreamingArchiver.mergeBatch(spark, root, batch, id)
+      assert(gens().size <= 2,
+        s"store must stay bounded at current + keepBehind, saw ${gens()}")
+    }
+    // after 20 batches: exactly gen-18 (grace) + gen-19 (current) remain,
+    // the pointer reads the latest, and every batch's effect survived the
+    // retirements
+    assert(gens() == Seq("gen-18", "gen-19"), gens().toString)
+    val st = StreamingArchiver.currentSnapshot(spark, root).get
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(st.size == 120, s"100 seed + 20 inserts, saw ${st.size}")
+    (0L until 20L).foreach { id =>
+      assert(st.toMap.apply(id + 1) == -id.toDouble)
+      assert(st.toMap.apply(1000L + id) == id.toDouble)
+    }
+    // a replay of the LAST committed id against the retired store must
+    // still be a no-op (base = its own output; older gens not needed)
+    StreamingArchiver.mergeBatch(spark, root,
+      Seq((20L, 1, "U", -19.0), (1019L, 1, "I", 19.0))
+        .toDF("key", "seq", "op", "price"), 19L)
+    val st2 = StreamingArchiver.currentSnapshot(spark, root).get
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(st2 == st, "replay after retirement must not move state")
+  }
 }
