@@ -714,7 +714,8 @@ object AnnOps {
         // approximate-by-contract with no oracle, so the normalized form
         // is free to differ in float rounding. Past the flat 4096-cell
         // cap (⌈√N⌉ > 4096 ⇔ N > ~16.7M) the index goes TWO-LEVEL
-        // (coarse cells × shared residual codebook, [[twoLevelAssignProbes]])
+        // (product of two independent subspace quantizers — the IMI
+        // structure, [[twoLevelAssignProbes]])
         // so effective cells keep tracking √N instead of freezing at the
         // cap — the x_knn_graph_twolevel smoke pins the shape and the
         // candidates-per-query bound at a forced 1M-vector tier.
@@ -1206,93 +1207,87 @@ object AnnOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Two-level residual coarse quantizer — the scale path past the flat
-    * 4096-cell cap. Flat IVF with K = ⌈√N⌉ capped at 4096 degrades past
-    * N ≈ 16.7M vectors: cells widen as N/4096 and both the assignment
-    * fan-out (N·K scored rows) and the candidate count (nprobe·N²/K)
-    * stop tracking √N. The standard fix (faiss IVF-with-residual /
-    * IMI-style): K1 coarse cells over the vectors plus a K2-entry
-    * residual codebook SHARED across coarse cells (trained once on
-    * v − c1 of a bounded sample), giving K1·K2 effective cells —
-    * K_eff up to 4096² ≈ 16.7M, i.e. ⌈√N⌉ cells reachable to
-    * N ≈ 2.8·10¹⁴ — while every scoring pass is only N·(K1 + p1·K2)
-    * rows (two broadcast joins, never N·K_eff).
+  /** Two-level product coarse quantizer (inverted multi-index) — the
+    * scale path past the flat 4096-cell cap. Flat IVF with K = ⌈√N⌉
+    * capped at 4096 degrades past N ≈ 16.7M vectors: cells widen as
+    * N/4096 and both the assignment fan-out (N·K scored rows) and the
+    * candidate count (nprobe·N²/K) stop tracking √N. The fix is the
+    * IMI structure: TWO INDEPENDENT K-entry quantizers over the two
+    * vector halves; cell key = (q1(v[0:d/2]), q2(v[d/2:d])), K1·K2
+    * effective cells — up to 4096² ≈ 16.7M, i.e. ⌈√N⌉ reachable to
+    * N ≈ 2.8·10¹⁴ — while every scoring pass is N·K1 + N·K2 rows (two
+    * broadcast joins, never N·K1·K2). Independence is the load-bearing
+    * property, MEASURED: the first cut used a residual codebook SHARED
+    * across coarse cells, and on the 1M uniform tier the residual
+    * assignment collapsed onto the coarse one — 280 of 1024 cells
+    * populated, hottest cell 33× ideal, max single-cell join work
+    * 2.1e9 pairs (one task, minutes) — the subspace product populates
+    * the grid instead.
     *
-    * Assignment: coarse argmax by dot (unit vectors), then residual L2
-    * argmin via argmax(dot(r,c2) − ||c2||²/2); cell key = c1·K2 + c2.
-    * Probes: top-p1 coarse cells, then top-p2 residual codewords per
-    * probed coarse cell → p1·p2 probe cells per query; candidates per
-    * query ≈ p1·p2·N/(K1·K2). With K1 = K2 = ⌈N^¼⌉ that is
-    * p1·p2·√N — the √N bound the flat cap broke. All trainer collects
-    * stay planning-sized (K×dims ≤ 2 MB). */
+    * Assignment per subspace: L2 argmin via
+    * argmax(dot(vₕ,c) − ||c||²/2) — a narrow map-side partial
+    * aggregate. Probes: multi-sequence selection — the top-(p1·p2)
+    * cells of the (p1·p2)×(p1·p2) per-subspace grid ranked by COMBINED
+    * score s1+s2 (a rigid top-p1 × top-p2 rectangle at the same budget
+    * probes worse cells); candidates per query ≈ p1·p2·N/(K1·K2) —
+    * with K1·K2 ≈ √N that is p1·p2·√N, the √N bound the flat cap
+    * broke. Trainer collects stay planning-sized (K×dims ≤ 2 MB). */
   private[graft] def twoLevelAssignProbes(s: SparkSession, en: DataFrame,
       nVec: Long, k1: Int, k2: Int, p1: Int,
       p2: Int): (DataFrame, DataFrame) = {
     import graft.functions.TopK.collect_top_k
-    // level 1: spherical k-means over the corpus sample, unit-normalized
-    val c1 = trainKmeansOn(s, en, nVec, k1, iters = 2, l2Metric = false)
-      .map { case (cid, cv) =>
-        val n = math.max(math.sqrt(cv.map(x => x * x).sum), 1e-30)
-        (cid, cv.map(_ / n))
-      }
-    val c1Df = broadcast(s.createDataFrame(
-        c1.map { case (cid, cv) => (cid, cv.toSeq) }.toIndexedSeq)
-      .toDF("cid1", "cv1"))
-    // level 2: L2 codebook on residuals of a fresh bounded sample
-    val m2 = math.max(1L, nVec / (50L * k2))
-    val sample2 = en
-      .where(pmod(xxhash64(col("vec_id"), lit(31)), lit(m2)) === lit(0L))
-    val resSample = sample2.crossJoin(c1Df)
-      .select(col("vec_id"), col("v"), col("cid1"),
-        dot_d(col("v"), col("cv1")).as("cs"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cs"), col("cid1"))).as("best"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("best.cid1").as("cid1"))
-      .join(c1Df, Seq("cid1"))
+    val half = dims / 2
+    val eh = en.select(col("vec_id"), col("v"),
+      expr(s"slice(v, 1, $half)").as("vlo"),
+      expr(s"slice(v, ${half + 1}, $half)").as("vhi"))
+    def codebook(sub: String, k: Int, salt: Int): DataFrame = {
+      val cents = trainKmeansOn(s,
+        eh.select(col("vec_id"), col(sub).as("v")), nVec, k,
+        iters = 2, l2Metric = true)
+      broadcast(s.createDataFrame(
+          cents.map { case (cid, cv) =>
+            (cid, cv.toSeq, cv.map(x => x * x).sum) }.toIndexedSeq)
+        .toDF(s"cid$salt", s"cv$salt", s"n$salt"))
+    }
+    val c1Df = codebook("vlo", k1, 1)
+    val c2Df = codebook("vhi", k2, 2)
+    // per-subspace top-m cells: one narrow aggregate each (map-side
+    // complete after the broadcast join). m = p1·p2 per subspace feeds
+    // the multi-sequence probe selection below; element 0 of each array
+    // is the assignment (the per-subspace argmax IS the global argmax of
+    // s1+s2 because the subspaces are scored independently).
+    def topCells(sub: String, cDf: DataFrame, i: Int, p: Int): DataFrame =
+      eh.crossJoin(cDf)
+        .select(col("vec_id"),
+          struct((dot_d(col(sub), col(s"cv$i")) - lit(0.5) * col(s"n$i"))
+            .as("s"), col(s"cid$i").as("cid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(collect_top_k(col("sc"), p).as(s"cells$i"))
+    val m = p1 * p2
+    val t1 = topCells("vlo", c1Df, 1, math.min(m, k1))
+    val t2 = topCells("vhi", c2Df, 2, math.min(m, k2))
+    val both = t1.join(t2, Seq("vec_id"))
+    val assigned = both
       .select(col("vec_id"),
-        expr("zip_with(v, cv1, (a, b) -> a - b)").as("v"))
-    val c2 = trainKmeansOn(s, resSample, 50L * k2, k2, iters = 2,
-      l2Metric = true)
-    val c2Df = broadcast(s.createDataFrame(
-        c2.map { case (cid, cv) =>
-          (cid, cv.toSeq, cv.map(x => x * x).sum) }.toIndexedSeq)
-      .toDF("cid2", "cv2", "n2"))
-    // serve: coarse top-p1 per vector (one NARROW aggregate — only
-    // (cs, cid1) structs ride the buffers; cv1 re-attaches by broadcast
-    // join — feeding both the assignment [element 0] and the probe
-    // set), then residual ranking against the shared codebook per
-    // probed coarse cell
-    val top1 = en.crossJoin(c1Df)
+        (col("cells1")(0).getField("cid") * k2 +
+          col("cells2")(0).getField("cid")).as("cell"))
+      .join(en, Seq("vec_id"))
+    // Multi-sequence probe selection (Babenko & Lempitsky's IMI order,
+    // grid-approximated): rank the m×m candidate grid by COMBINED score
+    // s1+s2 and probe the best p1·p2 cells — a rigid top-p1 × top-p2
+    // rectangle at the same budget wastes probes on cells whose weak
+    // subspace outweighs their strong one. Same candidate count, better
+    // cells; still one narrow aggregate, no window, no extra join.
+    val probes = both
+      .select(col("vec_id"), explode(col("cells1")).as("c1"), col("cells2"))
+      .select(col("vec_id"), col("c1"), explode(col("cells2")).as("c2"))
       .select(col("vec_id"),
-        struct(dot_d(col("v"), col("cv1")).as("cs"),
-          col("cid1").as("cid1")).as("sc"))
+        struct((col("c1.s") + col("c2.s")).as("s"),
+          (col("c1.cid") * k2 + col("c2.cid")).as("cid")).as("sc"))
       .groupBy(col("vec_id"))
-      .agg(collect_top_k(col("sc"), p1).as("cells"))
-    def residualScored(frame: DataFrame): DataFrame = frame
-      .join(c1Df, Seq("cid1"))
-      .join(en, Seq("vec_id"))
-      .select(col("vec_id"), col("cid1"),
-        expr("zip_with(v, cv1, (a, b) -> a - b)").as("r"))
-      .crossJoin(c2Df)
-      .select(col("vec_id"), col("cid1"), col("cid2"),
-        (dot_d(col("r"), col("cv2")) - lit(0.5) * col("n2")).as("s2"))
-    val assigned = residualScored(top1
-        .select(col("vec_id"), col("cells")(0).getField("cid1").as("cid1")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("s2"), (col("cid1") * k2 + col("cid2")).as("cell")))
-        .as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
-      .join(en, Seq("vec_id"))
-    val probes = residualScored(top1
-        .select(col("vec_id"), explode(col("cells")).as("c"))
-        .select(col("vec_id"), col("c.cid1").as("cid1")))
-      .groupBy(col("vec_id"), col("cid1"))
-      .agg(collect_top_k(struct(col("s2"), col("cid2")), p2).as("subs"))
-      .select(col("vec_id").as("query_id"), col("cid1"),
-        explode(col("subs")).as("sc"))
-      .select(col("query_id"),
-        (col("cid1") * k2 + col("sc.cid2")).as("cell"))
+      .agg(collect_top_k(col("sc"), m).as("cells"))
+      .select(col("vec_id").as("query_id"), explode(col("cells")).as("c"))
+      .select(col("query_id"), col("c.cid").as("cell"))
       .join(en.select(col("vec_id").as("query_id"), col("v").as("qv")),
         Seq("query_id"))
     (assigned, probes)

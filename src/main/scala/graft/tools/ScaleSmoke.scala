@@ -352,14 +352,14 @@ object ScaleSmoke {
         metrics += ("knn_skewed_recall_seeded" -> rS)
         println(f"SCALE-METRIC knn_skewed recall trained=$rT%.3f seeded=$rS%.3f")
       },
-      // Two-level residual quantizer at a FORCED 1M-vector tier: the
+      // Two-level product quantizer (IMI) at a FORCED 1M-vector tier: the
       // production gate flips past ~16.7M vectors (⌈√N⌉ > 4096 — too
       // big to smoke here), so this probe calls the builder directly
       // with K1=K2=32 (K_eff=1024 ≈ √1M) and p1·p2 = 8 probe cells,
       // and pins the two claims the gate rests on: the candidate count
       // per query stays O(√N) (≈ p1·p2·√N — recorded and asserted
       // under 100·√N), and the assignment plan never fans out N·K_eff
-      // rows (two broadcast-join scoring passes of N·K1 + N·p1·K2).
+      // rows (two broadcast-join scoring passes of N·K1 + N·K2).
       // Recall@3 vs brute force is recorded at 100 sampled queries.
       "x_knn_graph_twolevel_1m" -> { () =>
         val tDir = s"$dir/twolevel"
@@ -386,9 +386,10 @@ object ScaleSmoke {
             Seq("cell"))
           .agg(sum(col("na") * col("np"))).head.getLong(0)
         val candPerQuery = nCand.toDouble / n2
-        // bound constant: p1·p2 = 8 ideal, measured ~4× over from
-        // shared-residual-codebook cell imbalance (recorded below) —
-        // still Θ(√N); 100·√N is the assertion ceiling
+        // bound constant: p1·p2 = 8 ideal; the independent-subspace
+        // product keeps the measured count within a few % of ideal
+        // (the retired shared-residual codebook ran ~4× over from cell
+        // collapse) — 100·√N is the assertion ceiling
         val bound = 100.0 * math.sqrt(n2.toDouble)
         require(candPerQuery < bound,
           f"two-level candidates/query $candPerQuery%.0f exceeds 100·√N = $bound%.0f")
