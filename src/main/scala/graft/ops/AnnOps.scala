@@ -724,7 +724,7 @@ object AnnOps {
             normalizedCents(scaleCentroidDf(s, d, kCells.toInt)), nprobe, k)
         else {
           val k1 = ivfCoarseCells(nVec)
-          val p1 = math.max(2, k1 / 32)
+          val p1 = ivfTwoLevelProbes(k1)
           knnGraphTwoLevel(s, normalizedVecs(e), nVec, k1, k1, p1, p1, k)
         }
       }
@@ -1070,6 +1070,17 @@ object AnnOps {
     * capped at 4096, so K1·K2 ≥ ⌈√N⌉ effective cells to N ≈ 2.8·10¹⁴. */
   private[graft] def ivfCoarseCells(nVec: Long): Int =
     math.min(4096L, math.ceil(math.pow(nVec.toDouble, 0.25)).toLong).toInt
+
+  /** Per-subspace probe count of the two-level index. The flat law
+    * probes nprobe/K = 1/32 of the corpus (ivfNprobe); a naive
+    * p = k1/32 per subspace probes (k1/32)²/k1² = 1/1024 — the probed
+    * FRACTION would collapse 32× the instant the gate flips and recall
+    * would cliff at the N ≈ 16.7M boundary. Fraction-preserving law:
+    * p²/K_eff = 1/32 ⇒ p = ⌈k1/√32⌉ — the candidate budget is then
+    * continuous across the flip (same 1/32 of the corpus, now reached
+    * through K1·K2 cells instead of 4096 frozen ones). */
+  private[graft] def ivfTwoLevelProbes(k1: Int): Int =
+    math.max(2, math.ceil(k1.toDouble / math.sqrt(32.0)).toInt)
 
   /** Unit-normalize a (vec_id, v, …) frame once, so every downstream
     * pair evaluation is a single native dot product instead of

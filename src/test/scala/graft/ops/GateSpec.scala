@@ -94,4 +94,26 @@ class GateSpec extends AnyFunSuite {
       k1 * k1 >= math.ceil(math.sqrt(n.toDouble)).toLong
     })
   }
+
+  test("two-level probes: candidate fraction is continuous across the gate flip") {
+    // just below the flip the flat law probes nprobe/K = 1/32 of the
+    // corpus; the two-level law must land the SAME fraction (within the
+    // ceil quantum), not the (k1/32)²/k1² = 1/1024 a naive per-subspace
+    // k1/32 would give — recall must not cliff at N ≈ 16.7M
+    runProp("fraction ≈ 1/32", Prop.forAllNoShrink(
+      Gen.chooseNum(16777217L, 280000000000000L)) { n =>
+      val k1 = AnnOps.ivfCoarseCells(n).toLong
+      val p = AnnOps.ivfTwoLevelProbes(k1.toInt).toLong
+      val fracNum = p * p * 32L // want p²·32 ≥ k1² (fraction ≥ 1/32)…
+      fracNum >= k1 * k1 &&
+        // …and no more than ~4× over (ceil quantum at small k1; at the
+        // k1 floor of 2 cells the fraction is legitimately 1)
+        (k1 < 8 || fracNum <= 4L * k1 * k1)
+    })
+    runProp("monotone in k1", Prop.forAllNoShrink(
+      Gen.chooseNum(2, 4096), Gen.chooseNum(2, 4096)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      AnnOps.ivfTwoLevelProbes(lo) <= AnnOps.ivfTwoLevelProbes(hi)
+    })
+  }
 }
