@@ -237,6 +237,51 @@ object ScaleSmoke {
         metrics += ("knn_graph_recall_at3" -> recall)
         println(f"SCALE-METRIC knn_graph_recall_at3 = $recall%.3f")
       },
+      // Recall CONTINUITY across the two-level gate flip — the measured
+      // counterpart of GateSpec's fraction law. The production gate flips
+      // structures at N ≈ 16.7M; what must NOT change across that flip is
+      // recall at the production probe budget. This probe runs BOTH
+      // branches on the SAME corpus with their production laws — flat
+      // (K=⌈√N⌉, nprobe=K/32) and two-level (K1=K2=⌈N^¼⌉, p=⌈K1/√32⌉) —
+      // plus the pre-fix naive law (p=max(2,K1/32), a 1/1024 fraction)
+      // whose recall collapse is the cliff the ⌈K1/√32⌉ law removes.
+      // Asserts the production two-level side lands at-or-above flat
+      // (its ceil-quantum fraction is slightly larger at small K1, so
+      // ≥ is the exact no-cliff statement); records all three
+      // (fraction, recall) points.
+      "x_knn_flip_continuity" -> { () =>
+        val ann = graft.ops.AnnOps
+        val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val en = ann.normalizedVecs(e0)
+        val flat = graft.SparkEntry.queries("knn_graph_ivf")(spark, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val rFlat = knnRecallAt3(spark, s"$dir/embeddings.parquet", flat)
+        val kFlat = ann.ivfCellCount(vecRows)
+        val fFlat = ann.ivfNprobe(kFlat).toDouble / kFlat
+        val k1 = ann.ivfCoarseCells(vecRows)
+        def twoLevel(p: Int): Double = {
+          val g = ann.knnGraphTwoLevel(spark, en, vecRows, k1, k1, p, p, 3)
+          knnRecallAt3(spark, s"$dir/embeddings.parquet", g)
+        }
+        val p = ann.ivfTwoLevelProbes(k1)
+        val r2 = twoLevel(p)
+        val pNaive = math.max(2, k1 / 32)
+        val rNaive = twoLevel(pNaive)
+        val f2 = p.toDouble * p / (k1.toLong * k1)
+        val fNaive = pNaive.toDouble * pNaive / (k1.toLong * k1)
+        metrics += ("flip_flat_recall" -> rFlat)
+        metrics += ("flip_flat_fraction" -> fFlat)
+        metrics += ("flip_twolevel_recall" -> r2)
+        metrics += ("flip_twolevel_fraction" -> f2)
+        metrics += ("flip_naive_recall" -> rNaive)
+        metrics += ("flip_naive_fraction" -> fNaive)
+        require(r2 >= rFlat - 0.02,
+          f"two-level recall $r2%.3f cliffs below flat $rFlat%.3f at the gate flip")
+        println(f"SCALE-METRIC flip_continuity flat=$rFlat%.3f (${fFlat * 100}%.2f%%) " +
+          f"twolevel=$r2%.3f (${f2 * 100}%.2f%%) naive=$rNaive%.3f (${fNaive * 100}%.2f%%)")
+      },
       // the honest RocksDB crossover probe at STREAMING state the
       // fixtures never reach: a 3.3M-event stream deduplicating to 3M
       // distinct keys (~375k keys/partition held in state across 4
