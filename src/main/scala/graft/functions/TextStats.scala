@@ -94,4 +94,117 @@ object TextStats {
 
   def word_rep_stats(tokens: Column): Column =
     ColumnShim.column(WordRepStats(ColumnShim.expression(tokens)))
+
+  private val blockStructType = StructType(Seq(
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("dup_blocks", LongType, nullable = false),
+    StructField("blk_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_gram_n", LongType, nullable = false)))
+
+  /** Single-pass per-document BLOCK-grain repetition kernel for
+    * text_repetition_stats: duplicate-10-word-block count/char mass plus
+    * the top word-2-gram and its count, all O(words) with two hash maps.
+    * Same motivation as [[wordRepStatsKernel]]: the explode → groupBy
+    * (doc, token) plan ships one row per token of the corpus through an
+    * exchange — at 1.3M docs that measured 101 s vs 5 s for this kernel;
+    * at 100 TB it is a corpus-sized string shuffle for a quantity that
+    * never leaves its own document.
+    *
+    * Block unit matches the paragraph dedup family exactly: 10-word
+    * groups, space-joined, last block short. The 2-gram tie-break is the
+    * LEXICOGRAPHIC MINIMUM in binary UTF-8 order (UTF8String.compareTo),
+    * matching ORDER BY gtext ASC in both engines.
+    */
+  def blockRepStatsKernel(arr: ArrayData): InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    // 10-word blocks, counted per distinct block text
+    val nBlocks = math.max((n + 9) / 10, 1)
+    val bCounts = new java.util.HashMap[String, Integer](nBlocks * 2)
+    val sb = new java.lang.StringBuilder(128)
+    var b = 0
+    while (b < nBlocks) {
+      sb.setLength(0)
+      var j = b * 10
+      val end = math.min(n, j + 10)
+      while (j < end) {
+        if (j > b * 10) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val k = sb.toString
+      val prev = bCounts.get(k)
+      bCounts.put(k, if (prev == null) 1 else prev.intValue() + 1)
+      b += 1
+    }
+    var blkChars = 0L; var dupChars = 0L
+    var totBlocks = 0L; var dupBlocks = 0L
+    val it = bCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      val chars = c * e.getKey.length
+      totBlocks += c; blkChars += chars
+      if (c >= 2) { dupBlocks += c; dupChars += chars }
+    }
+    // top word-2-gram by (count DESC, gram ASC in binary UTF-8 order)
+    var topGram = ""; var topN = 0L
+    if (n >= 2) {
+      val gCounts = new java.util.HashMap[String, Integer](n * 2)
+      var g = 0
+      while (g < n - 1) {
+        sb.setLength(0)
+        sb.append(toks(g)); sb.append(' '); sb.append(toks(g + 1))
+        val k = sb.toString
+        val prev = gCounts.get(k)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        gCounts.put(k, c)
+        g += 1
+      }
+      val git = gCounts.entrySet().iterator()
+      while (git.hasNext) {
+        val e = git.next()
+        val c = e.getValue.longValue()
+        if (c > topN || (c == topN && UTF8String.fromString(e.getKey)
+            .compareTo(UTF8String.fromString(topGram)) < 0)) {
+          topN = c; topGram = e.getKey
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      totBlocks, dupBlocks, blkChars, dupChars,
+      UTF8String.fromString(topGram), topN))
+  }
+
+  /** struct(n_blocks, dup_blocks, blk_chars, dup_chars, top_gram,
+    * top_gram_n) over an array<string> of words. */
+  case class BlockRepStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = blockStructType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"block_rep_stats requires array<string>, got $other")
+    }
+    override def nullSafeEval(input: Any): Any =
+      blockRepStatsKernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextStats.blockRepStatsKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): BlockRepStats =
+      copy(child = newChild)
+    override def prettyName: String = "block_rep_stats"
+  }
+
+  def block_rep_stats(tokens: Column): Column =
+    ColumnShim.column(BlockRepStats(ColumnShim.expression(tokens)))
 }

@@ -800,6 +800,156 @@ object TextOps {
           md5(col("clean")).as("clean_md5"))
         .orderBy(col("doc_id"))
     },
+
+    // Gopher-style repetition signals at the BLOCK grain (Rae et al.
+    // 2021, "Scaling Language Models", App. A1.1 — public): the
+    // per-document duplicate-paragraph fraction (count and character
+    // mass of 10-word blocks that repeat WITHIN the doc, the same block
+    // unit the paragraph dedup family keys on) and the top-2-gram
+    // CHARACTER share, plus the keep flag at the published thresholds
+    // (dup fraction < 0.3, top-2-gram share < 0.2). Complements
+    // text_repetition (PipelineOps), which computes the WORD-grain
+    // signals (top-word/distinct-word/dup-bigram fractions). Intra-
+    // document, unlike the corpus-wide paragraph dedup family:
+    // boilerplate pages repeat themselves long before they repeat each
+    // other.
+    //
+    // Scale: every signal here is a quantity that never leaves its own
+    // document, so the whole query is a PURE PROJECTION via the native
+    // [[graft.functions.TextStats.BlockRepStats]] kernel (one O(words)
+    // pass, two hash maps) — zero shuffle except the contract ORDER BY.
+    // The first cut as explode → groupBy(doc, token) aggregation lanes
+    // measured 101 s at the 1.3M-doc tier (a corpus-sized string
+    // exchange); the kernel form measures 16.6 s (the contract sort dominates). The top-gram tie-break
+    // is binary-UTF-8 lexicographic min at equal count — the same total
+    // order as the oracle's row_number OVER (ORDER BY n DESC, gtext
+    // ASC), so the winner (and the fraction, which depends on the
+    // winner's LENGTH) is engine-identical. Every fraction is one IEEE
+    // division of exact integers.
+    Q("text_repetition_stats",
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS n_char, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
+        |        FROM w) t),
+        |bc AS (SELECT doc_id, btext, count(*) AS c FROM b GROUP BY doc_id, btext),
+        |bs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_blocks,
+        |    CAST(coalesce(sum(c) FILTER (c >= 2), 0) AS BIGINT) AS dup_blocks,
+        |    CAST(sum(c * length(btext)) AS BIGINT) AS blk_chars,
+        |    CAST(coalesce(sum(c * length(btext)) FILTER (c >= 2), 0) AS BIGINT) AS dup_chars
+        |  FROM bc GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, ws[u+1] || ' ' || ws[u+2] AS gtext
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, greatest(len(ws) - 1, 0))) AS u
+        |        FROM w) t),
+        |gc AS (SELECT doc_id, gtext, count(*) AS n FROM g GROUP BY doc_id, gtext),
+        |tg AS (
+        |  SELECT doc_id, gtext AS top_gram, CAST(n AS BIGINT) AS top_gram_n
+        |  FROM (SELECT doc_id, gtext, n,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gtext ASC) AS rn
+        |        FROM gc) r WHERE rn = 1)
+        |SELECT w.doc_id, CAST(w.n_char AS BIGINT) AS n_char,
+        |  bs.n_blocks, bs.dup_blocks,
+        |  CAST(bs.dup_blocks AS DOUBLE) / greatest(bs.n_blocks, 1) AS dup_block_frac,
+        |  CAST(bs.dup_chars AS DOUBLE) / greatest(bs.blk_chars, 1) AS dup_char_frac,
+        |  coalesce(tg.top_gram, '') AS top_gram,
+        |  CAST(coalesce(tg.top_gram_n, 0) AS BIGINT) AS top_gram_n,
+        |  CAST(coalesce(tg.top_gram_n * length(tg.top_gram), 0) AS DOUBLE)
+        |    / greatest(w.n_char, 1) AS top_gram_char_frac,
+        |  CASE WHEN CAST(bs.dup_blocks AS DOUBLE) / greatest(bs.n_blocks, 1) < 0.3
+        |        AND CAST(coalesce(tg.top_gram_n * length(tg.top_gram), 0) AS DOUBLE)
+        |              / greatest(w.n_char, 1) < 0.2
+        |       THEN 1 ELSE 0 END AS rep_keep
+        |FROM w JOIN bs USING (doc_id) LEFT JOIN tg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dupBlockFrac =
+        col("dup_blocks").cast("double") / greatest(col("n_blocks"), lit(1L))
+      val topGramCharFrac =
+        (col("top_gram_n") * length(col("top_gram"))).cast("double") /
+          greatest(col("n_char"), lit(1L))
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_char"),
+          graft.functions.TextStats.block_rep_stats(split(col("text"), " ")).as("r"))
+        .select(col("doc_id"), col("n_char"),
+          col("r.n_blocks").as("n_blocks"), col("r.dup_blocks").as("dup_blocks"),
+          col("r.blk_chars").as("blk_chars"), col("r.dup_chars").as("dup_chars"),
+          col("r.top_gram").as("top_gram"), col("r.top_gram_n").as("top_gram_n"))
+        .select(col("doc_id"), col("n_char"), col("n_blocks"), col("dup_blocks"),
+          dupBlockFrac.as("dup_block_frac"),
+          (col("dup_chars").cast("double") / greatest(col("blk_chars"), lit(1L)))
+            .as("dup_char_frac"),
+          col("top_gram"), col("top_gram_n"),
+          topGramCharFrac.as("top_gram_char_frac"),
+          when(dupBlockFrac < 0.3 && topGramCharFrac < 0.2, 1).otherwise(0)
+            .as("rep_keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The REWRITE flavor of the repetition signal: drop every repeat of a
+    // 10-word block after its first occurrence WITHIN the document and
+    // reassemble in original order — the Gopher-rule transform a cleaning
+    // pipeline actually applies (intra-doc; dedup_paragraph_rewrite is the
+    // corpus-wide first-occurrence flavor, which genuinely needs its
+    // cross-document exchange — this one does not: the kept set is a
+    // per-row quantity).
+    //
+    // Scale: a PURE PROJECTION — array_distinct on the block array keeps
+    // exactly the first occurrence of each block in encounter order
+    // (pinned against a LinkedHashSet brute force in RepetitionSpec), so
+    // the rewrite never leaves the scan; zero shuffle except the
+    // contract ORDER BY. Block 0 is always its own first occurrence, so
+    // the rebuilt text is never empty. The oracle replays keep-first as
+    // min(bi) OVER (doc, block) + in-group sort — same set, same order.
+    Q("text_repetition_rewrite",
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS len_before, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, u AS bi,
+        |    array_to_string(ws[u*10+1 : u*10+10], ' ') AS btext
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1))) AS u
+        |        FROM w) t),
+        |f AS (SELECT doc_id, bi, btext,
+        |        min(bi) OVER (PARTITION BY doc_id, btext) AS fst
+        |      FROM b),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(count(*) FILTER (bi = fst) AS BIGINT) AS n_kept,
+        |    CAST(length(coalesce(string_agg(btext, ' ' ORDER BY bi)
+        |      FILTER (bi = fst), '')) AS BIGINT) AS len_after,
+        |    md5(coalesce(string_agg(btext, ' ' ORDER BY bi)
+        |      FILTER (bi = fst), '')) AS clean_md5
+        |  FROM f GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(w.len_before AS BIGINT) AS len_before,
+        |  agg.n_blocks, agg.n_kept, agg.len_after, agg.clean_md5
+        |FROM w JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.fan(s, documents(s, d))
+        .select(col("doc_id"), length(col("text")).cast("long").as("len_before"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("len_before"),
+          expr("greatest(cast(ceil(size(ws) / 10.0) as int), 1)").cast("long")
+            .as("n_blocks"),
+          expr(
+            "array_distinct(transform(" +
+              "sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int), 1) - 1)," +
+              " i -> concat_ws(' ', slice(ws, i * 10 + 1, 10))))").as("kept"))
+        .select(col("doc_id"), col("len_before"), col("n_blocks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          concat_ws(" ", col("kept")).as("clean"))
+        .select(col("doc_id"), col("len_before"), col("n_blocks"), col("n_kept"),
+          length(col("clean")).cast("long").as("len_after"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   // a def, not a val: it's referenced from the `all` list above, which

@@ -159,7 +159,11 @@ object ScaleSmoke {
       // round-9 additions: the probe-gated paragraph dispatcher (runs the
       // window plan here — the organic corpus does not flip it) and the
       // full-corpus k-NN graph at the 100k-vector tier
-      "dedup_paragraph_gated", "knn_graph_ivf")
+      "dedup_paragraph_gated", "knn_graph_ivf",
+      // round-10: the intra-doc Gopher-repetition pair — both pure
+      // projections (BlockRepStats kernel / array_distinct reassembly);
+      // the first explode→groupBy cut measured 101 s here, the kernel 16.6 s
+      "text_repetition_stats", "text_repetition_rewrite")
 
     // Non-query scale probes, same timing discipline. Each is a closure
     // so the `only` filter applies uniformly. Probes may deposit named

@@ -1,0 +1,111 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Pins the Gopher-repetition pair (text_repetition_stats /
+  * text_repetition_rewrite) against hand-computed values on planted
+  * fixtures and against a Scala brute-force reference on randomized
+  * repetitive word-streams. The DuckDB oracle is the cross-engine gate;
+  * this spec is the semantic one (the numbers are derived by hand from
+  * the published rule, not from the implementation).
+  */
+class RepetitionSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-repetition").toString
+    import spark.implicits._
+    Seq(
+      // 30 words: blocks 0 and 2 are the same all-"a" block, block 1 all-"b";
+      // the dominant 2-gram is "a a" (9 within each "a" run => 18 of 29)
+      (0L, (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("a")).mkString(" ")),
+      (1L, "solo"), // one word: one block, zero 2-grams
+      (2L, (1 to 25).map(i => s"w$i").mkString(" "))) // 3 blocks, no repetition
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def q(name: String) = TextOps.all.find(_.name == name).get.fn
+
+  test("repetition stats: planted duplicate block + dominant 2-gram") {
+    val rows = q("text_repetition_stats")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val d0 = rows(0L)
+    assert(d0.getLong(1) == 59L)                 // n_char: 30 chars + 29 spaces
+    assert(d0.getLong(2) == 3L && d0.getLong(3) == 2L) // n_blocks, dup_blocks
+    assert(d0.getDouble(4) == 2.0 / 3.0)         // dup_block_frac
+    assert(d0.getDouble(5) == 38.0 / 57.0)       // dup_char_frac (2x19 of 3x19)
+    assert(d0.getString(6) == "a a" && d0.getLong(7) == 18L)
+    assert(d0.getDouble(8) == 54.0 / 59.0)       // 18 * len("a a") / n_char
+    assert(d0.getInt(9) == 0)                    // dup fraction over threshold
+
+    val d1 = rows(1L)
+    assert(d1.getLong(2) == 1L && d1.getLong(3) == 0L)
+    assert(d1.getString(6) == "" && d1.getLong(7) == 0L)
+    assert(d1.getDouble(8) == 0.0 && d1.getInt(9) == 1)
+
+    val d2 = rows(2L)
+    assert(d2.getLong(2) == 3L && d2.getLong(3) == 0L)
+    // all 2-grams tie at n=1; the total order picks the lexicographic min
+    assert(d2.getString(6) == "w1 w2" && d2.getLong(7) == 1L)
+    assert(d2.getInt(9) == 1)
+  }
+
+  test("repetition rewrite: first occurrence kept in original order") {
+    val rows = q("text_repetition_rewrite")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val aBlk = Seq.fill(10)("a").mkString(" ")
+    val bBlk = Seq.fill(10)("b").mkString(" ")
+    val d0 = rows(0L)
+    assert(d0.getLong(1) == 59L)                       // len_before
+    assert(d0.getLong(2) == 3L && d0.getLong(3) == 2L) // n_blocks, n_kept
+    assert(d0.getLong(4) == 39L)                       // len_after
+    assert(d0.getString(5) == md5hex(s"$aBlk $bBlk"))
+
+    assert(rows(1L).getLong(3) == 1L)
+    assert(rows(1L).getString(5) == md5hex("solo"))
+    assert(rows(2L).getLong(3) == 3L)                  // nothing dropped
+    assert(rows(2L).getLong(4) == rows(2L).getLong(1))
+  }
+
+  test("rewrite equals the brute-force definition on randomized docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("x", "y", "z", "q")
+    // small vocab + short blocks => plenty of genuine intra-doc block repeats
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(70)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val d = Files.createTempDirectory("graft-repetition-rnd").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    def reference(text: String): (Long, Long, String) = {
+      val ws = text.split(" ", -1)
+      val blocks = ws.grouped(10).map(_.mkString(" ")).toVector
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      blocks.foreach(seen += _)
+      (blocks.size.toLong, seen.size.toLong, seen.mkString(" "))
+    }
+
+    val got = q("text_repetition_rewrite")(spark, d).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (nb, nk, clean) = reference(docs(r.getLong(0).toInt)._2)
+      assert(r.getLong(2) == nb, s"n_blocks doc ${r.getLong(0)}")
+      assert(r.getLong(3) == nk, s"n_kept doc ${r.getLong(0)}")
+      assert(r.getLong(4) == clean.length.toLong, s"len_after doc ${r.getLong(0)}")
+      assert(r.getString(5) == md5hex(clean), s"md5 doc ${r.getLong(0)}")
+    }
+  }
+}
