@@ -77,6 +77,34 @@ class RepetitionSpec extends SparkSpec {
     assert(rows(2L).getLong(4) == rows(2L).getLong(1))
   }
 
+  test("BlockRepStats kernel: degenerate inputs") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def kernel(toks: Seq[String]) =
+      graft.functions.TextStats.blockRepStatsKernel(
+        ArrayData.toArrayData(toks.map(t =>
+          if (t == null) null else UTF8String.fromString(t)).toArray))
+    // empty array: one empty block, zero grams
+    val e = kernel(Seq.empty)
+    assert(e.getLong(0) == 1L && e.getLong(1) == 0L && e.getLong(2) == 0L)
+    assert(e.getUTF8String(4).toString == "" && e.getLong(5) == 0L)
+    // single word: one block, no grams
+    val s1 = kernel(Seq("a"))
+    assert(s1.getLong(0) == 1L && s1.getLong(2) == 1L && s1.getLong(5) == 0L)
+    // null elements count as empty strings (split never yields null, but
+    // the kernel must not NPE on hand-built arrays)
+    val withNull = kernel(Seq("a", null, "a"))
+    assert(withNull.getLong(0) == 1L)
+    // 2-gram count tie resolves to the lexicographic (binary UTF-8) min:
+    // "a b" and "b a" both appear twice in a-b-a-b-a
+    val tie = kernel(Seq("a", "b", "a", "b", "a"))
+    assert(tie.getUTF8String(4).toString == "a b" && tie.getLong(5) == 2L)
+    // 21 words of the same token: 3 blocks, the two full blocks repeat
+    val rep = kernel(Seq.fill(21)("x"))
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 2L)
+    assert(rep.getLong(2) == 2 * 19L + 1L && rep.getLong(3) == 2 * 19L)
+  }
+
   test("rewrite equals the brute-force definition on randomized docs") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("x", "y", "z", "q")
