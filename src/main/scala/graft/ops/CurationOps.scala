@@ -211,9 +211,19 @@ object CurationOps {
       // 1.3M-doc tier. Materialize it once (the packedBins rule; a
       // production pipeline writes the cleaned corpus between stages
       // anyway) and every downstream pass reads the artifact.
+      //
+      // Storage level matters because this artifact carries TEXT: the
+      // default localCheckpoint level holds deserialized row objects,
+      // and at the 13M-doc tier 32 concurrently-unrolling tasks
+      // exhausted a 16g heap before any partition could spill (measured
+      // OOM in MemoryStore.putIteratorAsValues). Serialized blocks are
+      // the compact UnsafeRow bytes and spill to disk cleanly — the
+      // corpus-NARROW checkpoints elsewhere keep the fast default;
+      // text-bearing artifacts take MEMORY_AND_DISK_SER.
       runPipeline(
         DedupOps.paragraphRewrittenDocs(Tables.fan(s, documents(s, d)))
-          .localCheckpoint(true),
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
         carryChars = true)
     },
   )
