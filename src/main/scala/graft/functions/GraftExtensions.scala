@@ -61,6 +61,18 @@ object GraftExtensions {
       info("word_ngrams", "word_ngrams(tokens, gram) - space-joined word n-gram shingles"),
       (args: Seq[Expression]) =>
         VectorOps.WordNGrams(args(0), intArg(args(1), "gram"))),
+    (FunctionIdentifier("normalize_nfc"),
+      info("normalize_nfc", "normalize_nfc(s) - Unicode NFC canonicalization of a string"),
+      (args: Seq[Expression]) => NormalizeNFC(args.head)),
+    (FunctionIdentifier("word_rep_stats"),
+      info("word_rep_stats",
+        "word_rep_stats(tokens) - struct(topc, total, n_distinct, n_bg) repetition stats"),
+      (args: Seq[Expression]) => TextStats.WordRepStats(args.head)),
+    (FunctionIdentifier("block_rep_stats"),
+      info("block_rep_stats",
+        "block_rep_stats(tokens) - struct(n_blocks, dup_blocks, blk_chars, dup_chars, " +
+          "top_gram, top_gram_n) block-grain repetition stats"),
+      (args: Seq[Expression]) => TextStats.BlockRepStats(args.head)),
   )
 
   /** Idempotently register the functions into an existing session. */

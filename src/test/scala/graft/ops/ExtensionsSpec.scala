@@ -51,6 +51,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("normalize_nfc / word_rep_stats / block_rep_stats callable from SQL") {
+    // Spark's chr() is ASCII-mod-256, so the decomposed sequence is a
+    // Scala literal: 'e' + U+0301 combining acute
+    val r = ext.sql(
+      s"""SELECT normalize_nfc('é') AS nfc,
+         |  word_rep_stats(array('a', 'b', 'a')) AS w,
+         |  block_rep_stats(split('a a a', ' ')) AS b""".stripMargin).head()
+    assert(r.getString(0) == "é") // precomposed é, one code point
+    val w = r.getStruct(1)
+    assert(w.getLong(0) == 2L && w.getLong(1) == 3L && w.getLong(2) == 2L)
+    val b = r.getStruct(2)
+    assert(b.getLong(0) == 1L && b.getString(4) == "a a" && b.getLong(5) == 2L)
+    // same kernel as the DataFrame path
+    import org.apache.spark.sql.functions._
+    val viaDf = ext.range(1)
+      .select(graft.functions.TextStats.block_rep_stats(
+        split(lit("a a a"), " ")).getField("top_gram")).head().getString(0)
+    assert(b.getString(4) == viaDf)
+  }
+
   test("non-literal nHash is rejected with a clear error") {
     val e = intercept[Exception] {
       ext.sql("SELECT minhash_sig(array('a'), cast(rand() * 4 as int))").collect()
