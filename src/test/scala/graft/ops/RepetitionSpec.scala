@@ -105,6 +105,40 @@ class RepetitionSpec extends SparkSpec {
     assert(rep.getLong(2) == 2 * 19L + 1L && rep.getLong(3) == 2 * 19L)
   }
 
+  test("stats kernel equals the brute-force definition on randomized docs") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "cc", "d") // tiny: forces dup blocks + gram ties
+    def reference(toks: Vector[String]) = {
+      val blocks = (if (toks.isEmpty) Vector(Vector.empty[String])
+                    else toks.grouped(10).toVector).map(_.mkString(" "))
+      val bc = blocks.groupBy(identity).view.mapValues(_.size).toMap
+      val dupB = bc.collect { case (_, c) if c >= 2 => c.toLong }.sum
+      val blkChars = bc.map { case (k, c) => c.toLong * k.length }.sum
+      val dupChars = bc.collect { case (k, c) if c >= 2 => c.toLong * k.length }.sum
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toVector
+      val (tg, tn) =
+        if (grams.isEmpty) ("", 0L)
+        else {
+          val gc = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val mx = gc.values.max
+          (gc.collect { case (g, c) if c == mx => g }.min, mx)
+        }
+      (blocks.size.toLong, dupB, blkChars, dupChars, tg, tn)
+    }
+    (0 until 200).foreach { _ =>
+      val toks = Vector.fill(rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+      val got = graft.functions.TextStats.blockRepStatsKernel(
+        ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray))
+      val (nb, db, bc, dc, tg, tn) = reference(toks)
+      assert(got.getLong(0) == nb && got.getLong(1) == db, s"blocks: $toks")
+      assert(got.getLong(2) == bc && got.getLong(3) == dc, s"chars: $toks")
+      assert(got.getUTF8String(4).toString == tg && got.getLong(5) == tn,
+        s"top gram: $toks")
+    }
+  }
+
   test("rewrite equals the brute-force definition on randomized docs") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("x", "y", "z", "q")
