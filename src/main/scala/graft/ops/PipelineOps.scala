@@ -662,11 +662,17 @@ object PipelineOps {
         .where(ColumnShim.column(BloomFilterMightContain(
           Literal.create(bloom, BinaryType),
           ColumnShim.expression(xxhash64(col("gram"))))))
-      // exact confirm: SHUFFLE_HASH pins the no-broadcast scale shape —
-      // at fixture size AQE would happily broadcast eval grams, which is
-      // exactly the plan this flavor exists to avoid
+      // exact confirm: MERGE pins the no-broadcast scale shape — at
+      // fixture size AQE would happily broadcast eval grams, which is
+      // exactly the plan this flavor exists to avoid. It must be
+      // sort-merge, not SHUFFLE_HASH: the eval-gram side GROWS with the
+      // benchmark battery (here with the corpus — 10% of docs), and a
+      // shuffled-hash build cannot spill — the forced-SHJ version died
+      // at the 13M-doc tier with "not enough memory to build hash map"
+      // (UnsafeHashedRelation per-partition build, 32 tasks competing).
+      // SMJ spills both sides; confirm traffic stays ∝ bloom survivors.
       val contam = survivors
-        .join(evalGrams.hint("SHUFFLE_HASH"), Seq("gram"), "left_semi")
+        .join(evalGrams.hint("MERGE"), Seq("gram"), "left_semi")
         .select(col("doc_id"), col("source")).distinct()
         .withColumn("is_contam", lit(1))
       documents(s, d).where(col("doc_id") % 10 =!= 7)

@@ -711,17 +711,21 @@ class PlanSpec extends SparkSpec {
       "the verified shape is the non-broadcast join:\n" + p)
   }
 
-  test("decontam_bloom: literal bloom prefilter ahead of a shuffled exact confirm") {
+  test("decontam_bloom: literal bloom prefilter ahead of a sort-merge exact confirm") {
     // the eval-gram bloom must probe as a foldable literal predicate in
     // the corpus stage (no exchange feeding it), and the exact confirm
-    // must be the hinted SHUFFLE join — broadcasting the full eval-gram
-    // relation is the plan this flavor exists to avoid
+    // must be the hinted SORT-MERGE join: broadcasting the full eval-gram
+    // relation is the plan this flavor exists to avoid, and a shuffled-
+    // HASH build cannot spill — the forced-SHJ version died at the
+    // 13M-doc tier ("not enough memory to build hash map") because the
+    // eval-gram side grows with the corpus
     val p = planOf("decontam_bloom")
     assert(p.contains("might_contain"),
       "bloom prefilter must reach the corpus-gram stage:\n" + p)
-    assert(p.contains("ShuffledHashJoin LeftSemi") ||
-        p.contains("SortMergeJoin LeftSemi"),
-      "exact confirm must stay a shuffled semi-join:\n" + p)
+    assert(p.contains("SortMergeJoin LeftSemi"),
+      "exact confirm must be the spill-safe sort-merge semi-join:\n" + p)
+    assert(!p.contains("BroadcastHashJoin LeftSemi"),
+      "eval grams must never broadcast in the scale flavor:\n" + p)
   }
 
   test("interleave_datasets: chunk offsets broadcast; prefix via TakeOrdered") {
