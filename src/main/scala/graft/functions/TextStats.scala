@@ -151,7 +151,11 @@ object TextStats {
     while (it.hasNext) {
       val e = it.next()
       val c = e.getValue.longValue()
-      val chars = c * e.getKey.length
+      // Unicode CODE POINTS, not UTF-16 units: the oracle's length(btext)
+      // and Spark's length() both count code points, so supplementary-plane
+      // text (emoji, rare CJK) must not inflate the char mass.
+      val k = e.getKey
+      val chars = c * k.codePointCount(0, k.length)
       totBlocks += c; blkChars += chars
       if (c >= 2) { dupBlocks += c; dupChars += chars }
     }

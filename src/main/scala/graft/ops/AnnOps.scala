@@ -555,47 +555,12 @@ object AnnOps {
           .orderBy(col("query_id"), col("rk"))
       } else {
         // footer-gated scale branch (same √N-cells law as knn_graph_ivf,
-        // now with Lloyd-TRAINED centroids): K literal expression
-        // subtrees would blow codegen past ~hundreds of cells, so cells
-        // arrive as a broadcast relation and corpus assignment is a
-        // map-side argmax PARTIAL AGGREGATE — all K scored copies of a
-        // vector are task-local after the broadcast join, so only one
-        // narrow (vec_id → cell) row per vector reaches the exchange,
-        // never the N·K scored relation. The 5 probe queries rank their
-        // cells in a 5-row window and broadcast into the cell join.
-        val kCells = ivfCellCount(nVec).toInt
-        val nprobe = math.max(4, ivfNprobe(kCells))
-        // unit-normalize once so the N·K assignment loop is a single
-        // native dot per pair instead of dot + two per-pair norms (same
-        // rationale as knn_graph_ivf's scale branch)
-        val cents = broadcast(normalizedCents(scaleCentroidDf(s, d, kCells)))
-        val en = normalizedVecs(e)
-        val assigned = en
-          .crossJoin(cents)
-          .select(col("vec_id"), col("cid"),
-            dot_d(col("v"), col("cv")).as("cs"))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cs"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.cid").as("cell"))
-          .join(en, Seq("vec_id"))
-        val probes = en.where(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-          .crossJoin(cents)
-          .select(col("query_id"), col("qv"), col("cid"),
-            dot_d(col("qv"), col("cv")).as("cs"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id"))
-              .orderBy(col("cs").desc, col("cid").desc)))
-          .where(col("rn") <= nprobe)
-          .select(col("query_id"), col("qv"), col("cid").as("cell"))
-        assigned.join(broadcast(probes), Seq("cell"))
-          .where(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-                  dot_d(col("qv"), col("v")).as("cos"))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 10)
-          .orderBy(col("query_id"), col("rk"))
+        // Lloyd-TRAINED centroids, and the SAME two-level flip: past
+        // ⌈√N⌉ > 4096 the flat cells freeze at the cap and per-probe
+        // candidates degrade from √N-tracking to N/32 — fifty probes
+        // make that survivable, not right). Both shapes end in the
+        // identical broadcast cell join + 5-query re-rank window.
+        annTopKScaleBranch(s, d, normalizedVecs(e), nVec, w)
       }
     },
 
@@ -1099,6 +1064,65 @@ object AnnOps {
       .select(col("cid"),
         expr("transform(cv, x -> x / greatest(cn, 1e-30d))").as("cv"))
 
+  /** ann_ivf_topk's footer-gated scale branch, split out so the forced
+    * smoke tiers can drive BOTH index shapes directly. Flat ⌈√N⌉-cell
+    * IVF below the cap; the two-level IMI past it (⌈√N⌉ > 4096), with
+    * the probe side restricted to the 5 query vectors — the corpus
+    * assignment is shared with knn_graph_ivf's gate, so past the cap
+    * per-probe candidates keep tracking √N instead of freezing at
+    * N/4096. `en` must be unit-normalized. */
+  private[graft] def annTopKScaleBranch(s: SparkSession, d: String,
+      en: DataFrame, nVec: Long,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val (assigned, probes) =
+      if (!ivfTwoLevelGate(nVec)) {
+        // K literal expression subtrees would blow codegen past
+        // ~hundreds of cells, so cells arrive as a broadcast relation
+        // and corpus assignment is a map-side argmax PARTIAL AGGREGATE —
+        // all K scored copies of a vector are task-local after the
+        // broadcast join, so only one narrow (vec_id → cell) row per
+        // vector reaches the exchange, never the N·K scored relation.
+        // The 5 probe queries rank their cells in a 5-row window and
+        // broadcast into the cell join. Unit-normalized once so the N·K
+        // assignment loop is a single native dot per pair.
+        val kCells = ivfCellCount(nVec).toInt
+        val nprobe = math.max(4, ivfNprobe(kCells))
+        val cents = broadcast(normalizedCents(scaleCentroidDf(s, d, kCells)))
+        val assigned = en
+          .crossJoin(cents)
+          .select(col("vec_id"), col("cid"),
+            dot_d(col("v"), col("cv")).as("cs"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cs"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.cid").as("cell"))
+          .join(en, Seq("vec_id"))
+        val probes = en.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .crossJoin(cents)
+          .select(col("query_id"), col("qv"), col("cid"),
+            dot_d(col("qv"), col("cv")).as("cs"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("cs").desc, col("cid").desc)))
+          .where(col("rn") <= nprobe)
+          .select(col("query_id"), col("qv"), col("cid").as("cell"))
+        (assigned, probes)
+      } else {
+        val k1 = ivfCoarseCells(nVec)
+        val p1 = ivfTwoLevelProbes(k1)
+        twoLevelAssignProbes(s, en, nVec, k1, k1, p1, p1,
+          probeFilter = Some(col("vec_id") < 5))
+      }
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              dot_d(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** The knn-graph scale pipeline over UNIT-NORMALIZED vectors and
     * centroids. Two deliberate departures from the fixture branch's
     * window shape, both measured at the 100k tier:
@@ -1170,7 +1194,17 @@ object AnnOps {
         lit((1L << 27).toDouble)), lit(0.0d)), lit(((1L << 28) - 1).toDouble))
       .cast("long") * lit(1L << idBits) + col("vec_id")).as("pk")
     val kk = k
-    val partial = assigned.join(probes, Seq("cell"))
+    // Ids must fit the 34-bit pack or the ranking key AND the extracted
+    // neighbor_id silently corrupt — fail loudly instead. The check
+    // rides the corpus-sized assigned relation (one predicate per
+    // vector), never the nprobe·N²/K pair stream.
+    val guarded = assigned.withColumn("vec_id",
+      when(assert_true(
+          col("vec_id") >= 0L && col("vec_id") < lit(1L << idBits),
+          concat(lit(s"vec_id outside the $idBits-bit knn id pack: "),
+            col("vec_id").cast("string"))).isNull,
+        col("vec_id")))
+    val partial = guarded.join(probes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), pkCol).as[(Long, Long)]
       .mapPartitions { it =>
@@ -1244,8 +1278,8 @@ object AnnOps {
     * with K1·K2 ≈ √N that is p1·p2·√N, the √N bound the flat cap
     * broke. Trainer collects stay planning-sized (K×dims ≤ 2 MB). */
   private[graft] def twoLevelAssignProbes(s: SparkSession, en: DataFrame,
-      nVec: Long, k1: Int, k2: Int, p1: Int,
-      p2: Int): (DataFrame, DataFrame) = {
+      nVec: Long, k1: Int, k2: Int, p1: Int, p2: Int,
+      probeFilter: Option[Column] = None): (DataFrame, DataFrame) = {
     import graft.functions.TopK.collect_top_k
     val half = dims / 2
     val eh = en.select(col("vec_id"), col("v"),
@@ -1283,22 +1317,24 @@ object AnnOps {
         (col("cells1")(0).getField("cid") * k2 +
           col("cells2")(0).getField("cid")).as("cell"))
       .join(en, Seq("vec_id"))
-    // Multi-sequence probe selection (Babenko & Lempitsky's IMI order,
-    // grid-approximated): rank the m×m candidate grid by COMBINED score
-    // s1+s2 and probe the best p1·p2 cells — a rigid top-p1 × top-p2
-    // rectangle at the same budget wastes probes on cells whose weak
-    // subspace outweighs their strong one. Same candidate count, better
-    // cells; still one narrow aggregate, no window, no extra join.
-    val probes = both
-      .select(col("vec_id"), explode(col("cells1")).as("c1"), col("cells2"))
-      .select(col("vec_id"), col("c1"), explode(col("cells2")).as("c2"))
-      .select(col("vec_id"),
-        struct((col("c1.s") + col("c2.s")).as("s"),
-          (col("c1.cid") * k2 + col("c2.cid")).as("cid")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(collect_top_k(col("sc"), m).as("cells"))
-      .select(col("vec_id").as("query_id"), explode(col("cells")).as("c"))
-      .select(col("query_id"), col("c.cid").as("cell"))
+    // Multi-sequence probe selection (Babenko & Lempitsky's IMI order):
+    // probe the top-(p1·p2) cells of the grid by COMBINED score s1+s2 —
+    // a rigid top-p1 × top-p2 rectangle at the same budget probes worse
+    // cells. Selection is the row-local frontier walk
+    // [[graft.functions.MultiSeqCells]] (bounded heap, O(m) cells
+    // visited), a pure PROJECTION: the earlier explode-the-grid →
+    // collect_top_k formulation shipped min(m,k1)·min(m,k2) rows per
+    // vector through an aggregate — the full 4096-row grid per vector
+    // at the production law (k1 = 64 at the flip, p = 12 ⇒ m = 144 >
+    // k1), i.e. exactly the N·K1·K2 fan-out the IMI exists to avoid.
+    // The only explode left is the m output cells per probe vector,
+    // which the cell join genuinely needs as rows. `probeFilter`
+    // restricts the probe side (e.g. the 5 broadcast queries of
+    // ann_ivf_topk) without touching the corpus assignment.
+    import graft.functions.MultiSeqCells.multi_seq_cells
+    val probes = probeFilter.fold(both)(both.where)
+      .select(col("vec_id").as("query_id"),
+        explode(multi_seq_cells(col("cells1"), col("cells2"), k2, m)).as("cell"))
       .join(en.select(col("vec_id").as("query_id"), col("v").as("qv")),
         Seq("query_id"))
     (assigned, probes)

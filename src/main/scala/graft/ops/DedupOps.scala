@@ -1252,7 +1252,10 @@ object DedupOps {
     val footerDocs = Tables.parquetRowCount(s, d, "documents")
     if (footerDocs == 0L) return 0.0
     val files = Tables.dataFiles(s, d, "documents")
-    val stride = math.max(1, files.size / ParagraphProbeMaxFiles)
+    // ceiling stride so at most ParagraphProbeMaxFiles files are picked
+    // (floor stride scans up to 2x-1 the bound, e.g. 127 files at stride 1)
+    val stride = math.max(1,
+      (files.size + ParagraphProbeMaxFiles - 1) / ParagraphProbeMaxFiles)
     val picked = files.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
     // rows in the picked files, estimated by byte share: only sizes the
     // within-file thinning factor — the projection divides by the exact

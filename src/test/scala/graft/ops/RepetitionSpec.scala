@@ -103,20 +103,29 @@ class RepetitionSpec extends SparkSpec {
     val rep = kernel(Seq.fill(21)("x"))
     assert(rep.getLong(0) == 3L && rep.getLong(1) == 2L)
     assert(rep.getLong(2) == 2 * 19L + 1L && rep.getLong(3) == 2 * 19L)
+    // supplementary-plane chars count as ONE code point each (oracle
+    // length(btext) semantics), not two UTF-16 units: 21 copies of a
+    // 2-code-point token => full block = 10 tokens * 2 cp + 9 spaces = 29 cp
+    val astral = kernel(Seq.fill(21)("🦊a")) // 🦊a
+    assert(astral.getLong(0) == 3L && astral.getLong(1) == 2L)
+    assert(astral.getLong(2) == 2 * 29L + 2L, "blk_chars must be code points")
+    assert(astral.getLong(3) == 2 * 29L)
   }
 
   test("stats kernel equals the brute-force definition on randomized docs") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(7)
-    val vocab = Vector("a", "b", "cc", "d") // tiny: forces dup blocks + gram ties
+    // tiny: forces dup blocks + gram ties; 🦊 exercises code-point counting
+    val vocab = Vector("a", "b", "cc", "d", "🦊")
     def reference(toks: Vector[String]) = {
       val blocks = (if (toks.isEmpty) Vector(Vector.empty[String])
                     else toks.grouped(10).toVector).map(_.mkString(" "))
       val bc = blocks.groupBy(identity).view.mapValues(_.size).toMap
       val dupB = bc.collect { case (_, c) if c >= 2 => c.toLong }.sum
-      val blkChars = bc.map { case (k, c) => c.toLong * k.length }.sum
-      val dupChars = bc.collect { case (k, c) if c >= 2 => c.toLong * k.length }.sum
+      def cp(k: String) = k.codePointCount(0, k.length).toLong
+      val blkChars = bc.map { case (k, c) => c.toLong * cp(k) }.sum
+      val dupChars = bc.collect { case (k, c) if c >= 2 => c.toLong * cp(k) }.sum
       val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toVector
       val (tg, tn) =
         if (grams.isEmpty) ("", 0L)
