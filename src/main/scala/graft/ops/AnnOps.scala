@@ -684,13 +684,20 @@ object AnnOps {
         // so effective cells keep tracking √N instead of freezing at the
         // cap — the x_knn_graph_twolevel smoke pins the shape and the
         // candidates-per-query bound at a forced 1M-vector tier.
-        if (!ivfTwoLevelGate(nVec))
-          knnGraphScale(normalizedVecs(e),
-            normalizedCents(scaleCentroidDf(s, d, kCells.toInt)), nprobe, k)
-        else {
-          val k1 = ivfCoarseCells(nVec)
-          val p1 = ivfTwoLevelProbes(k1)
-          knnGraphTwoLevel(s, normalizedVecs(e), nVec, k1, k1, p1, p1, k)
+        // exact-duplicate collapse wraps EITHER index shape: the graph
+        // builds over one representative per distinct vector, twins fan
+        // back at cos 1 ([[knnGraphDeduped]]) — without it a 30-50%
+        // duplicated embedding (boilerplate pages) is an (N/2)² cell
+        // join no training can split
+        knnGraphDeduped(normalizedVecs(e), k) { reps =>
+          if (!ivfTwoLevelGate(nVec))
+            knnGraphScale(reps,
+              normalizedCents(scaleCentroidDf(s, d, kCells.toInt)), nprobe, k)
+          else {
+            val k1 = ivfCoarseCells(nVec)
+            val p1 = ivfTwoLevelProbes(k1)
+            knnGraphTwoLevel(s, reps, nVec, k1, k1, p1, p1, k)
+          }
         }
       }
     },
@@ -1047,6 +1054,25 @@ object AnnOps {
   private[graft] def ivfTwoLevelProbes(k1: Int): Int =
     math.max(2, math.ceil(k1.toDouble / math.sqrt(32.0)).toInt)
 
+  /** Max postings a single (cell, salt) join key may hold. The cell
+    * equi-join's work per key is width × probes-into-the-cell, and a
+    * degenerate corpus (30-50% one near-identical embedding — real
+    * crawls produce this via boilerplate pages) concentrates BOTH
+    * sides in one cell no centroid training can split: N/2 × N/2
+    * pairs under ONE key. AQE cannot save it — skew detection reads
+    * the join's INPUT partition bytes (a 30k-row cell is ~15 MB, far
+    * under any skew threshold) while the explosion is in the join
+    * OUTPUT. 16384² ≈ 2.7e8 pairs is a bounded task. */
+  private[graft] val IvfCellWidthCap = 16384L
+
+  /** Salt count for a cell of `width` postings: 1 under the cap,
+    * ⌈width/cap⌉ past it — assigned rows spread uniformly over salts
+    * (pmod of the id hash), probes replicate across all of them, so
+    * results are identical and no (cell, salt) key exceeds the cap.
+    * Pure, GateSpec-pinned. */
+  private[graft] def ivfCellSalts(width: Long, cap: Long = IvfCellWidthCap): Long =
+    if (width <= cap) 1L else (width + cap - 1L) / cap
+
   /** Unit-normalize a (vec_id, v, …) frame once, so every downstream
     * pair evaluation is a single native dot product instead of
     * dot + two per-pair norm recomputations — the dominant saving in
@@ -1111,8 +1137,9 @@ object AnnOps {
       } else {
         val k1 = ivfCoarseCells(nVec)
         val p1 = ivfTwoLevelProbes(k1)
-        twoLevelAssignProbes(s, en, nVec, k1, k1, p1, p1,
+        val (aN, p) = twoLevelAssignProbes(s, en, nVec, k1, k1, p1, p1,
           probeFilter = Some(col("vec_id") < 5))
+        (aN.join(en, Seq("vec_id")), p)
       }
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -1155,7 +1182,6 @@ object AnnOps {
       .agg(collect_top_k(col("sc"), nprobe).as("cells"))
     val assigned = top
       .select(col("vec_id"), col("cells")(0).getField("cid").as("cell"))
-      .join(en, Seq("vec_id"))
     val probes = top
       .select(col("vec_id").as("query_id"), explode(col("cells")).as("c"))
       .select(col("query_id"), col("c.cid").as("cell"))
@@ -1166,8 +1192,11 @@ object AnnOps {
 
   /** Cell-keyed candidate join → per-query top-k edges with exact cosine,
     * shared by the single- and two-level knn-graph pipelines.
-    * `assigned` = (cell, vec_id, v), `probes` = (cell, query_id, qv),
-    * both unit-normalized. */
+    * `assigned` = NARROW (vec_id, cell) — vectors re-attach here from
+    * `en` after the eager narrow checkpoint (16 B/row at any corpus
+    * size) that also feeds the width-cap planning probe, so the
+    * assignment computes ONCE; `probes` = (cell, query_id, qv); `en`
+    * unit-normalized. */
   private[graft] def topKEdges(assigned: DataFrame, probes: DataFrame,
       en: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopK.collect_top_k
@@ -1198,13 +1227,51 @@ object AnnOps {
     // neighbor_id silently corrupt — fail loudly instead. The check
     // rides the corpus-sized assigned relation (one predicate per
     // vector), never the nprobe·N²/K pair stream.
-    val guarded = assigned.withColumn("vec_id",
-      when(assert_true(
-          col("vec_id") >= 0L && col("vec_id") < lit(1L << idBits),
-          concat(lit(s"vec_id outside the $idBits-bit knn id pack: "),
-            col("vec_id").cast("string"))).isNull,
-        col("vec_id")))
-    val partial = guarded.join(probes, Seq("cell"))
+    // Ids must fit the pack BEFORE the checkpoint materializes them, so
+    // a bad corpus fails at plan time, not mid-pair-stage.
+    val cellsNarrow = assigned
+      .withColumn("vec_id",
+        when(assert_true(
+            col("vec_id") >= 0L && col("vec_id") < lit(1L << idBits),
+            concat(lit(s"vec_id outside the $idBits-bit knn id pack: "),
+              col("vec_id").cast("string"))).isNull,
+          col("vec_id")))
+      .localCheckpoint(true)
+    // WIDTH-CAP SALTING for irreducibly hot cells: the planning probe
+    // (per-cell counts + a max over the narrow checkpoint — never a
+    // recompute of the assignment) decides; under [[IvfCellWidthCap]]
+    // everywhere the plan is untouched. An over-wide cell — a genuinely
+    // dense near-identical region neither Lloyd nor the IMI grid can
+    // split — splits into [[ivfCellSalts]] sub-keys: assigned rows
+    // hash-spread over salts, probes into that cell replicate across
+    // all of them (same pairs, so results are identical), and no single
+    // join key carries a quadratic task. AQE cannot do this: its skew
+    // detection reads the join's INPUT partition bytes (a 30k-row cell
+    // is ~15 MB, under any threshold) while the explosion is in the
+    // join OUTPUT. The salts relation holds only the over-wide cells,
+    // so both attach joins broadcast.
+    val cap = IvfCellWidthCap
+    val counts = cellsNarrow.groupBy(col("cell")).agg(count(lit(1)).as("cw"))
+    val maxW = counts.agg(max(col("cw"))).head.getLong(0)
+    val aBase = cellsNarrow.join(en, Seq("vec_id"))
+    val (aSide, pSide, joinKeys) =
+      if (maxW <= cap) (aBase, probes, Seq("cell"))
+      else {
+        val salts = broadcast(counts.where(col("cw") > cap)
+          .select(col("cell"),
+            expr(s"cast((cw + ${cap - 1L}) div $cap as int)").as("ns")))
+        val aS = aBase.join(salts, Seq("cell"), "left_outer")
+          .withColumn("salt",
+            pmod(xxhash64(col("vec_id")), coalesce(col("ns"), lit(1)))
+              .cast("int"))
+          .drop("ns")
+        val pS = probes.join(salts, Seq("cell"), "left_outer")
+          .withColumn("salt",
+            explode(sequence(lit(0), coalesce(col("ns"), lit(1)) - 1)))
+          .drop("ns")
+        (aS, pS, Seq("cell", "salt"))
+      }
+    val partial = aSide.join(pSide, joinKeys)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), pkCol).as[(Long, Long)]
       .mapPartitions { it =>
@@ -1279,7 +1346,8 @@ object AnnOps {
     * broke. Trainer collects stay planning-sized (K×dims ≤ 2 MB). */
   private[graft] def twoLevelAssignProbes(s: SparkSession, en: DataFrame,
       nVec: Long, k1: Int, k2: Int, p1: Int, p2: Int,
-      probeFilter: Option[Column] = None): (DataFrame, DataFrame) = {
+      probeFilter: Option[Column] = None,
+      rectangleProbes: Boolean = false): (DataFrame, DataFrame) = {
     import graft.functions.TopK.collect_top_k
     val half = dims / 2
     val eh = en.select(col("vec_id"), col("v"),
@@ -1312,11 +1380,13 @@ object AnnOps {
     val t1 = topCells("vlo", c1Df, 1, math.min(m, k1))
     val t2 = topCells("vhi", c2Df, 2, math.min(m, k2))
     val both = t1.join(t2, Seq("vec_id"))
+    // NARROW (vec_id, cell) — vector re-attach is the consumer's call
+    // (topKEdges checkpoints the narrow frame; ann_ivf_topk's tail
+    // joins en itself)
     val assigned = both
       .select(col("vec_id"),
         (col("cells1")(0).getField("cid") * k2 +
           col("cells2")(0).getField("cid")).as("cell"))
-      .join(en, Seq("vec_id"))
     // Multi-sequence probe selection (Babenko & Lempitsky's IMI order):
     // probe the top-(p1·p2) cells of the grid by COMBINED score s1+s2 —
     // a rigid top-p1 × top-p2 rectangle at the same budget probes worse
@@ -1331,10 +1401,24 @@ object AnnOps {
     // which the cell join genuinely needs as rows. `probeFilter`
     // restricts the probe side (e.g. the 5 broadcast queries of
     // ann_ivf_topk) without touching the corpus assignment.
+    // `rectangleProbes` keeps the rigid top-p1 × top-p2 rectangle at
+    // the same p1·p2 budget — the A/B baseline the clustered smoke
+    // measures multi-sequence selection against (never the production
+    // path).
     import graft.functions.MultiSeqCells.multi_seq_cells
-    val probes = probeFilter.fold(both)(both.where)
-      .select(col("vec_id").as("query_id"),
-        explode(multi_seq_cells(col("cells1"), col("cells2"), k2, m)).as("cell"))
+    val probeBase = probeFilter.fold(both)(both.where)
+    val probes = (if (rectangleProbes)
+        probeBase
+          .select(col("vec_id"), explode(slice(col("cells1"), 1, p1)).as("c1"),
+            col("cells2"))
+          .select(col("vec_id"), col("c1"),
+            explode(slice(col("cells2"), 1, p2)).as("c2"))
+          .select(col("vec_id").as("query_id"),
+            (col("c1.cid") * k2 + col("c2.cid")).as("cell"))
+      else
+        probeBase
+          .select(col("vec_id").as("query_id"),
+            explode(multi_seq_cells(col("cells1"), col("cells2"), k2, m)).as("cell")))
       .join(en.select(col("vec_id").as("query_id"), col("v").as("qv")),
         Seq("query_id"))
     (assigned, probes)
@@ -1343,9 +1427,58 @@ object AnnOps {
   /** Full-corpus knn graph through the two-level index — same contract
     * as [[knnGraphScale]], for corpora past the flat cap. */
   private[graft] def knnGraphTwoLevel(s: SparkSession, en: DataFrame,
-      nVec: Long, k1: Int, k2: Int, p1: Int, p2: Int, k: Int): DataFrame = {
-    val (assigned, probes) = twoLevelAssignProbes(s, en, nVec, k1, k2, p1, p2)
+      nVec: Long, k1: Int, k2: Int, p1: Int, p2: Int, k: Int,
+      rectangleProbes: Boolean = false): DataFrame = {
+    val (assigned, probes) = twoLevelAssignProbes(s, en, nVec, k1, k2, p1, p2,
+      rectangleProbes = rectangleProbes)
     topKEdges(assigned, probes, en, k)
+  }
+
+  /** EXACT-DUPLICATE collapse around a corpus knn-graph build — the
+    * other half of the degenerate-corpus defense (the width-cap salt in
+    * [[topKEdges]] parallelizes irreducibly dense NEAR-identical cells;
+    * this removes the quadratic for IDENTICAL vectors entirely). Real
+    * crawls put 30-50% of documents on one boilerplate embedding; all
+    * its copies land in one cell no centroid training can split, and
+    * both sides of the cell join carry N/2 rows — (N/2)² pairs for
+    * neighbors that are knowable without scoring a single pair (twins
+    * at cos = 1). So: group by the vector VALUE (one corpus-width
+    * shuffle on v — the same order of work as any assignment pass),
+    * build the graph over one representative per distinct vector, then
+    * fan edges back: each member's top slots fill from its k+1
+    * smallest-id twins (a BOUNDED collect_top_k — never the group's
+    * member list) at exact cos 1, remaining slots from its
+    * representative's graph edges; re-rank is a bounded ≤(2k+1)-row
+    * top-k per query. A corpus with no duplicates degenerates to
+    * reps = corpus and byte-identical edges. */
+  private[graft] def knnGraphDeduped(en: DataFrame, k: Int)(
+      graph: DataFrame => DataFrame): DataFrame = {
+    import graft.functions.TopK.collect_top_k
+    val groups = en.groupBy(col("v"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("gsz"))
+    val members = en.join(groups, Seq("v"))
+    val reps = members.where(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("v"))
+    val repEdges = graph(reps)
+      .select(col("query_id").as("rep"), col("neighbor_id"), col("cos"))
+    val mem = members.select(col("vec_id"), col("rep"))
+    val twins = members.where(col("gsz") > 1L)
+      .groupBy(col("rep"))
+      .agg(collect_top_k(col("vec_id"), k + 1, reverse = true).as("tw"))
+    val twinEdges = mem.join(twins, Seq("rep"))
+      .select(col("vec_id").as("query_id"), explode(col("tw")).as("neighbor_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", lit(1.0d))
+    val interEdges = mem.join(repEdges, Seq("rep"))
+      .select(col("vec_id").as("query_id"), col("neighbor_id"), col("cos"))
+    twinEdges.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .unionByName(interEdges)
+      .groupBy(col("query_id"))
+      .agg(collect_top_k(struct(col("cos"), col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cos").as("cos"), (col("i") + 1).cast("int").as("rk"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   private def trainCentroids(s: SparkSession,

@@ -298,6 +298,177 @@ object MultimodalOps {
         .orderBy(col("doc_id"), col("shot"))
     },
 
+    // Shot-boundary detection over REAL DECODED FRAMES — the composed
+    // form of mm_shot_boundaries: every sampled frame renders → PNG →
+    // ImageIO-decodes on the executors ([[decodedFrameFeatures]], the
+    // same codec path as mm_image_features under a composite
+    // doc·100000+frame id), and the break signal is a real decoded-pixel
+    // statistic (px_sum % 256) instead of the arithmetic stand-in. PNG
+    // is lossless, so the oracle still derives every pixel from the
+    // generator formula — the decode is exercised, the gate stays
+    // closed-form. Windowing topology identical to the stand-in.
+    Q("mm_shot_boundaries_decoded",
+      """WITH meta AS (
+        |  SELECT doc_id, 10 + doc_id % 110 AS duration_s
+        |  FROM documents WHERE doc_id < 24),
+        |frames AS (
+        |  SELECT doc_id, CAST(unnest(range(0, duration_s * 30, 60)) AS BIGINT) AS frame_idx
+        |  FROM meta),
+        |cidt AS (
+        |  SELECT doc_id, frame_idx, doc_id * 100000 + frame_idx AS cid FROM frames),
+        |px AS (
+        |  SELECT c.doc_id, c.frame_idx,
+        |    (x * 7 + y * 13 + c.cid) % 256 + (x * 3 + y * 5 + 2 * c.cid) % 256
+        |      + (x + y + 3 * c.cid) % 256 AS pxv
+        |  FROM cidt c
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 14)) AS y) ys
+        |  WHERE x < 8 + c.cid % 5 AND y < 8 + c.cid % 7),
+        |feat AS (
+        |  SELECT doc_id, frame_idx, CAST(sum(pxv) AS BIGINT) % 256 AS f
+        |  FROM px GROUP BY doc_id, frame_idx),
+        |brk AS (
+        |  SELECT doc_id, frame_idx, f,
+        |    CASE WHEN abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 128
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM feat),
+        |sid AS (
+        |  SELECT doc_id, frame_idx,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM brk),
+        |shots AS (
+        |  SELECT doc_id, shot, count(*) AS shot_len FROM sid GROUP BY doc_id, shot)
+        |SELECT doc_id, CAST(sum(shot_len) AS BIGINT) AS n_frames,
+        |  count(*) AS n_shots, max(shot_len) AS longest_shot
+        |FROM shots GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val frames = documents(s, d).where(col("doc_id") < 24)
+        .select(col("doc_id"), (lit(10) + col("doc_id") % 110).as("duration_s"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, duration_s * 30 - 1, 60)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      shotIds(decodedFrameFeatures(s, Tables.fan(s, frames)))
+        .groupBy(col("doc_id"), col("shot"))
+        .agg(count(lit(1)).as("shot_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("shot_len")).cast("bigint").as("n_frames"),
+             count(lit(1)).as("n_shots"), max(col("shot_len")).as("longest_shot"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Keyframe selection over the same real decoded frames: the argmax
+    // score is (px_sum·7 + max_channel) % 1000 — BOTH decoded statistics
+    // — so the representative frame genuinely depends on the codec
+    // round-trip. Same per-(doc, shot) row_number as the stand-in.
+    Q("mm_keyframe_select_decoded",
+      """WITH meta AS (
+        |  SELECT doc_id, 10 + doc_id % 110 AS duration_s
+        |  FROM documents WHERE doc_id < 24),
+        |frames AS (
+        |  SELECT doc_id, CAST(unnest(range(0, duration_s * 30, 60)) AS BIGINT) AS frame_idx
+        |  FROM meta),
+        |cidt AS (
+        |  SELECT doc_id, frame_idx, doc_id * 100000 + frame_idx AS cid FROM frames),
+        |px AS (
+        |  SELECT c.doc_id, c.frame_idx,
+        |    (x * 7 + y * 13 + c.cid) % 256 + (x * 3 + y * 5 + 2 * c.cid) % 256
+        |      + (x + y + 3 * c.cid) % 256 AS pxv,
+        |    greatest((x * 7 + y * 13 + c.cid) % 256,
+        |      (x * 3 + y * 5 + 2 * c.cid) % 256,
+        |      (x + y + 3 * c.cid) % 256) AS chan
+        |  FROM cidt c
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 14)) AS y) ys
+        |  WHERE x < 8 + c.cid % 5 AND y < 8 + c.cid % 7),
+        |feat AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(sum(pxv) AS BIGINT) % 256 AS f,
+        |    (CAST(sum(pxv) AS BIGINT) * 7 + max(chan)) % 1000 AS sharp
+        |  FROM px GROUP BY doc_id, frame_idx),
+        |brk AS (
+        |  SELECT doc_id, frame_idx, sharp,
+        |    CASE WHEN abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 128
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM feat),
+        |sid AS (
+        |  SELECT doc_id, frame_idx, sharp,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM brk),
+        |rk AS (
+        |  SELECT doc_id, shot, frame_idx, sharp,
+        |    row_number() OVER (PARTITION BY doc_id, shot
+        |                       ORDER BY sharp DESC, frame_idx) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id, shot) AS shot_len
+        |  FROM sid)
+        |SELECT doc_id, CAST(shot AS BIGINT) AS shot, CAST(shot_len AS BIGINT) AS shot_len,
+        |  frame_idx AS key_frame, CAST(sharp AS BIGINT) AS key_sharp
+        |FROM rk WHERE rn = 1 ORDER BY doc_id, shot""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val frames = documents(s, d).where(col("doc_id") < 24)
+        .select(col("doc_id"), (lit(10) + col("doc_id") % 110).as("duration_s"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, duration_s * 30 - 1, 60)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      shotIds(decodedFrameFeatures(s, Tables.fan(s, frames)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("shot"))
+            .orderBy(col("sharp").desc, col("frame_idx"))))
+        .withColumn("shot_len", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"), col("shot"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("shot").cast("long").as("shot"),
+          col("shot_len").cast("long").as("shot_len"),
+          col("frame_idx").as("key_frame"),
+          col("sharp").cast("long").as("key_sharp"))
+        .orderBy(col("doc_id"), col("shot"))
+    },
+
+    // A/V alignment driven by the REAL AUDIO DECODE: the audio window
+    // count comes from the DECODED WAV's sample count
+    // ([[audioFeaturesKernel]] — RIFF header parsed on the executors),
+    // not synthetic metadata; frames as-of-join onto 256-sample/128-hop
+    // windows (8 ms at the decoded 16 kHz rate). WAV PCM is lossless,
+    // so the oracle states the decoded n and the alignment in closed
+    // form: audio_widx = least(2·frame_idx, (n-256)//128).
+    Q("mm_av_align_decoded",
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(1000 + (doc_id % 17) * 100 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 50),
+        |frames AS (
+        |  SELECT doc_id, CAST(unnest(range(0, 12)) AS BIGINT) AS frame_idx
+        |  FROM ids)
+        |SELECT f.doc_id, f.frame_idx,
+        |  CAST(f.frame_idx * 16 AS BIGINT) AS ts_ms,
+        |  a.n AS n_samples,
+        |  CAST(least(f.frame_idx * 2, (a.n - 256) // 128) AS BIGINT) AS audio_widx
+        |FROM frames f JOIN ids a USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.fan(s,
+        documents(s, d).where(col("doc_id") < 50).select(col("doc_id")))
+      val meta = audioFeaturesKernel(s, ids.as[Long])
+        .select(col("doc_id"), col("n_samples"))
+      val frames = meta
+        .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          (col("frame_idx").cast("long") * 16).cast("long").as("ts_ms"))
+        .withColumn("tb", col("frame_idx"))
+      val windows = meta
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (n_samples - 256) div 128, 1)")).as("widx"))
+        .select(col("doc_id"), col("widx").cast("long").as("widx"),
+          (col("widx") * 8).cast("long").as("ts_ms"))
+        .withColumn("tb", col("widx"))
+      graft.operators.TemporalJoins
+        .asof(frames, windows, keys = Seq("doc_id"), tsCol = "ts_ms",
+              valueCols = Seq("widx"), tiebreak = "tb")
+        .join(meta, Seq("doc_id"))
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+                col("n_samples"), col("asof_widx").as("audio_widx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Audio-style windowing: n_samples → 1024-sample frames with 512 hop;
     // per-doc window count and coverage (pure integer arithmetic).
     Q("mm_audio_windows",
@@ -359,6 +530,41 @@ object MultimodalOps {
       audioFeaturesKernel(s, ids.as[Long]).orderBy(col("doc_id"))
     },
   )
+
+  /** (doc, frame) grid → per-frame features computed from the REAL PNG
+    * decode: each frame renders/encodes/decodes through
+    * [[imageFeaturesKernel]] under a composite id (doc·100000 + frame —
+    * the id stays the closed-form seed, so the oracle still derives
+    * every decoded pixel arithmetically), and the per-frame signals are
+    * `f = px_sum % 256` (shot-break delta input) and
+    * `sharp = (px_sum·7 + max_channel) % 1000` (keyframe argmax input).
+    * Shared by the mm_*_decoded oracle queries and the 100k smoke. */
+  private[graft] def decodedFrameFeatures(s: SparkSession,
+      frames: DataFrame, dimBase: Int = 8): DataFrame = {
+    import s.implicits._
+    val withCid = frames.select(col("doc_id"), col("frame_idx"),
+      (col("doc_id") * 100000L + col("frame_idx")).as("cid"))
+    val feats = imageFeaturesKernel(s,
+        withCid.select(col("cid")).as[Long], dimBase)
+      .select(col("doc_id").as("cid"), col("px_sum"), col("max_channel"))
+    withCid.join(feats, Seq("cid"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("px_sum") % 256).as("f"),
+        ((col("px_sum") * 7 + col("max_channel")) % 1000).as("sharp"))
+  }
+
+  /** Shot segmentation over a per-frame feature relation — the lag/
+    * running-sum gaps-and-islands topology shared by the stand-in and
+    * decoded shot queries (two window passes, one partition key). */
+  private[graft] def shotIds(feat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    feat
+      .withColumn("b",
+        when(abs(col("f") - lag(col("f"), 1).over(byFrame)) > 128, 1).otherwise(0))
+      .withColumn("shot", sum(col("b")).over(
+        byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 
   /** The PNG encode→decode→feature kernel behind mm_image_features,
     * parametric over the id set and image size so ScaleSmoke can drive it

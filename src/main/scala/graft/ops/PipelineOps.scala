@@ -52,6 +52,56 @@ object PipelineOps {
   def packTwoPhaseGate(s: org.apache.spark.sql.SparkSession, d: String): Boolean =
     Tables.parquetRowCount(s, d, "documents") >= packTwoPhaseMinRows
 
+  /** One BloomFilterAggregate saturates at Spark's 4M-item / 2²⁶-bit
+    * cap — past it fpp→1 and the decontam prefilter silently degrades
+    * to the exact plan. Shards under the cap restore selectivity at
+    * any eval-set size; exposed so the spec can force the sharded path
+    * with a tiny cap and the smoke can record the sharded 13M point. */
+  private[graft] val BloomShardItemCap = 4000000L
+
+  /** Bloom-prefilter predicate over a `gram` column: true iff the
+    * gram's shard filter might contain it (false negatives impossible;
+    * false positives are confirm-join traffic, never correctness).
+    * Builds ⌈est/cap⌉ filters in ONE grouped aggregate over the eval
+    * side, routing grams by `pmod(xxhash64(gram), n)`; a corpus gram
+    * probes only its own shard via a shard-dispatched CASE of literal
+    * might_contains. n = 1 (every fixture tier) is byte-identical to
+    * the single-filter plan the oracle pins. A shard with no eval
+    * grams builds no filter, and no gram routed there can match, so
+    * the dispatch falls through to false. */
+  private[graft] def bloomPrefilter(evalGrams: org.apache.spark.sql.DataFrame,
+      estEvalGrams: Long,
+      shardCap: Long = BloomShardItemCap): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val nShards = math.max(1L, (estEvalGrams + shardCap - 1) / shardCap)
+    val gramHash = xxhash64(col("gram"))
+    val perShard = math.min(shardCap,
+      math.max(1L << 16, estEvalGrams / nShards + 1))
+    val bitsPerShard = math.min(1L << 26, perShard * 16)
+    def agg = ColumnShim.column(new BloomFilterAggregate(
+      ColumnShim.expression(gramHash),
+      Literal(perShard), Literal(bitsPerShard)).toAggregateExpression()).as("bf")
+    def might(bf: Array[Byte]) = ColumnShim.column(BloomFilterMightContain(
+      Literal.create(bf, BinaryType), ColumnShim.expression(gramHash)))
+    if (nShards <= 1L) {
+      val bloom = evalGrams.select(agg).head.getAs[Array[Byte]]("bf")
+      require(bloom != null, "decontam_bloom: empty eval set — no bloom built")
+      might(bloom)
+    } else {
+      val shardOf = pmod(gramHash, lit(nShards)).cast("int")
+      val blooms: Map[Int, Array[Byte]] = evalGrams
+        .groupBy(shardOf.as("shard")).agg(agg)
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toMap
+      require(blooms.nonEmpty, "decontam_bloom: empty eval set — no bloom built")
+      blooms.foldLeft(lit(false)) { case (acc, (i, bf)) =>
+        when(shardOf === lit(i), might(bf)).otherwise(acc)
+      }
+    }
+  }
+
   /** Token-budget packing prefix sum, hybrid small/large path.
     *
     * The path decision reads the documents table's row count from the
@@ -642,26 +692,27 @@ object PipelineOps {
           explode(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 8)).as("gram"))
       val evalGrams = grams.where(col("doc_id") % 10 === 7)
         .select(col("gram")).distinct()
-      // the bloom build is one aggregate job over the (small) eval side,
-      // SIZED from the documents footer row count (driver-side metadata,
-      // no Spark job — the pack_sequences probe pattern): ~3 distinct
-      // eval grams per corpus doc at a 10% eval rate, 16 bits per item,
-      // capped at Spark's BloomFilterAggregate limits (4M items / 2^26
-      // bits = 8 MiB) — bits, not entries, so the broadcast artifact
-      // stays bounded as the benchmark battery grows
-      val estItems = math.min(4000000L,
-        math.max(1L << 16, Tables.parquetRowCount(s, d, "documents") * 3))
-      val numBits = math.min(1L << 26, estItems * 16)
-      val bloom = evalGrams
-        .select(ColumnShim.column(new BloomFilterAggregate(
-          ColumnShim.expression(xxhash64(col("gram"))),
-          Literal(estItems), Literal(numBits)).toAggregateExpression()).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
-      require(bloom != null, "decontam_bloom: empty eval set — no bloom built")
+      // The bloom build is SIZED from the documents footer row count
+      // (driver-side metadata, no Spark job — the pack_sequences probe
+      // pattern): ~6 distinct eval grams per corpus doc (10% eval rate ×
+      // ~60 grams/doc), 16 bits per item. Spark's BloomFilterAggregate
+      // caps ONE filter at 4M items / 2²⁶ bits (8 MiB) — past the cap
+      // fpp→1 and the prefilter silently degrades to the exact plan
+      // (measured: 1179 s at the 13M-doc/65M-gram tier vs 36 s in-cap).
+      // So past the cap the filter goes HASH-SHARDED: grams route to
+      // ⌈est/4M⌉ blooms by pmod(xxhash64(gram), n) — ONE grouped
+      // aggregate builds every shard (still eval-side-only work), each
+      // shard stays under the cap, and a corpus gram probes ONLY its
+      // own shard's filter via a shard-dispatched CASE of literal
+      // might_contains (n × 8 MiB of plan literals — bits, not entries;
+      // ~20 shards at 13M docs ⇒ ~160 MB task binary, the price of
+      // restoring prefilter selectivity at any benchmark-battery size).
+      // Every fixture tier sits far under the cap ⇒ single-bloom path,
+      // byte-identical to the pre-shard plan the oracle pins.
+      val estEvalGrams =
+        math.max(1L << 16, Tables.parquetRowCount(s, d, "documents") * 6)
       val survivors = grams.where(col("doc_id") % 10 =!= 7)
-        .where(ColumnShim.column(BloomFilterMightContain(
-          Literal.create(bloom, BinaryType),
-          ColumnShim.expression(xxhash64(col("gram"))))))
+        .where(bloomPrefilter(evalGrams, estEvalGrams))
       // exact confirm: MERGE pins the no-broadcast scale shape — at
       // fixture size AQE would happily broadcast eval grams, which is
       // exactly the plan this flavor exists to avoid. It must be

@@ -456,6 +456,162 @@ object ScaleSmoke {
           queryMod = 10000)
         metrics += ("twolevel_recall_at3" -> rec)
         println(f"SCALE-METRIC twolevel cand/q=$candPerQuery%.0f graph=$sec%.1f s recall=$rec%.3f")
+      },
+      // Two-level IMI on a CLUSTERED 1M corpus — the regime
+      // multi-sequence probe selection exists for (the uniform 1M tier
+      // is its floor: no probe order can beat any other on
+      // structureless data). Same blob recipe as x_knn_graph_skewed at
+      // 10× the rows; K1=K2=32 (K_eff = 1024 ≈ √N), p1=p2=3 ⇒ both
+      // probe selections spend EXACTLY 9 cells/query. Records (recall,
+      // candidate fraction, max cell) for the trained two-level index,
+      // and the multi-sequence vs rigid-rectangle A/B at that matched
+      // budget. Asserts multi-seq never loses at equal spend — the
+      // structural claim the production law rests on.
+      "x_knn_graph_twolevel_clustered" -> { () =>
+        val cDir = s"$dir/twolevel-clustered"
+        val n2 = 1000000L
+        spark.range(n2)
+          .withColumn("blob", expr(
+            "CASE WHEN pmod(xxhash64(id, 5), 10) < 3 THEN 0 " +
+            "ELSE 1 + cast(pmod(xxhash64(id, 6), 15) AS INT) END"))
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63), j -> cast(
+                (cast(pmod(xxhash64(blob, j + 200), 2001) AS DOUBLE) / 1000.0 - 1.0)
+                + (CASE WHEN blob = 0 THEN 0.05 ELSE 0.25 END) *
+                  ((cast(pmod(xxhash64(id, j * 3 + 300), 1001) AS DOUBLE)
+                  + cast(pmod(xxhash64(id, j * 3 + 301), 1001) AS DOUBLE)
+                  + cast(pmod(xxhash64(id, j * 3 + 302), 1001) AS DOUBLE)) / 1000.0 - 1.5)
+              AS FLOAT))""").as("embedding"),
+            col("blob").cast("int").as("label"))
+          .write.mode("overwrite").parquet(s"$cDir/embeddings.parquet")
+        val ann = graft.ops.AnnOps
+        val en = ann.normalizedVecs(
+          spark.read.parquet(s"$cDir/embeddings.parquet")
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v")))
+        def run(rect: Boolean, tag: String): Double = {
+          val (assigned, probes) = ann.twoLevelAssignProbes(
+            spark, en, n2, 32, 32, 3, 3, rectangleProbes = rect)
+          val nCand = assigned.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+            .join(probes.groupBy(col("cell")).agg(count(lit(1)).as("np")),
+              Seq("cell"))
+            .agg(sum(col("na") * col("np"))).head.getLong(0)
+          metrics += (s"tlc_cand_per_query_$tag" -> nCand.toDouble / n2)
+          if (!rect) {
+            val mx = assigned.groupBy(col("cell"))
+              .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+            metrics += ("tlc_maxcell" -> mx.toDouble)
+          }
+          val g = ann.knnGraphTwoLevel(spark, en, n2, 32, 32, 3, 3, 3,
+            rectangleProbes = rect)
+          val t0 = System.nanoTime()
+          noop(g)
+          metrics += (s"tlc_graph_s_$tag" -> (System.nanoTime() - t0) / 1e9)
+          val r = knnRecallAt3(spark, s"$cDir/embeddings.parquet", g,
+            queryMod = 10000)
+          metrics += (s"tlc_recall_at3_$tag" -> r)
+          r
+        }
+        val rMs = run(rect = false, "multiseq")
+        val rRect = run(rect = true, "rectangle")
+        require(rMs >= rRect - 0.02,
+          f"multi-sequence recall $rMs%.3f lost to the rectangle $rRect%.3f at matched budget")
+        println(f"SCALE-METRIC twolevel_clustered multiseq=$rMs%.3f rectangle=$rRect%.3f " +
+          f"(9 cells/query each)")
+      },
+      // DEGENERATE corpus: 30% of 100k vectors are ONE exact duplicated
+      // embedding (boilerplate pages) and 20% are near-identical
+      // (±1e-6 noise around one center — distinct values, one cell,
+      // wider than IvfCellWidthCap ⇒ the salt engages). Without the
+      // exact-dup collapse the cell join is (30k)² under one key. Runs
+      // the PRODUCTION knn_graph_ivf path (dedup wrapper + width-cap
+      // salt) and asserts completion, twin edges at cos 1, and that a
+      // sampled organic vector still gets 3 ranked neighbors.
+      "x_knn_graph_degenerate" -> { () =>
+        val gDir = s"$dir/degenerate"
+        spark.range(vecRows)
+          .withColumn("kind", expr(
+            "CASE WHEN id % 10 < 3 THEN 0 WHEN id % 10 < 5 THEN 1 ELSE 2 END"))
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63), j -> cast(CASE
+                WHEN kind = 0 THEN cast(pmod(xxhash64(77, j + 100), 2000001) AS DOUBLE) / 1000000.0 - 1.0
+                WHEN kind = 1 THEN cast(pmod(xxhash64(88, j + 100), 2000001) AS DOUBLE) / 1000000.0 - 1.0
+                  + (cast(pmod(xxhash64(id, j + 500), 2001) AS DOUBLE) / 1000.0 - 1.0) * 1e-6
+                ELSE cast(pmod(xxhash64(id, j + 100), 2000001) AS DOUBLE) / 1000000.0 - 1.0
+              END AS FLOAT))""").as("embedding"),
+            lit(0).as("label"))
+          .write.mode("overwrite").parquet(s"$gDir/embeddings.parquet")
+        require(graft.ops.AnnOps.ivfCellSalts(vecRows / 5) > 1L,
+          "the near-identical slice must be wide enough to engage the salt")
+        val g = graft.SparkEntry.queries("knn_graph_ivf")(spark, gDir)
+          .localCheckpoint(true)
+        val dup = g.where(col("query_id") % 10 < 3)
+        require(dup.where(col("cos") < 0.999999).count() == 0L,
+          "every exact-duplicate member's edges must be cos-1 twins")
+        require(dup.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+          .where(col("n") =!= 3).count() == 0L,
+          "every duplicate member must still get k=3 edges")
+        val organic = g.where(col("query_id") % 10 >= 5).count()
+        require(organic > 0L, "organic vectors must keep ranked neighbors")
+      },
+      // Shot segmentation over 100k REAL DECODED FRAMES (2000 videos ×
+      // 50 sampled frames, each a PNG encode→ImageIO-decode round trip
+      // on the executors) — the composed mm_shot_boundaries_decoded
+      // pipeline at 250× its oracle frame count. Completion bounds the
+      // per-frame codec cost; the windowing topology adds two doc-key
+      // window passes over the decoded features.
+      "x_mm_decoded_shots_100k" -> { () =>
+        val frames = spark.range(2000L)
+          .select(col("id").as("doc_id"),
+            explode(expr("sequence(0, 49)")).as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        val summary = graft.ops.MultimodalOps
+          .shotIds(graft.ops.MultimodalOps.decodedFrameFeatures(
+            spark, frames.repartition(32), 16))
+          .groupBy(col("doc_id"), col("shot"))
+          .agg(count(lit(1)).as("shot_len"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("shot_len")).as("n_frames"),
+            count(lit(1)).as("n_shots"), max(col("shot_len")).as("longest"))
+        noop(summary)
+      },
+      // Stateful streaming at 30M DISTINCT KEYS — the decade past the
+      // 3M crossover probe, where per-partition in-memory state
+      // (~3.75M keys × ~100 B each across 8 partitions) approaches
+      // executor heap and the HDFS-backed map provider must lose to
+      // RocksDB's native+disk state. 33M events dedup to 30M keys over
+      // 4 micro-batches. OPT-IN like the 3M probe (RocksDB JNI
+      // teardown can SIGSEGV at exit after results are written).
+      "x_stream_30m" -> { () =>
+        val srcDir = s"$dir/stream30m"
+        spark.range(33000000L)
+          .select((col("id") % 30000000L).as("key"),
+            expr("timestamp_micros(1700000000000000 + id * 100)").as("ts"))
+          .repartition(16).write.mode("overwrite").parquet(srcDir)
+        def run(rocks: Boolean): Double = {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", "8")
+          if (rocks) s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ckpt = Files.createTempDirectory("graft-x-stream30m").toString
+          val in = s2.readStream.schema("key LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "4").parquet(srcDir)
+          val t0 = System.nanoTime()
+          val q = in.dropDuplicates("key")
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val r = run(rocks = true); val h = run(rocks = false)
+        metrics += ("stream_dedup_30m_hdfs_s" -> h)
+        metrics += ("stream_dedup_30m_rocksdb_s" -> r)
+        println(f"SCALE-METRIC stream_dedup_30m hdfs=$h%.1f s rocksdb=$r%.1f s")
       })
 
     val tasks: Seq[(String, () => Unit)] =
@@ -466,7 +622,8 @@ object ScaleSmoke {
         // written — measurement unaffected), and a default sweep must
         // exit 0. Measured 2026-08: 3M keys, hdfs 6.4 s vs rocksdb 15.4 s.
         extras.filterNot(t =>
-          t._1 == "x_stream_dedup_3m_crossover" && only.isEmpty)
+          Set("x_stream_dedup_3m_crossover", "x_stream_30m")(t._1) &&
+            only.isEmpty)
     val timings = only.fold(tasks)(ns => tasks.filter(t => ns(t._1))).map {
       case (name, body) =>
         val t0 = System.nanoTime()

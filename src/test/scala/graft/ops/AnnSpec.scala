@@ -164,4 +164,49 @@ class AnnSpec extends SparkSpec {
         s"query $q: IVF order $common inconsistent with exact $expected")
     }
   }
+
+  test("deduped knn graph: twins at cos 1 first; identity on dup-free corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 distinct unit-ish vectors + ids 100-139 duplicating vector 7
+    // (a 41-member group — bigger than k, like a boilerplate embedding)
+    def base(i: Long): Seq[Double] = {
+      val r = new scala.util.Random(i)
+      val raw = Seq.fill(8)(r.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val rows = (0L until 40L).map(i => (i, base(i))) ++
+      (100L until 140L).map(i => (i, base(7L)))
+    val en = rows.toDF("vec_id", "v")
+    val k = 3
+    def graphFn(reps: org.apache.spark.sql.DataFrame) =
+      AnnOps.knnGraphScale(reps,
+        AnnOps.normalizedCents(
+          reps.where(col("vec_id") < 4)
+            .select(col("vec_id").as("cid"), col("v").as("cv"))),
+        nprobe = 2, k = k)
+    val out = AnnOps.knnGraphDeduped(en, k)(graphFn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    // every duplicate-group member's full top-k is twins at exact cos 1,
+    // smallest ids first of the k+1 retained (7 < 100 < 101 < 102)
+    (Seq(7L) ++ (100L until 140L)).foreach { q =>
+      val es = byQ(q).sortBy(_._4)
+      assert(es.length == k && es.forall(_._3 == 1.0d), s"query $q: $es")
+      // twins retained per group = the k+1 SMALLEST member ids
+      // {7,100,101,102}; the final top-k tie-break on (cos, id)
+      // descending then keeps the LARGEST k of those ≠ q
+      val expect = (Seq(7L) ++ (100L to 102L)).filter(_ != q)
+        .sorted(Ordering[Long].reverse).take(k)
+      assert(es.map(_._2).toSeq == expect, s"query $q twins: ${es.toSeq}")
+    }
+    // a dup-free corpus passes through byte-identically
+    val noDup = (0L until 40L).map(i => (i, base(i))).toDF("vec_id", "v")
+    val direct = graphFn(noDup).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val wrapped = AnnOps.knnGraphDeduped(noDup, k)(graphFn).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(wrapped == direct, "dup-free corpus must be unchanged by the wrapper")
+  }
 }

@@ -116,4 +116,30 @@ class GateSpec extends AnyFunSuite {
       AnnOps.ivfTwoLevelProbes(lo) <= AnnOps.ivfTwoLevelProbes(hi)
     })
   }
+
+  test("cell width cap: salted sub-cells never exceed the cap; no-op under it") {
+    val genW = Gen.frequency(
+      4 -> Gen.chooseNum(0L, 4L * AnnOps.IvfCellWidthCap),
+      3 -> Gen.chooseNum(0L, 1000000000L),
+      1 -> Gen.const(AnnOps.IvfCellWidthCap),
+      1 -> Gen.const(AnnOps.IvfCellWidthCap + 1L))
+    // the law the degenerate smoke rests on: spreading `width` postings
+    // over the salt count leaves every (cell, salt) key ≤ cap — even
+    // with the worst-case uneven hash spread of +1
+    runProp("width cap holds", Prop.forAllNoShrink(genW) { w =>
+      val ns = AnnOps.ivfCellSalts(w)
+      ns >= 1L && (w + ns - 1L) / ns <= AnnOps.IvfCellWidthCap
+    })
+    runProp("identity under the cap", Prop.forAllNoShrink(
+      Gen.chooseNum(0L, AnnOps.IvfCellWidthCap)) { w =>
+      AnnOps.ivfCellSalts(w) == 1L
+    })
+    runProp("engages exactly past the cap", Prop.forAllNoShrink(genW) { w =>
+      (AnnOps.ivfCellSalts(w) > 1L) == (w > AnnOps.IvfCellWidthCap)
+    })
+    runProp("monotone", Prop.forAllNoShrink(genW, genW) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      AnnOps.ivfCellSalts(lo) <= AnnOps.ivfCellSalts(hi)
+    })
+  }
 }

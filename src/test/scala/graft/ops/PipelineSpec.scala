@@ -138,6 +138,28 @@ class PipelineSpec extends SparkSpec {
       "per-source train counts must partition the train set")
   }
 
+  test("sharded bloom prefilter: no false negatives, shards under a forced cap") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 200 eval grams; cap 32 forces ceil(200/32) = 7 hash-routed shards —
+    // the production path past Spark's 4M-item BloomFilterAggregate cap
+    val evalGrams = (0 until 200).map(i => s"eval gram number $i").toDF("gram")
+    val pred = PipelineOps.bloomPrefilter(evalGrams, estEvalGrams = 200L,
+      shardCap = 32L)
+    val probe = ((0 until 200).map(i => s"eval gram number $i") ++
+      (0 until 2000).map(i => s"clean corpus gram $i")).toDF("gram")
+    val kept = probe.where(pred).as[String].collect().toSet
+    // every eval gram must survive its own shard's filter
+    (0 until 200).foreach(i => assert(kept(s"eval gram number $i"),
+      s"false negative on eval gram $i"))
+    // false positives allowed but must be rare at 16 bits/item
+    val fp = kept.count(_.startsWith("clean"))
+    assert(fp < 100, s"implausible false-positive count $fp of 2000")
+    // single-shard path (cap above est) accepts the same eval set
+    val pred1 = PipelineOps.bloomPrefilter(evalGrams, 200L, shardCap = 4096L)
+    assert(probe.where(pred1).count() >= 200L)
+  }
+
   test("vocab_coverage: OOV bounded by token counts; vocabulary covers the head") {
     val out = SparkEntry.queries("vocab_coverage")(spark, sf).collect()
     assert(out.nonEmpty)
