@@ -684,12 +684,14 @@ object AnnOps {
         // so effective cells keep tracking √N instead of freezing at the
         // cap — the x_knn_graph_twolevel smoke pins the shape and the
         // candidates-per-query bound at a forced 1M-vector tier.
-        // exact-duplicate collapse wraps EITHER index shape: the graph
-        // builds over one representative per distinct vector, twins fan
-        // back at cos 1 ([[knnGraphDeduped]]) — without it a 30-50%
-        // duplicated embedding (boilerplate pages) is an (N/2)² cell
-        // join no training can split
-        knnGraphDeduped(normalizedVecs(e), k) { reps =>
+        // exact-duplicate collapse wraps EITHER index shape when the
+        // dup-mass probe says the largest identical-vector group is a
+        // corpus-scale share ([[dupCollapseGate]] — without it a
+        // 30-50% duplicated embedding is an (N/2)² cell join no
+        // training can split); organic corpora skip the wrapper and
+        // pay only the one narrow hash-aggregate probe
+        val en = normalizedVecs(e)
+        def graph(reps: DataFrame): DataFrame =
           if (!ivfTwoLevelGate(nVec))
             knnGraphScale(reps,
               normalizedCents(scaleCentroidDf(s, d, kCells.toInt)), nprobe, k)
@@ -698,7 +700,9 @@ object AnnOps {
             val p1 = ivfTwoLevelProbes(k1)
             knnGraphTwoLevel(s, reps, nVec, k1, k1, p1, p1, k)
           }
-        }
+        if (dupCollapseGate(maxDuplicateGroup(en), nVec))
+          knnGraphDeduped(en, k)(graph)
+        else graph(en)
       }
     },
 
@@ -1072,6 +1076,33 @@ object AnnOps {
     * Pure, GateSpec-pinned. */
   private[graft] def ivfCellSalts(width: Long, cap: Long = IvfCellWidthCap): Long =
     if (width <= cap) 1L else (width + cap - 1L) / cap
+
+  /** When does the exact-duplicate collapse EARN its wrapper? A dup
+    * group of g identical vectors self-joins to g² pairs in one cell;
+    * the pipeline's NORMAL candidate budget is nprobe·N²/K ≈ N²/32·√N
+    * pairs ≈ (N/√32)·N. The group dominates the budget only once
+    * g² ≳ N²/√32·… — i.e. g past a constant FRACTION of the corpus
+    * (g ≈ N/√32 ≈ 0.18 N at the flat law). Gate at maxGroup > N/8:
+    * engages on boilerplate-grade duplication (a 30-50% dup share —
+    * the degenerate tier) and skips the two corpus-wide value
+    * shuffles + fan-back on organic corpora whose largest dup group
+    * (50-member fixtures, crawl near-misses) costs square-of-small.
+    * The probe that feeds it is one narrow hash aggregate
+    * ([[maxDuplicateGroup]]); salting in [[topKEdges]] independently
+    * covers NEAR-identical mass, which this probe cannot see. Pure,
+    * GateSpec-pinned. */
+  private[graft] def dupCollapseGate(maxGroup: Long, nVec: Long): Boolean =
+    maxGroup > math.max(64L, nVec / 8L)
+
+  /** Largest exact-duplicate group size, by one narrow aggregate over
+    * the vector-value hash (8 B/row — never the vectors themselves).
+    * Hash collisions can only overestimate, which errs toward the safe
+    * (wrapped) side. */
+  private[graft] def maxDuplicateGroup(en: DataFrame): Long = {
+    val r = en.groupBy(xxhash64(col("v")).as("h"))
+      .agg(count(lit(1)).as("g")).agg(max(col("g"))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Unit-normalize a (vec_id, v, …) frame once, so every downstream
     * pair evaluation is a single native dot product instead of

@@ -117,6 +117,66 @@ class GateSpec extends AnyFunSuite {
     })
   }
 
+  test("dup-collapse gate: corpus-share threshold, monotone, fixture/degenerate pins") {
+    val genG = Gen.chooseNum(0L, 100000000L)
+    runProp("threshold exact", Prop.forAllNoShrink(genG, genN) { (g, n) =>
+      AnnOps.dupCollapseGate(g, n) == (g > math.max(64L, n / 8L))
+    })
+    runProp("monotone in group size", Prop.forAllNoShrink(genG, genG, genN) {
+      (a, b, n) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        !AnnOps.dupCollapseGate(lo, n) || AnnOps.dupCollapseGate(hi, n)
+    })
+    // the 50-member exact-dup groups every organic tier plants never
+    // trip it; the degenerate tier's 30% share always does
+    runProp("organic groups stay unwrapped", Prop.forAllNoShrink(genN) { n =>
+      !AnnOps.dupCollapseGate(50L, n)
+    })
+    runProp("30% share always wraps", Prop.forAllNoShrink(
+      Gen.chooseNum(10000L, 1000000000L)) { n =>
+      AnnOps.dupCollapseGate(n * 3 / 10, n)
+    })
+  }
+
+  test("state-store gate: memory bound, monotone, measured tiers stay in-memory") {
+    val gib = 1L << 30
+    val genB = Gen.chooseNum(0L, 1L << 42)          // state bytes to 4 TiB
+    val genE = Gen.chooseNum(1, 2000)               // executors
+    val genH = Gen.chooseNum(1L * gib, 64L * gib)   // heap per executor
+    runProp("bound exact", Prop.forAllNoShrink(genB, genE, genH) { (b, e, h) =>
+      StreamingOps.rocksDbStateGate(b, e, h) ==
+        (b.toDouble / e > StreamingOps.StateHeapBudgetFraction * h)
+    })
+    runProp("monotone in state bytes", Prop.forAllNoShrink(genB, genB, genE, genH) {
+      (a, b, e, h) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        !StreamingOps.rocksDbStateGate(lo, e, h) ||
+          StreamingOps.rocksDbStateGate(hi, e, h)
+    })
+    runProp("anti-monotone in executors and heap", Prop.forAllNoShrink(
+      genB, genE, genE, genH) { (b, e1, e2, h) =>
+      val (lo, hi) = if (e1 <= e2) (e1, e2) else (e2, e1)
+      !StreamingOps.rocksDbStateGate(b, hi, h) ||
+        StreamingOps.rocksDbStateGate(b, lo, h)
+    })
+    runProp("provider strings track the gate", Prop.forAllNoShrink(genB, genE, genH) {
+      (b, e, h) =>
+        StreamingOps.stateProviderFor(b, e, h).contains("RocksDB") ==
+          StreamingOps.rocksDbStateGate(b, e, h)
+    })
+    // measured tiers at the local envelope (16 GiB, 1 executor,
+    // ~100 B/key): 3M and 30M keys BOTH stay in-memory — matching the
+    // measured runs where the HDFS-backed provider completed and won
+    // (6.4 s vs 15.4 s; 19.1 s vs 134.5 s) — and a 300M-key tier whose
+    // 30 GB state cannot fit the 16 GiB heap flips to RocksDB
+    assert(!StreamingOps.rocksDbStateGate(3000000L * 100, 1, 16 * gib))
+    assert(!StreamingOps.rocksDbStateGate(30000000L * 100, 1, 16 * gib))
+    assert(StreamingOps.rocksDbStateGate(300000000L * 100, 1, 16 * gib))
+    // cluster shape: 10B keys × 100 B = 1 TB state over 100 × 4 GiB
+    // executors → 10 GB/executor ≫ the 0.8 GiB budget → RocksDB
+    assert(StreamingOps.rocksDbStateGate(10000000000L * 100, 100, 4 * gib))
+  }
+
   test("cell width cap: salted sub-cells never exceed the cap; no-op under it") {
     val genW = Gen.frequency(
       4 -> Gen.chooseNum(0L, 4L * AnnOps.IvfCellWidthCap),
