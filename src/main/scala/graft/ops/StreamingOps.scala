@@ -62,6 +62,57 @@ object StreamingOps {
     else
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
+  /** "4g" / "512m" / "1024k" / plain bytes → bytes (Spark's
+    * spark.executor.memory grammar, the suffixes deployments use). */
+  private[graft] def parseMemBytes(v: String): Long = {
+    val t = v.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'b' => (t.dropRight(1), 1L)
+      case _   => (t, 1L)
+    }
+    (num.toDouble * mult).toLong
+  }
+
+  /** Apply the measured provider rule to a session before a stateful
+    * stream starts (the providerClass conf is captured at `start()` and
+    * baked into the checkpoint thereafter). Deployment topology comes
+    * from the session's own confs — `spark.executor.instances` /
+    * `spark.executor.memory`, falling back to the local JVM's heap for
+    * local[*] — and the explicit override (`GRAFT_STATE_STORE` /
+    * `graft.state.store` = rocksdb|hdfs) always wins for operators who
+    * measured their own curve. Returns the provider class it set.
+    * `estKeys` is the caller's distinct-key projection (a source
+    * parquet footer row count is an upper bound); ~100 B/key covers the
+    * dedup/session state rows this library keeps. */
+  def configureStateStore(s: SparkSession, estKeys: Long,
+      bytesPerKey: Int = 100, executors: Option[Int] = None,
+      heapBytes: Option[Long] = None): String = {
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val hdfs =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val chosen = sys.env.get("GRAFT_STATE_STORE")
+      .orElse(sys.props.get("graft.state.store")) match {
+      case Some(v) if v.equalsIgnoreCase("rocksdb") => rocks
+      case Some(_)                                  => hdfs
+      case None =>
+        // executor count/heap are STATIC confs (set at submit, readable
+        // here but not writable at runtime) — the Options let a caller
+        // who knows its topology better override the session's view
+        val e = executors.orElse(
+          s.conf.getOption("spark.executor.instances").map(_.toInt))
+          .getOrElse(1)
+        val h = heapBytes.orElse(s.conf.getOption("spark.executor.memory")
+          .map(parseMemBytes)).getOrElse(Runtime.getRuntime.maxMemory)
+        stateProviderFor(estKeys * bytesPerKey.toLong, e, h)
+    }
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", chosen)
+    chosen
+  }
+
   /** Base dir for throwaway memory-sink checkpoints: tmpfs when the host
     * provides one (no fsync tax on the per-micro-batch WAL/commit/state
     * writes), else the regular temp dir. Registered for exit-time removal;

@@ -460,30 +460,38 @@ object ScaleSmoke {
       // Two-level IMI on a CLUSTERED 1M corpus — the regime
       // multi-sequence probe selection exists for (the uniform 1M tier
       // is its floor: no probe order can beat any other on
-      // structureless data). Same blob recipe as x_knn_graph_skewed at
-      // 10× the rows; K1=K2=32 (K_eff = 1024 ≈ √N), p1=p2=3 ⇒ both
-      // probe selections spend EXACTLY 9 cells/query. Records (recall,
-      // candidate fraction, max cell) for the trained two-level index,
-      // and the multi-sequence vs rigid-rectangle A/B at that matched
-      // budget. Asserts multi-seq never loses at equal spend — the
-      // structural claim the production law rests on.
+      // structureless data). 16 equal blobs at the skewed tier's LOOSE
+      // tightness (0.25): structure a 32-cell-per-subspace quantizer
+      // can meaningfully subdivide, so the probe isolates the
+      // SELECTION question. (The skewed recipe's 30%-mass TIGHT blob
+      // is deliberately excluded here and measured by the
+      // assignment-only x_knn_graph_twolevel_blob1m probe below: at
+      // K1=K2=32 Lloyd cannot devote enough subspace cells to a
+      // near-degenerate 300k-vector blob, the grid hot cell ≈ the
+      // blob, and the cell join goes quadratic in it — a first
+      // attempt that BUILT this graph was killed after 2 h inside the
+      // ~9·10^10-pair hot cell.) K1=K2=32 (K_eff = 1024 ≈ √N),
+      // p1=p2=3 ⇒ both probe selections spend EXACTLY 9 cells/query.
+      // Records (recall, candidate fraction, max cell) for the
+      // trained two-level index, and the multi-sequence vs
+      // rigid-rectangle A/B at that matched budget. Asserts multi-seq
+      // never loses at equal spend — the structural claim the
+      // production law rests on.
       "x_knn_graph_twolevel_clustered" -> { () =>
         val cDir = s"$dir/twolevel-clustered"
         val n2 = 1000000L
         spark.range(n2)
-          .withColumn("blob", expr(
-            "CASE WHEN pmod(xxhash64(id, 5), 10) < 3 THEN 0 " +
-            "ELSE 1 + cast(pmod(xxhash64(id, 6), 15) AS INT) END"))
+          .withColumn("blob", expr("cast(pmod(xxhash64(id, 6), 16) AS INT)"))
           .select(
             col("id").as("vec_id"),
             expr("""transform(sequence(0, 63), j -> cast(
                 (cast(pmod(xxhash64(blob, j + 200), 2001) AS DOUBLE) / 1000.0 - 1.0)
-                + (CASE WHEN blob = 0 THEN 0.05 ELSE 0.25 END) *
+                + 0.25 *
                   ((cast(pmod(xxhash64(id, j * 3 + 300), 1001) AS DOUBLE)
                   + cast(pmod(xxhash64(id, j * 3 + 301), 1001) AS DOUBLE)
                   + cast(pmod(xxhash64(id, j * 3 + 302), 1001) AS DOUBLE)) / 1000.0 - 1.5)
               AS FLOAT))""").as("embedding"),
-            col("blob").cast("int").as("label"))
+            col("blob").as("label"))
           .write.mode("overwrite").parquet(s"$cDir/embeddings.parquet")
         val ann = graft.ops.AnnOps
         val en = ann.normalizedVecs(
@@ -519,6 +527,70 @@ object ScaleSmoke {
           f"multi-sequence recall $rMs%.3f lost to the rectangle $rRect%.3f at matched budget")
         println(f"SCALE-METRIC twolevel_clustered multiseq=$rMs%.3f rectangle=$rRect%.3f " +
           f"(9 cells/query each)")
+      },
+      // Assignment-only telemetry for the skewed recipe at the forced
+      // two-level 1M tier (30% of mass in ONE tight blob, noise 0.05;
+      // 15 loose blobs at 0.25). Trains the two subspace quantizers,
+      // records max grid-cell width and candidates/query, and
+      // DELIBERATELY BUILDS NO GRAPH: at K1=K2=32 the per-subspace
+      // granularity is too coarse for Lloyd to subdivide a
+      // near-degenerate 300k-vector blob (allocation is variance-
+      // penalized, and the blob's variance is ~25× under the loose
+      // blobs'), so the hot grid cell ≈ the whole blob and the cell
+      // equi-join's hot-cell work is ~blob² ≈ 9·10^10 pairs — hours in
+      // one JVM, measured the hard way (first attempt killed at 2 h).
+      // The telemetry pins that wall honestly. At PRODUCTION IMI scale
+      // the wall recedes (K1=K2=4096 gives 128× the per-subspace
+      // granularity at the same K_eff law), and the standing remedies
+      // for residual near-identical mass are the exact-dup collapse
+      // gate (identical vectors) and — the round-12 candidate — a
+      // width-capped probe that samples over-cap postings
+      // deterministically (semantically safe for a cos≈1 blob, where
+      // any k co-blob members are near-equivalent neighbors).
+      "x_knn_graph_twolevel_blob1m" -> { () =>
+        val bDir = s"$dir/twolevel-blob1m"
+        val n2 = 1000000L
+        spark.range(n2)
+          .withColumn("blob", expr(
+            "CASE WHEN pmod(xxhash64(id, 5), 10) < 3 THEN 0 " +
+            "ELSE 1 + cast(pmod(xxhash64(id, 6), 15) AS INT) END"))
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63), j -> cast(
+                (cast(pmod(xxhash64(blob, j + 200), 2001) AS DOUBLE) / 1000.0 - 1.0)
+                + (CASE WHEN blob = 0 THEN 0.05 ELSE 0.25 END) *
+                  ((cast(pmod(xxhash64(id, j * 3 + 300), 1001) AS DOUBLE)
+                  + cast(pmod(xxhash64(id, j * 3 + 301), 1001) AS DOUBLE)
+                  + cast(pmod(xxhash64(id, j * 3 + 302), 1001) AS DOUBLE)) / 1000.0 - 1.5)
+              AS FLOAT))""").as("embedding"),
+            col("blob").cast("int").as("label"))
+          .write.mode("overwrite").parquet(s"$bDir/embeddings.parquet")
+        val ann = graft.ops.AnnOps
+        val en = ann.normalizedVecs(
+          spark.read.parquet(s"$bDir/embeddings.parquet")
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v")))
+        val (assigned, probes) = ann.twoLevelAssignProbes(
+          spark, en, n2, 32, 32, 3, 3)
+        val widths = assigned.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+          .localCheckpoint(true)
+        val mx = widths.agg(max(col("na"))).head.getLong(0)
+        val cells = widths.count()
+        val nCand = widths
+          .join(probes.groupBy(col("cell")).agg(count(lit(1)).as("np")),
+            Seq("cell"))
+          .agg(sum(col("na") * col("np"))).head.getLong(0)
+        metrics += ("blob1m_maxcell" -> mx.toDouble)
+        metrics += ("blob1m_cells" -> cells.toDouble)
+        metrics += ("blob1m_cand_per_query" -> nCand.toDouble / n2)
+        // the wall, pinned: the tight blob (300k vectors) must be
+        // visible as a hot cell far past the balanced ideal — if a
+        // future training change splits it, this probe should start
+        // failing so the graph build can be re-enabled
+        require(mx > 100000L,
+          s"expected the near-degenerate blob to pin a >100k hot cell, got $mx")
+        println(f"SCALE-METRIC twolevel_blob1m maxcell=$mx cells=$cells " +
+          f"cand/q=${nCand.toDouble / n2}%.0f (no graph build by design)")
       },
       // DEGENERATE corpus: 30% of 100k vectors are ONE exact duplicated
       // embedding (boilerplate pages) and 20% are near-identical

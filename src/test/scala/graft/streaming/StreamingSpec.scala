@@ -314,4 +314,31 @@ class StreamingSpec extends SparkSpec {
       .orderBy("key").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(st2 == st, "replay after retirement must not move state")
   }
+
+  test("configureStateStore applies the measured memory-bound rule to a session") {
+    import graft.ops.StreamingOps
+    assert(StreamingOps.parseMemBytes("4g") == 4L << 30)
+    assert(StreamingOps.parseMemBytes("512m") == 512L << 20)
+    assert(StreamingOps.parseMemBytes("1024k") == 1L << 20)
+    assert(StreamingOps.parseMemBytes("123") == 123L)
+    val s2 = spark.newSession()
+    // both measured tiers stay on the in-memory provider at the local
+    // heap (the 30M-key run WON there, 19.1 s vs 134.5 s)
+    val small = StreamingOps.configureStateStore(s2, 30000000L)
+    assert(small.contains("HDFSBacked"))
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass") == small)
+    // a cluster shape (100 × 4 GiB executors — static confs, so passed
+    // as the explicit overrides) flips once the projected per-executor
+    // share crosses the heap budget
+    val big = StreamingOps.configureStateStore(s2, 10000000000L,
+      executors = Some(100), heapBytes = Some(4L << 30))
+    assert(big.contains("RocksDB"))
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass") == big)
+    // the explicit override always wins over the projection
+    sys.props.put("graft.state.store", "hdfs")
+    try
+      assert(StreamingOps.configureStateStore(s2, 10000000000L)
+        .contains("HDFSBacked"))
+    finally sys.props.remove("graft.state.store"): Unit
+  }
 }
