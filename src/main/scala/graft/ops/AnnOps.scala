@@ -1459,9 +1459,10 @@ object AnnOps {
     * as [[knnGraphScale]], for corpora past the flat cap. */
   private[graft] def knnGraphTwoLevel(s: SparkSession, en: DataFrame,
       nVec: Long, k1: Int, k2: Int, p1: Int, p2: Int, k: Int,
-      rectangleProbes: Boolean = false): DataFrame = {
+      rectangleProbes: Boolean = false,
+      probeFilter: Option[Column] = None): DataFrame = {
     val (assigned, probes) = twoLevelAssignProbes(s, en, nVec, k1, k2, p1, p2,
-      rectangleProbes = rectangleProbes)
+      probeFilter = probeFilter, rectangleProbes = rectangleProbes)
     topKEdges(assigned, probes, en, k)
   }
 

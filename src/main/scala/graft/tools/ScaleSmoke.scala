@@ -477,6 +477,18 @@ object ScaleSmoke {
       // rigid-rectangle A/B at that matched budget. Asserts multi-seq
       // never loses at equal spend — the structural claim the
       // production law rests on.
+      //
+      // The A/B runs on a 500-QUERY STRATUM (vec_id % 2000 = 0, the
+      // repo's standard audit size — the 50-query probe was retired
+      // for ±0.07 noise) through the production probeFilter hook,
+      // NOT the full graph: on blob-structured data at K_eff = 1024
+      // the cell widths are blob-grained (Lloyd separates the 16
+      // centers before it can subdivide within them — 32 cells per
+      // subspace over 16 blobs leaves ~4 grid cells per blob, cells
+      // ~15k wide), so the full 1M-query graph is ~1.4·10¹¹ pairs —
+      // hours, and redundant: the full-graph COST law is already
+      // measured at x_knn_graph_twolevel_1m; this probe's question is
+      // purely which probe SELECTION earns more recall per cell.
       "x_knn_graph_twolevel_clustered" -> { () =>
         val cDir = s"$dir/twolevel-clustered"
         val n2 = 1000000L
@@ -498,26 +510,32 @@ object ScaleSmoke {
           spark.read.parquet(s"$cDir/embeddings.parquet")
             .select(col("vec_id"),
               expr("transform(embedding, x -> cast(x as double))").as("v")))
+        val qMod = 2000
+        val nQ = (0L until n2).count(_ % qMod == 0).toDouble
         def run(rect: Boolean, tag: String): Double = {
           val (assigned, probes) = ann.twoLevelAssignProbes(
-            spark, en, n2, 32, 32, 3, 3, rectangleProbes = rect)
-          val nCand = assigned.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+            spark, en, n2, 32, 32, 3, 3,
+            probeFilter = Some(pmod(col("vec_id"), lit(qMod)) === 0),
+            rectangleProbes = rect)
+          val widths = assigned.groupBy(col("cell"))
+            .agg(count(lit(1)).as("na")).localCheckpoint(true)
+          val nCand = widths
             .join(probes.groupBy(col("cell")).agg(count(lit(1)).as("np")),
               Seq("cell"))
             .agg(sum(col("na") * col("np"))).head.getLong(0)
-          metrics += (s"tlc_cand_per_query_$tag" -> nCand.toDouble / n2)
+          metrics += (s"tlc_cand_per_query_$tag" -> nCand.toDouble / nQ)
           if (!rect) {
-            val mx = assigned.groupBy(col("cell"))
-              .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+            val mx = widths.agg(max(col("na"))).head.getLong(0)
             metrics += ("tlc_maxcell" -> mx.toDouble)
           }
-          val g = ann.knnGraphTwoLevel(spark, en, n2, 32, 32, 3, 3, 3,
-            rectangleProbes = rect)
+          // same (assigned, probes) feed the graph — one training per
+          // variant, and the counted budget is exactly the built one
+          val g = ann.topKEdges(assigned, probes, en, 3)
           val t0 = System.nanoTime()
           noop(g)
           metrics += (s"tlc_graph_s_$tag" -> (System.nanoTime() - t0) / 1e9)
           val r = knnRecallAt3(spark, s"$cDir/embeddings.parquet", g,
-            queryMod = 10000)
+            queryMod = qMod)
           metrics += (s"tlc_recall_at3_$tag" -> r)
           r
         }
