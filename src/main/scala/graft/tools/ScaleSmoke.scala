@@ -465,12 +465,11 @@ object ScaleSmoke {
       // can meaningfully subdivide, so the probe isolates the
       // SELECTION question. (The skewed recipe's 30%-mass TIGHT blob
       // is deliberately excluded here and measured by the
-      // assignment-only x_knn_graph_twolevel_blob1m probe below: at
-      // K1=K2=32 Lloyd cannot devote enough subspace cells to a
-      // near-degenerate 300k-vector blob, the grid hot cell ≈ the
-      // blob, and the cell join goes quadratic in it — a first
-      // attempt that BUILT this graph was killed after 2 h inside the
-      // ~9·10^10-pair hot cell.) K1=K2=32 (K_eff = 1024 ≈ √N),
+      // assignment-only x_knn_graph_twolevel_blob1m probe below: its
+      // hot cell measures ~48× the balanced ideal and the full-graph
+      // candidate volume ~10¹¹ pairs — a first attempt that BUILT
+      // that graph was killed after 2 h inside the hot cells.)
+      // K1=K2=32 (K_eff = 1024 ≈ √N),
       // p1=p2=3 ⇒ both probe selections spend EXACTLY 9 cells/query.
       // Records (recall, candidate fraction, max cell) for the
       // trained two-level index, and the multi-sequence vs
@@ -550,18 +549,19 @@ object ScaleSmoke {
       // two-level 1M tier (30% of mass in ONE tight blob, noise 0.05;
       // 15 loose blobs at 0.25). Trains the two subspace quantizers,
       // records max grid-cell width and candidates/query, and
-      // DELIBERATELY BUILDS NO GRAPH: at K1=K2=32 the per-subspace
-      // granularity is too coarse for Lloyd to subdivide a
-      // near-degenerate 300k-vector blob (allocation is variance-
-      // penalized, and the blob's variance is ~25× under the loose
-      // blobs'), so the hot grid cell ≈ the whole blob and the cell
-      // equi-join's hot-cell work is ~blob² ≈ 9·10^10 pairs — hours in
-      // one JVM, measured the hard way (first attempt killed at 2 h).
-      // The telemetry pins that wall honestly. At PRODUCTION IMI scale
-      // the wall recedes (K1=K2=4096 gives 128× the per-subspace
-      // granularity at the same K_eff law), and the standing remedies
-      // for residual near-identical mass are the exact-dup collapse
-      // gate (identical vectors) and — the round-12 candidate — a
+      // DELIBERATELY BUILDS NO GRAPH. First measurement corrected the
+      // theory on the way in: Lloyd DOES subdivide the tight 300k
+      // blob (max cell 46,852 — ~6-7 grid cells over the blob, not
+      // one whole-blob cell), but the hot cell still sits ~48× the
+      // balanced N/1024 ideal, blob queries probe their own blob's
+      // handful of cells, and the full-graph candidate volume stays
+      // ~10¹¹ pairs — hours in one JVM, measured the hard way (first
+      // attempt killed at 2 h). The telemetry pins that wall at its
+      // measured height. At PRODUCTION IMI scale the wall recedes
+      // (K1=K2=4096 gives 128× the per-subspace granularity at the
+      // same K_eff law), and the standing remedies for residual
+      // near-identical mass are the exact-dup collapse gate
+      // (identical vectors) and — the round-12 candidate — a
       // width-capped probe that samples over-cap postings
       // deterministically (semantically safe for a cos≈1 blob, where
       // any k co-blob members are near-equivalent neighbors).
@@ -601,14 +601,65 @@ object ScaleSmoke {
         metrics += ("blob1m_maxcell" -> mx.toDouble)
         metrics += ("blob1m_cells" -> cells.toDouble)
         metrics += ("blob1m_cand_per_query" -> nCand.toDouble / n2)
-        // the wall, pinned: the tight blob (300k vectors) must be
-        // visible as a hot cell far past the balanced ideal — if a
-        // future training change splits it, this probe should start
-        // failing so the graph build can be re-enabled
-        require(mx > 100000L,
-          s"expected the near-degenerate blob to pin a >100k hot cell, got $mx")
+        // the wall, pinned at its MEASURED height: training does
+        // subdivide the tight blob (first measurement: max cell
+        // 46,852 — ~6-7 grid cells over the 300k-vector blob, not the
+        // single whole-blob cell the first theory predicted), but the
+        // hot cell still sits ~48× the balanced N/1024 ideal, and with
+        // every blob query probing its own blob's handful of cells the
+        // full-graph candidate volume stays ~10¹¹ pairs — the 2 h wall
+        // the killed first attempt hit. If a future training change
+        // drives the hot cell under 10× ideal, this pin fails so the
+        // full graph build can be re-enabled here.
+        require(mx > 10L * (n2 / 1024L),
+          s"hot cell $mx under 10x the balanced ideal - re-enable the graph build")
         println(f"SCALE-METRIC twolevel_blob1m maxcell=$mx cells=$cells " +
           f"cand/q=${nCand.toDouble / n2}%.0f (no graph build by design)")
+      },
+      // The multiseq-vs-rectangle A/B at the SCARCE-budget point where
+      // selection is the only lever: uniform 1M vectors, 9 cells/query
+      // ≈ 0.9% candidate fraction. The clustered A/B above SATURATES
+      // (0.995 vs 0.996 measured — blob-grained cells contain the true
+      // neighbors and both selections probe the query's own cell
+      // first, element 0 × element 0), so the differentiating regime
+      // is uniform data, where which 9 of 1024 cells get probed is
+      // everything. Multi-sequence order (top-9 of the grid by s1+s2)
+      // vs the rigid top-3×top-3 rectangle at identical spend; same
+      // 500-query stratum and recall audit as the clustered probe.
+      "x_knn_graph_twolevel_uniform_ab" -> { () =>
+        val uDir = s"$dir/twolevel-uniform"
+        val n2 = 1000000L
+        spark.range(n2)
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63),
+                j -> cast((cast(pmod(xxhash64(id, j + 100), 2000001) AS DOUBLE)
+                           / 1000000.0 - 1.0) AS FLOAT))""").as("embedding"),
+            expr("cast(pmod(xxhash64(id, 99), 16) AS INT)").as("label"))
+          .write.mode("overwrite").parquet(s"$uDir/embeddings.parquet")
+        val ann = graft.ops.AnnOps
+        val en = ann.normalizedVecs(
+          spark.read.parquet(s"$uDir/embeddings.parquet")
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v")))
+        val qMod = 2000
+        def run(rect: Boolean, tag: String): Double = {
+          val (assigned, probes) = ann.twoLevelAssignProbes(
+            spark, en, n2, 32, 32, 3, 3,
+            probeFilter = Some(pmod(col("vec_id"), lit(qMod)) === 0),
+            rectangleProbes = rect)
+          val g = ann.topKEdges(assigned, probes, en, 3)
+          val r = knnRecallAt3(spark, s"$uDir/embeddings.parquet", g,
+            queryMod = qMod)
+          metrics += (s"tlu_recall_at3_$tag" -> r)
+          r
+        }
+        val rMs = run(rect = false, "multiseq")
+        val rRect = run(rect = true, "rectangle")
+        require(rMs >= rRect - 0.02,
+          f"multi-sequence recall $rMs%.3f lost to the rectangle $rRect%.3f at matched budget")
+        println(f"SCALE-METRIC twolevel_uniform_ab multiseq=$rMs%.3f " +
+          f"rectangle=$rRect%.3f (9 cells/query each)")
       },
       // DEGENERATE corpus: 30% of 100k vectors are ONE exact duplicated
       // embedding (boilerplate pages) and 20% are near-identical
