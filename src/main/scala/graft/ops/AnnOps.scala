@@ -1077,6 +1077,38 @@ object AnnOps {
   private[graft] def ivfCellSalts(width: Long, cap: Long = IvfCellWidthCap): Long =
     if (width <= cap) 1L else (width + cap - 1L) / cap
 
+  /** Above this width a cell is CATASTROPHIC, not merely hot: salting
+    * bounds per-key work but total candidate work stays
+    * Σ width × probes-into-the-cell, and a near-identical blob that owns
+    * a corpus-scale share concentrates both sides — the measured blob1m
+    * wall (hot cell 46,852 ≈ 48× ideal, ~6e10 pairs, a killed 2 h
+    * build). 2× the salting cap: everything in (cap, 2·cap] stays on
+    * the EXACT salted path; only cells salting cannot make tractable
+    * are sampled. */
+  private[graft] val IvfCellSampleEngage = 2L * IvfCellWidthCap
+
+  /** Post-sample posting count a catastrophic cell thins to. A cell
+    * past [[IvfCellSampleEngage]] is a region the quantizer cannot
+    * split at its resolution — its members are mutual near-neighbors at
+    * cell granularity, so any 2048 deterministic representatives are a
+    * valid top-k candidate pool (k ≤ 32 everywhere; 64× headroom).
+    * cap/8 keeps each sampled cell a single salt-free join key and
+    * caps a blob query's candidate budget at probes × 2048 —
+    * √N-tracking again instead of blob-share × N. */
+  private[graft] val IvfCellSampleTarget = IvfCellWidthCap / 8L
+
+  /** Thinning modulus for a cell of `width` postings: 1 (keep all)
+    * under the engage threshold, ⌈width/target⌉ past it — postings
+    * keep iff pmod(xxhash64(vec_id, seed), m) = 0, so the kept count
+    * concentrates at ≈ target (≤ 2·target deterministically bounded in
+    * expectation; exact per-cell counts are re-probed before the salt
+    * decision). Pure, GateSpec-pinned; mirrors the Column expression
+    * in [[topKEdges]]. */
+  private[graft] def ivfSampleModulus(width: Long,
+      engage: Long = IvfCellSampleEngage,
+      target: Long = IvfCellSampleTarget): Long =
+    if (width <= engage) 1L else (width + target - 1L) / target
+
   /** When does the exact-duplicate collapse EARN its wrapper? A dup
     * group of g identical vectors self-joins to g² pairs in one cell;
     * the pipeline's NORMAL candidate budget is nprobe·N²/K ≈ N²/32·√N
@@ -1229,7 +1261,9 @@ object AnnOps {
     * assignment computes ONCE; `probes` = (cell, query_id, qv); `en`
     * unit-normalized. */
   private[graft] def topKEdges(assigned: DataFrame, probes: DataFrame,
-      en: DataFrame, k: Int): DataFrame = {
+      en: DataFrame, k: Int,
+      sampleEngage: Long = IvfCellSampleEngage,
+      sampleTarget: Long = IvfCellSampleTarget): DataFrame = {
     import graft.functions.TopK.collect_top_k
     // Final per-query top-k over the nprobe·N²/K candidate pairs — the
     // measured hot stage (287M pairs at the 100k tier). Every SQL shape
@@ -1268,12 +1302,32 @@ object AnnOps {
               col("vec_id").cast("string"))).isNull,
           col("vec_id")))
       .localCheckpoint(true)
-    // WIDTH-CAP SALTING for irreducibly hot cells: the planning probe
-    // (per-cell counts + a max over the narrow checkpoint — never a
-    // recompute of the assignment) decides; under [[IvfCellWidthCap]]
-    // everywhere the plan is untouched. An over-wide cell — a genuinely
-    // dense near-identical region neither Lloyd nor the IMI grid can
-    // split — splits into [[ivfCellSalts]] sub-keys: assigned rows
+    // Two-stage defense against hot cells, decided by one planning
+    // probe (per-cell counts + a max over the narrow checkpoint —
+    // never a recompute of the assignment); under the thresholds
+    // everywhere the plan is untouched.
+    //
+    // Stage 1 — DETERMINISTIC POSTING SAMPLING for CATASTROPHIC cells
+    // (width > [[IvfCellSampleEngage]]): salting alone bounds per-KEY
+    // work but not TOTAL work — a near-identical blob holding 30% of
+    // the corpus puts ~0.3N postings in a handful of cells that every
+    // blob query probes, ~(0.3N)² candidate pairs however the keys are
+    // spread (the measured 2 h wall at the blob1m tier, ~6e10 pairs).
+    // A cell that wide is a region the quantizer CANNOT split at its
+    // resolution, i.e. its members are mutual near-neighbors at cell
+    // granularity — so any [[IvfCellSampleTarget]]-sized deterministic
+    // subset of its postings is a valid candidate pool for top-k
+    // (k ≪ target; the graph is approximate-by-contract on this
+    // branch). Postings thin by pmod(xxhash64(vec_id, seed), m) = 0
+    // with m = ⌈width/target⌉ ([[ivfSampleModulus]], GateSpec-pinned):
+    // a map-side filter against a broadcast of only the over-cap
+    // cells. QUERIES never thin — every vector keeps its k edges; only
+    // its candidate pool within a catastrophic cell shrinks to the
+    // sampled representatives.
+    //
+    // Stage 2 — WIDTH-CAP SALTING for moderately hot cells (width in
+    // (cap, engage], or post-sample residuals): EXACT — an over-wide
+    // cell splits into [[ivfCellSalts]] sub-keys: assigned rows
     // hash-spread over salts, probes into that cell replicate across
     // all of them (same pairs, so results are identical), and no single
     // join key carries a quadratic task. AQE cannot do this: its skew
@@ -1282,9 +1336,26 @@ object AnnOps {
     // join OUTPUT. The salts relation holds only the over-wide cells,
     // so both attach joins broadcast.
     val cap = IvfCellWidthCap
-    val counts = cellsNarrow.groupBy(col("cell")).agg(count(lit(1)).as("cw"))
-    val maxW = counts.agg(max(col("cw"))).head.getLong(0)
-    val aBase = cellsNarrow.join(en, Seq("vec_id"))
+    val counts0 = cellsNarrow.groupBy(col("cell")).agg(count(lit(1)).as("cw"))
+    val maxW0 = counts0.agg(max(col("cw"))).head.getLong(0)
+    val (aNarrow, counts, maxW) =
+      if (maxW0 <= sampleEngage) (cellsNarrow, counts0, maxW0)
+      else {
+        val mods = broadcast(counts0.where(col("cw") > sampleEngage)
+          .select(col("cell"),
+            expr(s"cast((cw + ${sampleTarget - 1L}) div $sampleTarget as long)")
+              .as("m")))
+        // distinct hash seed from the salt spread below, so kept ids
+        // are independent of their eventual salt bucket
+        val thinned = cellsNarrow.join(mods, Seq("cell"), "left_outer")
+          .where(col("m").isNull ||
+            pmod(xxhash64(col("vec_id"), lit(0x5A317EL)), col("m")) === 0L)
+          .drop("m")
+          .localCheckpoint(true) // narrow (16 B/row): feeds recount + join
+        val c2 = thinned.groupBy(col("cell")).agg(count(lit(1)).as("cw"))
+        (thinned, c2, c2.agg(max(col("cw"))).head.getLong(0))
+      }
+    val aBase = aNarrow.join(en, Seq("vec_id"))
     val (aSide, pSide, joinKeys) =
       if (maxW <= cap) (aBase, probes, Seq("cell"))
       else {

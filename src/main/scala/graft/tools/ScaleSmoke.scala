@@ -545,26 +545,26 @@ object ScaleSmoke {
         println(f"SCALE-METRIC twolevel_clustered multiseq=$rMs%.3f rectangle=$rRect%.3f " +
           f"(9 cells/query each)")
       },
-      // Assignment-only telemetry for the skewed recipe at the forced
-      // two-level 1M tier (30% of mass in ONE tight blob, noise 0.05;
-      // 15 loose blobs at 0.25). Trains the two subspace quantizers,
-      // records max grid-cell width and candidates/query, and
-      // DELIBERATELY BUILDS NO GRAPH. First measurement corrected the
-      // theory on the way in: Lloyd DOES subdivide the tight 300k
-      // blob (max cell 46,852 — ~6-7 grid cells over the blob, not
-      // one whole-blob cell), but the hot cell still sits ~48× the
-      // balanced N/1024 ideal, blob queries probe their own blob's
-      // handful of cells, and the full-graph candidate volume stays
-      // ~10¹¹ pairs — hours in one JVM, measured the hard way (first
-      // attempt killed at 2 h). The telemetry pins that wall at its
-      // measured height. At PRODUCTION IMI scale the wall recedes
-      // (K1=K2=4096 gives 128× the per-subspace granularity at the
-      // same K_eff law), and the standing remedies for residual
-      // near-identical mass are the exact-dup collapse gate
-      // (identical vectors) and — the round-12 candidate — a
-      // width-capped probe that samples over-cap postings
-      // deterministically (semantically safe for a cos≈1 blob, where
-      // any k co-blob members are near-equivalent neighbors).
+      // The skewed recipe at the forced two-level 1M tier (30% of mass
+      // in ONE tight blob, noise 0.05; 15 loose blobs at 0.25). First
+      // measurement corrected the theory on the way in: Lloyd DOES
+      // subdivide the tight 300k blob (max cell 46,852 — ~6-7 grid
+      // cells over the blob, not one whole-blob cell), but the hot
+      // cell still sits ~48× the balanced N/1024 ideal, blob queries
+      // probe their own blob's handful of cells, and the UNSAMPLED
+      // full-graph candidate volume is ~6e10 pairs — hours in one JVM,
+      // measured the hard way (first attempt killed at 2 h; the
+      // assignment-only telemetry pinned that wall at its measured
+      // height through round 10). Round 11 ships the remedy the pin
+      // asked for: topKEdges' deterministic POSTING SAMPLING thins any
+      // cell past IvfCellSampleEngage (2× the salt cap) to ~2048
+      // deterministic representatives — semantically safe for a cos≈1
+      // blob, where any k co-blob members are near-equivalent
+      // neighbors — so this entry now BUILDS THE GRAPH the wall
+      // previously forbade and asserts its shape: every vector keeps
+      // k edges, tight-blob edges are near-1 cosine, and the telemetry
+      // still pins the pre-sample wall so a training change that
+      // flattens the grid is noticed.
       "x_knn_graph_twolevel_blob1m" -> { () =>
         val bDir = s"$dir/twolevel-blob1m"
         val n2 = 1000000L
@@ -601,20 +601,51 @@ object ScaleSmoke {
         metrics += ("blob1m_maxcell" -> mx.toDouble)
         metrics += ("blob1m_cells" -> cells.toDouble)
         metrics += ("blob1m_cand_per_query" -> nCand.toDouble / n2)
-        // the wall, pinned at its MEASURED height: training does
-        // subdivide the tight blob (first measurement: max cell
-        // 46,852 — ~6-7 grid cells over the 300k-vector blob, not the
-        // single whole-blob cell the first theory predicted), but the
-        // hot cell still sits ~48× the balanced N/1024 ideal, and with
-        // every blob query probing its own blob's handful of cells the
-        // full-graph candidate volume stays ~10¹¹ pairs — the 2 h wall
-        // the killed first attempt hit. If a future training change
-        // drives the hot cell under 10× ideal, this pin fails so the
-        // full graph build can be re-enabled here.
+        // the pre-sample wall, still pinned at its MEASURED height: if
+        // a future training change drives the hot cell under 10× ideal
+        // the sampler is no longer what makes this build possible and
+        // the assertion set should be revisited.
         require(mx > 10L * (n2 / 1024L),
-          s"hot cell $mx under 10x the balanced ideal - re-enable the graph build")
+          s"hot cell $mx under 10x the balanced ideal - the sampler is moot here")
+        require(mx > ann.IvfCellSampleEngage,
+          s"hot cell $mx under the sample-engage threshold - the build below no longer exercises it")
+        // projected POST-SAMPLE candidate volume, from the same width
+        // frame through the GateSpec-pinned modulus law (kept ≈ ceil(w/m))
+        val sampleKept = expr(
+          s"""CASE WHEN na <= ${ann.IvfCellSampleEngage} THEN na
+             | ELSE cast(ceil(na / ceil(na / ${ann.IvfCellSampleTarget}.0)) as long)
+             | END""".stripMargin)
+        val nCandSampled = widths
+          .join(probes.groupBy(col("cell")).agg(count(lit(1)).as("np")),
+            Seq("cell"))
+          .agg(sum(sampleKept * col("np"))).head.getLong(0)
+        metrics += ("blob1m_cand_per_query_sampled" -> nCandSampled.toDouble / n2)
+        // THE BUILD the wall used to forbid — the production two-level
+        // path end-to-end (assignment reruns inside: the telemetry
+        // probe above deliberately stays a separate measurement).
+        val t0 = System.nanoTime()
+        val g = ann.knnGraphTwoLevel(spark, en, n2, 32, 32, 3, 3, 3)
+          .localCheckpoint(true)
+        metrics += ("blob1m_graph_s" -> (System.nanoTime() - t0) / 1e9)
+        val per = g.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+        require(per.where(col("n") =!= 3).count() == 0L,
+          "every vector must keep exactly k=3 edges")
+        val nq = per.count()
+        require(nq == n2, s"expected $n2 queried vectors, got $nq")
+        // tight-blob members' neighbors are co-blob reps at cos ≈ 1
+        // (intra-blob cosine ≈ 0.998 at noise 0.05 over ‖b‖² ≈ 21)
+        val blobMin = g.join(
+            spark.read.parquet(s"$bDir/embeddings.parquet")
+              .select(col("vec_id").as("query_id"), col("label")),
+            Seq("query_id"))
+          .where(col("label") === 0)
+          .agg(min(col("cos"))).head.getDouble(0)
+        metrics += ("blob1m_blob_min_cos" -> blobMin)
+        require(blobMin > 0.99,
+          f"tight-blob edges must be near-1 cosine (min $blobMin%.4f)")
         println(f"SCALE-METRIC twolevel_blob1m maxcell=$mx cells=$cells " +
-          f"cand/q=${nCand.toDouble / n2}%.0f (no graph build by design)")
+          f"cand/q=${nCand.toDouble / n2}%.0f sampled_cand/q=${nCandSampled.toDouble / n2}%.0f " +
+          f"graph_s=${metrics("blob1m_graph_s")}%.1f blob_min_cos=$blobMin%.4f")
       },
       // The multiseq-vs-rectangle A/B at the SCARCE-budget point where
       // selection is the only lever: uniform 1M vectors, 9 cells/query

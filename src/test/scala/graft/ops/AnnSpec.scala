@@ -249,4 +249,61 @@ class AnnSpec extends SparkSpec {
     // the fixture corpus with the probe side still the 5 queries
     check(nVecForced = 20000000L, twoLevel = true)
   }
+
+  test("topKEdges posting sampling: catastrophic cell thins to kept reps, moderate cell untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cell 0: 150 near-identical vectors (one dense blob no quantizer
+    // can split); cell 1: 50 organic vectors. Forced engage=100 puts
+    // ONLY cell 0 past the sampling threshold.
+    def vec(i: Long): Seq[Double] = {
+      val r = new scala.util.Random(i)
+      val raw =
+        if (i < 150) Seq.tabulate(8)(j => (if (j == 0) 10.0 else 0.0) +
+          1e-6 * r.nextGaussian())
+        else Seq.fill(8)(r.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val en = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    val assigned = (0L until 200L).map(i => (i, if (i < 150) 0 else 1))
+      .toDF("vec_id", "cell")
+    val probes = assigned
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(en.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
+    val k = 3
+    val (engage, target) = (100L, 20L)
+    val out = AnnOps.topKEdges(assigned, probes, en, k,
+      sampleEngage = engage, sampleTarget = target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // every query — including postings the sampler dropped — keeps k edges
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 200 && byQ.values.forall(_.length == k),
+      s"every vector must keep $k edges (got ${byQ.size} queries)")
+    // the dense cell's candidate pool is exactly the deterministic kept
+    // set: m = ceil(150/20) = 8, keep iff the seeded hash mod m is 0 —
+    // the test replays the production expression
+    val m = AnnOps.ivfSampleModulus(150L, engage, target)
+    assert(m == 8L)
+    val kept = spark.range(150).toDF("id")
+      .where(pmod(xxhash64(col("id"), lit(0x5A317EL)), lit(m)) === 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size > k, s"kept set must exceed k (got ${kept.size})")
+    (0L until 150L).foreach { q =>
+      val ns = byQ(q).map(_._2).toSet
+      assert(ns.subsetOf(kept - q),
+        s"query $q neighbors $ns outside the kept reps ${kept - q}")
+      assert(byQ(q).forall(_._3 > 0.999), s"query $q: co-blob cos must be ~1")
+    }
+    // the moderate cell (50 ≤ engage) is byte-identical to the
+    // unsampled run — sampling must never touch the exact band
+    val base = AnnOps.topKEdges(assigned, probes, en, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .filter(_._1 >= 150L).toSet
+    val sampledSide = out.map(t => (t._1, t._2, t._4))
+      .filter(_._1 >= 150L).toSet
+    assert(sampledSide == base,
+      "organic cell edges must be identical with and without the sampler")
+  }
 }

@@ -202,4 +202,46 @@ class GateSpec extends AnyFunSuite {
       AnnOps.ivfCellSalts(lo) <= AnnOps.ivfCellSalts(hi)
     })
   }
+
+  test("cell sample modulus: identity through the salting band, bounded kept width past engage") {
+    val genW = Gen.frequency(
+      4 -> Gen.chooseNum(0L, 8L * AnnOps.IvfCellSampleEngage),
+      3 -> Gen.chooseNum(0L, 1000000000L),
+      1 -> Gen.const(AnnOps.IvfCellSampleEngage),
+      1 -> Gen.const(AnnOps.IvfCellSampleEngage + 1L),
+      1 -> Gen.const(46852L)) // the measured blob1m hot cell
+    // the whole EXACT salting band (cap, engage] must be untouched by
+    // sampling — salting handles it losslessly
+    runProp("identity under engage", Prop.forAllNoShrink(
+      Gen.chooseNum(0L, AnnOps.IvfCellSampleEngage)) { w =>
+      AnnOps.ivfSampleModulus(w) == 1L
+    })
+    runProp("engages exactly past the threshold", Prop.forAllNoShrink(genW) { w =>
+      (AnnOps.ivfSampleModulus(w) > 1L) == (w > AnnOps.IvfCellSampleEngage)
+    })
+    // the law the blob1m build rests on: expected kept postings
+    // (width/m, worst-case uneven hash spread +1) land in
+    // [target/2, 2·target] — never thinned below k's headroom, never
+    // left wide enough to re-form the quadratic cell. And a sampled
+    // cell's kept width sits under the SALT cap, so sampling never
+    // cascades into salting.
+    runProp("kept width lands at the target band", Prop.forAllNoShrink(
+      genW.suchThat(_ > AnnOps.IvfCellSampleEngage)) { w =>
+      val m = AnnOps.ivfSampleModulus(w)
+      val kept = (w + m - 1L) / m
+      kept >= AnnOps.IvfCellSampleTarget / 2L &&
+        kept <= 2L * AnnOps.IvfCellSampleTarget &&
+        kept <= AnnOps.IvfCellWidthCap
+    })
+    runProp("monotone", Prop.forAllNoShrink(genW, genW) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      AnnOps.ivfSampleModulus(lo) <= AnnOps.ivfSampleModulus(hi)
+    })
+    // threshold ordering that makes the two-stage defense coherent:
+    // cap < engage (a band exists where salting alone runs), and
+    // target ≤ cap (a sampled cell is a single salt-free key)
+    assert(AnnOps.IvfCellWidthCap < AnnOps.IvfCellSampleEngage)
+    assert(AnnOps.IvfCellSampleTarget <= AnnOps.IvfCellWidthCap)
+    assert(AnnOps.IvfCellSampleTarget >= 64L * 32L) // ≥ 64× any k used
+  }
 }
