@@ -692,6 +692,61 @@ object ScaleSmoke {
         println(f"SCALE-METRIC twolevel_uniform_ab multiseq=$rMs%.3f " +
           f"rectangle=$rRect%.3f (9 cells/query each)")
       },
+      // PRODUCTION-LAW probe selection, measured at its real parameters:
+      // at the N ≈ 16.7M flip the gate chooses k1 = k2 = 64 and p = 12
+      // ⇒ m = 144 > k1 — the regime where the retired explode-the-grid
+      // selection shipped the full 64×64 = 4096-row grid per probe
+      // vector (the round-10 ADVICE item). The MultiSeqCells frontier
+      // walk makes selection row-local at any m; this entry measures
+      // that regime on a forced 1M uniform corpus instead of arguing
+      // it: every query must probe exactly m = 144 grid cells, the
+      // analytic candidate count must track the m·N/(K1·K2) ideal
+      // (uniform corpus ⇒ balanced grid), and the 500-query recall
+      // point goes on record next to the scarce-budget m = 9 one.
+      "x_knn_twolevel_production_probes" -> { () =>
+        val pDir = s"$dir/twolevel-prod"
+        val n2 = 1000000L
+        spark.range(n2)
+          .select(
+            col("id").as("vec_id"),
+            expr("""transform(sequence(0, 63),
+                j -> cast((cast(pmod(xxhash64(id, j + 100), 2000001) AS DOUBLE)
+                           / 1000000.0 - 1.0) AS FLOAT))""").as("embedding"),
+            expr("cast(pmod(xxhash64(id, 99), 16) AS INT)").as("label"))
+          .write.mode("overwrite").parquet(s"$pDir/embeddings.parquet")
+        val ann = graft.ops.AnnOps
+        val en = ann.normalizedVecs(
+          spark.read.parquet(s"$pDir/embeddings.parquet")
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v")))
+        val qMod = 2000
+        val (assigned, probes) = ann.twoLevelAssignProbes(
+          spark, en, n2, 64, 64, 12, 12,
+          probeFilter = Some(pmod(col("vec_id"), lit(qMod)) === 0))
+        val perQ = probes.groupBy(col("query_id"))
+          .agg(countDistinct(col("cell")).as("nc")).localCheckpoint(true)
+        val nQ = perQ.count()
+        require(nQ == n2 / qMod, s"expected ${n2 / qMod} probe queries, got $nQ")
+        require(perQ.where(col("nc") =!= 144).count() == 0L,
+          "every query must probe exactly m = p1*p2 = 144 distinct grid cells")
+        val nCand = assigned.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+          .join(probes.groupBy(col("cell")).agg(count(lit(1)).as("np")),
+            Seq("cell"))
+          .agg(sum(col("na") * col("np"))).head.getLong(0)
+        val candPerQuery = nCand.toDouble / nQ
+        val ideal = 144.0 * n2 / (64.0 * 64.0)
+        metrics += ("prod_cand_per_query" -> candPerQuery)
+        metrics += ("prod_cand_vs_ideal" -> candPerQuery / ideal)
+        require(candPerQuery < 3.0 * ideal,
+          f"uniform corpus candidates/query $candPerQuery%.0f should track the ideal $ideal%.0f")
+        val g = ann.topKEdges(assigned, probes, en, 3)
+        val r = knnRecallAt3(spark, s"$pDir/embeddings.parquet", g, queryMod = qMod)
+        metrics += ("prod_recall_at3" -> r)
+        require(r > 0.1,
+          f"recall $r%.3f collapsed at a ${candPerQuery / n2 * 100}%.1f%% candidate fraction")
+        println(f"SCALE-METRIC twolevel_production_probes m=144 cand/q=$candPerQuery%.0f " +
+          f"(${candPerQuery / ideal}%.2fx ideal) recall@3=$r%.3f")
+      },
       // DEGENERATE corpus: 30% of 100k vectors are ONE exact duplicated
       // embedding (boilerplate pages) and 20% are near-identical
       // (±1e-6 noise around one center — distinct values, one cell,

@@ -274,8 +274,18 @@ class AnnSpec extends SparkSpec {
         Seq("query_id"))
     val k = 3
     val (engage, target) = (100L, 20L)
-    val out = AnnOps.topKEdges(assigned, probes, en, k,
+    val sampledDf = AnnOps.topKEdges(assigned, probes, en, k,
       sampleEngage = engage, sampleTarget = target)
+    // plan pin: the thinning must stay a map-side filter against a
+    // BROADCAST of the over-cap cells — never a shuffle, never a
+    // cartesian (the whole point is not adding exchanges to the path
+    // whose exchanges are the problem)
+    val plan = sampledDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the sampling-modulus attach must broadcast")
+    val out = sampledDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     // every query — including postings the sampler dropped — keeps k edges
     val byQ = out.groupBy(_._1)
