@@ -113,16 +113,30 @@ object ScaleSmoke {
     // because ~500k narrow rows still fit one task). Asserted here:
     //  (a) the probe SEES the planted boilerplate and projects it to the
     //      corpus within sane bounds (~1/3 of docs share one block);
-    //  (b) at this tier the decision correctly KEEPS the window plan on
-    //      all three corpora;
+    //  (b) the decision matches the tier: below the 4M-row task window
+    //      buffer (every tier up to ~12M docs at the planted 1/3 share)
+    //      the window plan is kept; past it — the 13M decade is the
+    //      first tier to cross for real — it flips to aggregate+join,
+    //      so the skewsafe branch runs under genuine pressure instead
+    //      of only at the 100× projection;
     //  (c) the same projection at a 100×-larger corpus crosses the task
     //      buffer threshold and flips — the pure-function flip is what
     //      protects the 100 TB regime.
     val hotSkew = graft.ops.DedupOps.paragraphHotRowEstimate(spark, skewDir)
     require(hotSkew > docRows / 10.0 && hotSkew < docRows,
       s"skew probe must project the planted boilerplate (got $hotSkew of $docRows docs)")
-    require(!graft.ops.DedupOps.paragraphSkewDecision(hotSkew),
-      "at this tier the hot slice fits a task: window plan must be kept")
+    val trueHot = docRows / 3.0 // the recipe plants a 1/3 share exactly
+    val thr = (4L << 20).toDouble
+    val decided = graft.ops.DedupOps.paragraphSkewDecision(hotSkew)
+    // outside a ±15% band around the threshold the correct decision is
+    // unambiguous and asserted; inside it the probe's sampling error
+    // legitimately decides (a ~12.6M-doc corpus at 1/3 share)
+    if (trueHot < 0.85 * thr)
+      require(!decided,
+        s"hot slice $trueHot fits a task: window plan must be kept (probe $hotSkew)")
+    else if (trueHot > 1.15 * thr)
+      require(decided,
+        s"hot slice $trueHot outgrows a task: must flip to aggregate+join (probe $hotSkew)")
     require(graft.ops.DedupOps.paragraphSkewDecision(hotSkew * 100),
       "the 100x projection must flip to the aggregate+join plan")
     require(!graft.ops.DedupOps.paragraphSkewGate(spark, dir),
