@@ -853,6 +853,74 @@ object ScaleSmoke {
         metrics += ("stream_dedup_30m_hdfs_s" -> h)
         metrics += ("stream_dedup_30m_rocksdb_s" -> r)
         println(f"SCALE-METRIC stream_dedup_30m hdfs=$h%.1f s rocksdb=$r%.1f s")
+      },
+      // The second stateful shape at the 30M-key decade: REAL
+      // flatMapGroupsWithState sessionization (the production
+      // StreamingArchiver.sessionize kernel, not a dropDuplicates
+      // stand-in) over 33M events / 30M users, provider A/B like
+      // x_stream_30m. dropDuplicates state is a key set; fMGWS state is
+      // a struct per key that every batch rewrites — the shape whose
+      // per-batch commit cost the provider rule's memory bound governs.
+      "x_stream_sessionize_30m" -> { () =>
+        val srcDir = s"$dir/stream30m-sess"
+        spark.range(33000000L)
+          .select((col("id") % 30000000L).as("user_id"),
+            expr("timestamp_micros(1700000000000000 + id * 100)").as("ts"),
+            lit("view").as("event_type"))
+          .repartition(16).write.mode("overwrite").parquet(srcDir)
+        def run(rocks: Boolean): Double = {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", "8")
+          if (rocks) s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ckpt = Files.createTempDirectory("graft-x-sess30m").toString
+          import s2.implicits._
+          val in = s2.readStream
+            .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+            .option("maxFilesPerTrigger", "4").parquet(srcDir)
+            .as[graft.streaming.StreamingArchiver.Event]
+          val t0 = System.nanoTime()
+          val q = graft.streaming.StreamingArchiver
+            .sessionize(in, 30 * 60 * 1000L).toDF()
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val r = run(rocks = true); val h = run(rocks = false)
+        metrics += ("stream_sessionize_30m_hdfs_s" -> h)
+        metrics += ("stream_sessionize_30m_rocksdb_s" -> r)
+        println(f"SCALE-METRIC stream_sessionize_30m hdfs=$h%.1f s rocksdb=$r%.1f s")
+      },
+      // The third shape: CDC generation maintenance against a 30M-key
+      // snapshot (10× x_cdc_big_snapshot) — not a state-store A/B
+      // (foreachBatch's merge is a batch join, no keyed state); what the
+      // decade tests is the snapshot REWRITE cost staying linear and
+      // generation retirement bounding the store at 30M keys.
+      "x_cdc_30m_snapshot" -> { () =>
+        val cdcRoot = s"$dir/cdc30m"
+        spark.range(30000000L)
+          .select(col("id").as("key"),
+            (col("id") % 1000).cast("double").as("price"))
+          .write.mode("overwrite").parquet(s"$cdcRoot/gen-init")
+        graft.streaming.StreamingArchiver.publishSnapshot(spark, cdcRoot, "gen-init")
+        (1L to 3L).foreach { id =>
+          graft.streaming.StreamingArchiver.mergeBatch(spark, cdcRoot,
+            spark.range(100000L)
+              .select((col("id") * 300 + id).as("key"), lit(1).as("seq"),
+                when(col("id") % 10 === 0, "D").otherwise("U").as("op"),
+                (col("id") + id).cast("double").as("price")),
+            id)
+        }
+        val p = new org.apache.hadoop.fs.Path(cdcRoot)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val gens = fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted
+        require(gens == Seq("gen-2", "gen-3"),
+          s"retirement must bound the 30M-key store, saw $gens")
       })
 
     val tasks: Seq[(String, () => Unit)] =
@@ -863,7 +931,8 @@ object ScaleSmoke {
         // written — measurement unaffected), and a default sweep must
         // exit 0. Measured 2026-08: 3M keys, hdfs 6.4 s vs rocksdb 15.4 s.
         extras.filterNot(t =>
-          Set("x_stream_dedup_3m_crossover", "x_stream_30m")(t._1) &&
+          Set("x_stream_dedup_3m_crossover", "x_stream_30m",
+            "x_stream_sessionize_30m", "x_cdc_30m_snapshot")(t._1) &&
             only.isEmpty)
     val timings = only.fold(tasks)(ns => tasks.filter(t => ns(t._1))).map {
       case (name, body) =>
