@@ -43,10 +43,39 @@ object DedupOps {
       .select(col("doc_id"), size(col("sh")).as("sz"),
               explode(col("sh")).as("gram"))
       .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
-    val a = g.as("a"); val b = g.as("b")
-    a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-               col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+    // One GROUPED aggregation of the gram relation instead of a
+    // self-join: the SMJ self-join sorted the full corpus gram relation
+    // on BOTH join sides in a single stage — 2× corpus-gram sort spill,
+    // the measured single-disk wall at the 26M tier (the agreement
+    // matrix died with >73 GB free, scale_smoke_r11_26m_abort.log.txt;
+    // minhash's 24-byte banded index sailed through the same tier).
+    // Here the identical relation shuffles ONCE into a hash aggregate
+    // (bucket = the gram's posting list of (doc_id, sz) — width is the
+    // gram's document frequency), and each bucket emits its ordered
+    // pairs row-locally through two pipelined generators (outer
+    // posexplode, inner transform over the tail slice — no w²-sized
+    // array is ever materialized; pair ROWS stream exactly like the
+    // join's output did). Pair multiset is identical to the join's:
+    // posting lists hold distinct docs (wordShingles dedups per doc),
+    // CASE-normalization orders each pair, and collect_list order
+    // cannot matter because the emitted pair set is order-invariant.
+    // Degenerate-bucket exposure is UNCHANGED: w² pair rows were and
+    // remain the binding cost (the capped flavor exists for that); the
+    // w-sized posting list itself is strictly smaller than the w² the
+    // join already streamed.
+    g.groupBy(col("gh"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(explode(expr(
+        """transform(slice(ds, i + 2, size(ds)), y ->
+          |  CASE WHEN x.doc_id < y.doc_id
+          |    THEN struct(x.doc_id AS d1, y.doc_id AS d2, x.sz AS sz1, y.sz AS sz2)
+          |    ELSE struct(y.doc_id AS d1, x.doc_id AS d2, y.sz AS sz1, x.sz AS sz2)
+          |  END)""".stripMargin)).as("p"))
+      .where(col("p.d1") =!= col("p.d2"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
+               col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
       .agg(count(lit(1)).as("inter"))
   }
 
