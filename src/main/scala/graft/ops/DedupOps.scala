@@ -1079,8 +1079,21 @@ object DedupOps {
          |SELECT by_jaccard, by_containment, by_simhash,
          |  count(*) AS n_pairs, CAST(sum(d1 + d2) AS BIGINT) AS pair_id_sum
          |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
-      val jp = jaccardPairs(s, d).select(col("d1"), col("d2"), lit("jac").as("m"))
-      val cp = gramPairs(s, d)
+      // ONE gramPairs execution feeds both the jaccard and containment
+      // lanes via a checkpoint of the PAIR-sized relation (the
+      // packedBins materialization rule: checkpoint the narrow artifact
+      // every multi-consumer composition reads). Without it Spark
+      // reuses only the gh EXCHANGE between the two lanes — the
+      // corpus-gram aggregate itself runs (and spills) twice, which at
+      // the 26M tier is the difference between one ~45 GB sort spill
+      // and two concurrent ones on a single local disk.
+      val gp = gramPairs(s, d).localCheckpoint(true)
+      val jp = gp
+        .withColumn("jac",
+          col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+        .where(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), lit("jac").as("m"))
+      val cp = gp
         .where(col("inter").cast("double") / least(col("sz1"), col("sz2")) >= 0.8)
         .select(col("d1"), col("d2"), lit("con").as("m"))
       val sp = simhashCandidates(s, d).where(col("hamming") <= 6)
