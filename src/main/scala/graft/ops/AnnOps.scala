@@ -1100,14 +1100,32 @@ object AnnOps {
   /** Thinning modulus for a cell of `width` postings: 1 (keep all)
     * under the engage threshold, ⌈width/target⌉ past it — postings
     * keep iff pmod(xxhash64(vec_id, seed), m) = 0, so the kept count
-    * concentrates at ≈ target (≤ 2·target deterministically bounded in
-    * expectation; exact per-cell counts are re-probed before the salt
-    * decision). Pure, GateSpec-pinned; mirrors the Column expression
-    * in [[topKEdges]]. */
+    * concentrates at ≈ target IN EXPECTATION (the keep is binomial per
+    * cell — realized counts carry no hard bound; the post-thin recount
+    * feeding the salt decision handles any realized overshoot). Pure,
+    * GateSpec-pinned; [[ivfSampleModulusCol]] is its Column twin. */
   private[graft] def ivfSampleModulus(width: Long,
       engage: Long = IvfCellSampleEngage,
       target: Long = IvfCellSampleTarget): Long =
     if (width <= engage) 1L else (width + target - 1L) / target
+
+  /** Seed of the posting-sampling keep-hash — deliberately distinct from
+    * the salt spread's unseeded xxhash64 so kept ids are independent of
+    * their eventual salt bucket. Single definition site: the production
+    * dispatch in [[topKEdges]] and the spec replays both build from the
+    * two Column twins below, so an edit cannot silently diverge from the
+    * GateSpec-pinned scalar law. */
+  private[graft] val IvfSampleSeed = 0x5A317EL
+
+  /** Column twin of [[ivfSampleModulus]]'s engaged branch: ⌈width/target⌉
+    * over a width column (callers pre-filter to width > engage). */
+  private[graft] def ivfSampleModulusCol(widthCol: String,
+      target: Long = IvfCellSampleTarget): Column =
+    expr(s"cast(($widthCol + ${target - 1L}) div $target as long)")
+
+  /** The seeded keep predicate of the posting sampler. */
+  private[graft] def ivfSampleKeep(vecId: Column, m: Column): Column =
+    pmod(xxhash64(vecId, lit(IvfSampleSeed)), m) === 0L
 
   /** When does the exact-duplicate collapse EARN its wrapper? A dup
     * group of g identical vectors self-joins to g² pairs in one cell;
@@ -1343,13 +1361,9 @@ object AnnOps {
       else {
         val mods = broadcast(counts0.where(col("cw") > sampleEngage)
           .select(col("cell"),
-            expr(s"cast((cw + ${sampleTarget - 1L}) div $sampleTarget as long)")
-              .as("m")))
-        // distinct hash seed from the salt spread below, so kept ids
-        // are independent of their eventual salt bucket
+            ivfSampleModulusCol("cw", sampleTarget).as("m")))
         val thinned = cellsNarrow.join(mods, Seq("cell"), "left_outer")
-          .where(col("m").isNull ||
-            pmod(xxhash64(col("vec_id"), lit(0x5A317EL)), col("m")) === 0L)
+          .where(col("m").isNull || ivfSampleKeep(col("vec_id"), col("m")))
           .drop("m")
           .localCheckpoint(true) // narrow (16 B/row): feeds recount + join
         val c2 = thinned.groupBy(col("cell")).agg(count(lit(1)).as("cw"))

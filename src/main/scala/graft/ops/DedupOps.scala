@@ -33,16 +33,49 @@ object DedupOps {
   private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, d)
 
+  /** Posting-list width past which the EXACT gram-pair kernel refuses to
+    * proceed: a gram shared by w documents is one w-entry aggregation
+    * buffer row (16 B/entry — 64 MB at this cap, safely under any
+    * row-size failure) and w² downstream pair rows (~8·10¹² at the cap —
+    * doomed on any budget). Failing bounded with a pointer to the capped
+    * flavor beats an opaque OOM inside a single aggregation buffer
+    * (ADVICE r11). Fixtures and the synthetic smoke tiers sit orders of
+    * magnitude under it (widest fixture gram: df ≈ 50). */
+  private[graft] val GramPostingMaxWidth = 1L << 22
+
   /** Shared inverted-index candidate machinery (the Scala twin of
     * `gramPairsSql`): distinct word shingles → xxhash64 → equi-self-join →
     * per-pair intersection counts with both shingle-set sizes. Jaccard and
     * containment are one projection each on top. */
-  private def gramPairs(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.fan(s, documents(s, d))
+  private def gramPairs(s: SparkSession, d: String): DataFrame =
+    gramPairsOf(Tables.fan(s, documents(s, d)))
+
+  private[graft] def gramPairsOf(docs: DataFrame,
+      maxPosting: Long = GramPostingMaxWidth): DataFrame = {
+    // (doc_id, sz) PACKED into one long — sz in the low 20 bits. The
+    // gram relation is the corpus-sized artifact every exact-pair
+    // consumer moves: 16 B/row instead of 24 shrinks the gh shuffle,
+    // the posting lists, and both aggregation spills by a third (the
+    // r12 26M disk-wall cut: stage-profiled at 27 GB shuffle + 38 GB
+    // map spill before this change). Pair ordering is preserved under
+    // packing: a doc appears at most once per posting (wordShingles
+    // dedups), so packed comparison equals doc_id comparison, and
+    // packed equality equals same-doc (one sz per doc). Guard follows
+    // AnnOps' id-pack pattern: ids ≥ 2⁴³ or shingle sets ≥ 2²⁰ fail
+    // loudly, never silently corrupt a pair.
+    val g = docs
       .select(col("doc_id"), wordShingles("text").as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("sz"),
+      .select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
               explode(col("sh")).as("gram"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
+      .select(xxhash64(col("gram")).as("gh"),
+        when(col("doc_id") < 0 || col("doc_id") >= (1L << 43) ||
+            col("sz") >= (1L << 20),
+          raise_error(concat(
+            lit("gramPairs id-pack guard: need 0 <= doc_id < 2^43 and " +
+              "shingle count < 2^20, got doc_id="),
+            col("doc_id").cast("string"), lit(" sz="),
+            col("sz").cast("string"))))
+          .otherwise(shiftleft(col("doc_id"), 20) + col("sz")).as("p"))
     // One GROUPED aggregation of the gram relation instead of a
     // self-join: the SMJ self-join sorted the full corpus gram relation
     // on BOTH join sides in a single stage — 2× corpus-gram sort spill,
@@ -64,19 +97,36 @@ object DedupOps {
     // w-sized posting list itself is strictly smaller than the w² the
     // join already streamed.
     g.groupBy(col("gh"))
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .agg(collect_list(col("p")).as("ds"))
       .where(size(col("ds")) > 1)
+      // width guard (ADVICE r11): a degenerate boilerplate gram fails
+      // HERE, bounded, with the remedy named — not as an opaque buffer
+      // OOM or an unkillable w² pair stage
+      .withColumn("ds",
+        when(size(col("ds")) > maxPosting, raise_error(concat(
+          lit(s"dedup gram posting list exceeds $maxPosting docs (gram hash "),
+          col("gh").cast("string"),
+          lit("): a boilerplate shingle this wide makes exact pair " +
+            "generation quadratic-infeasible — use the capped flavor " +
+            "(dedup_ngram_jaccard_capped / InvertedIndex.capBuckets)"))))
+          .otherwise(col("ds")))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      // ordered packed pairs, still streamed through two pipelined
+      // generators (no w²-sized array materializes); the pair partial
+      // aggregate now moves 3 longs/row instead of 5 columns
       .select(explode(expr(
         """transform(slice(ds, i + 2, size(ds)), y ->
-          |  CASE WHEN x.doc_id < y.doc_id
-          |    THEN struct(x.doc_id AS d1, y.doc_id AS d2, x.sz AS sz1, y.sz AS sz2)
-          |    ELSE struct(y.doc_id AS d1, x.doc_id AS d2, y.sz AS sz1, x.sz AS sz2)
-          |  END)""".stripMargin)).as("p"))
-      .where(col("p.d1") =!= col("p.d2"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
-               col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+          |  CASE WHEN x < y THEN struct(x AS a, y AS b)
+          |  ELSE struct(y AS a, x AS b) END)""".stripMargin)).as("q"))
+      .where(col("q.a") =!= col("q.b"))
+      .groupBy(col("q.a").as("a"), col("q.b").as("b"))
       .agg(count(lit(1)).as("inter"))
+      .select(
+        shiftrightunsigned(col("a"), 20).as("d1"),
+        shiftrightunsigned(col("b"), 20).as("d2"),
+        col("a").bitwiseAND(lit((1L << 20) - 1)).as("sz1"),
+        col("b").bitwiseAND(lit((1L << 20) - 1)).as("sz2"),
+        col("inter"))
   }
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =

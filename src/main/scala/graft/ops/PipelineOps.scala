@@ -59,6 +59,24 @@ object PipelineOps {
     * with a tiny cap and the smoke can record the sharded 13M point. */
   private[graft] val BloomShardItemCap = 4000000L
 
+  /** Ceiling on the sharded dispatch: each shard is ~8 MiB of PLAN
+    * LITERAL (the filter bits ride the task binary through the CASE of
+    * `might_contain`s), so the dispatch costs n × 8 MiB with growth
+    * linear in the eval-battery size and no natural stop (ADVICE/verdict
+    * r11). 32 shards ≈ 256 MiB task binary — the observed
+    * `Broadcasting large task binary` scale the 13M decontam tier
+    * already survived (~20 shards / ~160 MB) with margin, and enough
+    * for a 128M-gram battery (≫ any real eval suite: 10⁵–10⁶ grams).
+    * Past it the prefilter AUTO-DEGRADES to `true` — every row flows to
+    * the exact confirm semi-join, which is the correctness-preserving
+    * fallback by construction (the bloom only ever prunes). */
+  private[graft] val BloomShardMaxShards = 32L
+
+  /** ⌈est/cap⌉ — the shard-count law, split out for GateSpec. */
+  private[graft] def bloomShardCount(estEvalGrams: Long,
+      shardCap: Long = BloomShardItemCap): Long =
+    math.max(1L, (estEvalGrams + shardCap - 1) / shardCap)
+
   /** Bloom-prefilter predicate over a `gram` column: true iff the
     * gram's shard filter might contain it (false negatives impossible;
     * false positives are confirm-join traffic, never correctness).
@@ -71,12 +89,20 @@ object PipelineOps {
     * the dispatch falls through to false. */
   private[graft] def bloomPrefilter(evalGrams: org.apache.spark.sql.DataFrame,
       estEvalGrams: Long,
-      shardCap: Long = BloomShardItemCap): org.apache.spark.sql.Column = {
+      shardCap: Long = BloomShardItemCap,
+      maxShards: Long = BloomShardMaxShards): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    val nShards = math.max(1L, (estEvalGrams + shardCap - 1) / shardCap)
+    val nShards = bloomShardCount(estEvalGrams, shardCap)
+    if (nShards > maxShards) {
+      // envelope guard: past the shard ceiling the plan-literal cost has
+      // no lid — degrade to the exact confirm join (prefilter ≡ keep all)
+      println(s"bloomPrefilter: est $estEvalGrams grams need $nShards shards " +
+        s"> $maxShards cap — degrading to the exact confirm join")
+      return lit(true)
+    }
     val gramHash = xxhash64(col("gram"))
     val perShard = math.min(shardCap,
       math.max(1L << 16, estEvalGrams / nShards + 1))
@@ -808,27 +834,45 @@ object PipelineOps {
       // drops from ~35 bytes to 8 (collisions at 30k-word vocab are
       // ~2⁻⁴⁸-scale — immaterial; the oracle stays string-keyed and the
       // hash-green gate IS the collision check)
-      val tf = Tables.fan(s, documents(s, d))
+      val toks = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"),
           explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("ws"))
         .select(col("doc_id"), col("source"), xxhash64(col("ws")).as("w"))
-        .groupBy(col("doc_id"), col("source"), col("w"))
-        .agg(count(lit(1)).as("c"))
-      val cr = tf.groupBy(col("w")).agg(sum(col("c")).as("cr"))
-      val ct = tf.where(col("source") === "src0")
-        .groupBy(col("w")).agg(sum(col("c")).as("ct"))
+      // BOTH unigram models in ONE aggregate over the raw token stream
+      // (map-side combine ⇒ the shuffle moves vocab × partitions rows,
+      // never the corpus), checkpointed once for its three readers
+      // (tot, tt, lm). The previous shape hung cr and ct off a shared
+      // per-(doc,word) tf aggregate — but exchange reuse does not
+      // extend to aggregates (the r11 agreement-matrix lesson), so the
+      // corpus-wide tf aggregation re-ran per consumer: three times.
+      val vocab = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("cr"),
+          count(when(col("source") === "src0", 1)).as("ct"))
+        .localCheckpoint(true)
       // model totals ride the plan as broadcast 1-row frames (no separate
       // count actions — one job end-to-end, the tfidf nDocs pattern)
-      val tot = cr.agg(sum(col("cr")).cast("double").as("nr"),
+      val tot = vocab.agg(sum(col("cr")).cast("double").as("nr"),
         count(lit(1)).cast("double").as("v"))
-      val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("nt"))
-      val lm = cr.join(ct, Seq("w"), "left_outer")
+      val tt = vocab.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("nt"))
+      val lm = vocab
         .crossJoin(broadcast(tot)).crossJoin(broadcast(tt))
         .select(col("w"),
-          (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double")
+          (log((col("ct") + lit(1)).cast("double")
               / (col("nt") + col("v")))
             - log((col("cr") + lit(1)).cast("double")
               / (col("nr") + col("v")))).as("llr"))
+      // scoring lane: per-(doc,word) counts aggregated exchange-free on
+      // an explicit doc_id repartition (HashPartitioning(doc_id)
+      // satisfies the (doc_id, w) clustering), scored against the
+      // vocab-sized LM (unhinted — AQE broadcasts a sane vocab, an
+      // open-vocabulary corpus's LM honestly shuffles), and rolled up
+      // per doc on the SAME partitioning — ONE corpus exchange total.
+      // `source` does not ride the scoring rows (functionally dependent
+      // on doc_id; only the vocab lane reads it).
+      val tf = toks.select(col("doc_id"), col("w"))
+        .repartition(col("doc_id"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
       tf.join(lm, Seq("w"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_tokens"),

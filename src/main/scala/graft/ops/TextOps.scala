@@ -997,28 +997,41 @@ object TextOps {
   private[graft] def perplexityXent(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val bg = Tables.fan(s, Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-      .select(col("doc_id"), col("lang"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         // ordered bigrams WITH multiplicity (word_ngrams dedups, so not
         // usable here); the If guards sequence() against size < 2
         "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
           "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
         "ELSE array() END")).as("b"))
       // keyed on xxhash64 of each side, not the word strings — the
-      // dsir_importance gram-index trick (PipelineOps): the LM groupBy,
-      // the context aggregate, and the scoring equi-join all shuffle
-      // 8-byte (h1, h2) longs instead of ~35-byte word pairs. At the
-      // 1.3M-doc tier the LM has ~70M distinct pairs, so the byte ratio
-      // is the op's dominant shuffle cost. Collisions at that vocab are
-      // ~2⁻⁴⁸-scale — immaterial; the oracle stays string-keyed and the
-      // hash-green gate IS the collision check.
-      .select(col("doc_id"), col("lang"),
+      // dsir_importance gram-index trick (PipelineOps): every consumer
+      // shuffles 8-byte (h1, h2) longs instead of ~35-byte word pairs.
+      // Collisions at real vocabs are ~2⁻⁴⁸-scale — immaterial; the
+      // oracle stays string-keyed and the hash-green gate IS the
+      // collision check. `lang` deliberately does NOT ride the bigram
+      // rows (~16 UnsafeRow bytes on ~60 rows/doc through the corpus
+      // exchange) — it re-attaches to the 1-row-per-doc result below.
+      .select(col("doc_id"),
         xxhash64(col("b.w1")).as("w1"), xxhash64(col("b.w2")).as("w2"))
-    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    // context totals derive from the aggregated LM (c1 = Σ_w2 c12), not
-    // from a second full corpus bigram pass — the LM is vocab²-sized
-    val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // ONE corpus-bigram exchange, shared by all three consumers (LM,
+    // context totals, scoring join): the explicit repartition on the
+    // join key pre-satisfies each consumer's required distribution, so
+    // the LM aggregate and the join add no exchange of their own and
+    // AQE's stage cache runs the shuffle once. The previous shape paid
+    // the corpus THREE times at scale — lm was a two-consumer aggregate
+    // (ctx lane + join side; exchange reuse does not extend to
+    // AGGREGATES, the r11 agreement-matrix lesson) and the scoring lane
+    // projected a different column set, defeating exchange reuse.
+    val bgP = bg.repartition(col("w1"), col("w2"))
+    val lm = bgP.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // context totals c1 = Σ_w2 c12 ≡ bigram-token count per w1,
+    // aggregated DIRECTLY off the shared exchange into a VOCAB-sized
+    // frame (map-side combine; the shuffle moves vocab × partitions
+    // rows) — deriving them from lm re-ran the corpus-bigram aggregate
+    val ctx = bgP.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // ctx is vocab-sized: AQE broadcasts it, so lm never re-shuffles
     val lmp = lm.join(ctx, Seq("w1"))
     // the scoring join is FOOTER-GATED like tfidf's dictionary: a sane
     // corpus's bigram LM broadcasts, a web corpus's (open vocabulary,
@@ -1026,13 +1039,18 @@ object TextOps {
     // an unhinted (w1, w2) equi-join and AQE may still demote the
     // exchange when the measured LM is small
     val dict = if (tfidfBroadcastGate(s, d)) broadcast(lmp) else lmp
-    bg.join(dict, Seq("w1", "w2"))
-      .select(col("doc_id"), col("lang"),
+    val perDoc = bgP.join(dict, Seq("w1", "w2"))
+      .select(col("doc_id"),
         (-log(col("c12").cast("double") / col("c1").cast("double"))).as("t"))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("t").cast("decimal(30,12)")).cast("double") / count(lit(1)), 4)
           .as("xent"))
+    // lang is functionally dependent on doc_id — one corpus-NARROW join
+    // (1 row/doc each side) restores it for the lang-keyed consumers
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("xent"))
   }
 
   /** DuckDB twin of [[perplexityXent]] as CTEs ending in

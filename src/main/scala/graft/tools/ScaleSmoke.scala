@@ -36,6 +36,11 @@ object ScaleSmoke {
     val vecRows = if (args.length > 2) args(2).toLong else 100000L
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").toSet) else None
+    // scale tiers trade cores for disk: zstd shuffle/spill compression
+    // (~1.3× lz4 on the hash-heavy relations) — the 26M tier's binding
+    // resource is single-disk headroom, not the 32 cpus (r12: the
+    // agreement matrix re-run died on spill at ~80 GB free)
+    System.setProperty("spark.io.compression.codec", "zstd")
     val spark = ToolSession.create()
     val dir = Files.createTempDirectory("graft-scale-tier").toString
 
@@ -126,7 +131,9 @@ object ScaleSmoke {
     require(hotSkew > docRows / 10.0 && hotSkew < docRows,
       s"skew probe must project the planted boilerplate (got $hotSkew of $docRows docs)")
     val trueHot = docRows / 3.0 // the recipe plants a 1/3 share exactly
-    val thr = (4L << 20).toDouble
+    // the production threshold itself, not a copy — a changed constant
+    // must move these asserts with it
+    val thr = graft.ops.DedupOps.ParagraphWindowMaxHotRows.toDouble
     val decided = graft.ops.DedupOps.paragraphSkewDecision(hotSkew)
     // outside a ±15% band around the threshold the correct decision is
     // unambiguous and asserted; inside it the probe's sampling error
@@ -854,6 +861,83 @@ object ScaleSmoke {
         metrics += ("stream_dedup_30m_rocksdb_s" -> r)
         println(f"SCALE-METRIC stream_dedup_30m hdfs=$h%.1f s rocksdb=$r%.1f s")
       },
+      // Task-binary cost curve of the sharded-bloom dispatch (r11
+      // verdict ask #6): force n ∈ {8, 32} real 8-MiB shards (the est
+      // drives per-shard sizing, so a 1M-gram build exercises
+      // full-width filters), record build wall, literal bytes, and the
+      // probe wall of the CASE dispatch over a 50M-row corpus side —
+      // the numbers the BloomShardMaxShards envelope doc cites. Also
+      // pins the degrade: past the shard ceiling the predicate is the
+      // keep-everything literal.
+      "x_bloom_shard_cost" -> { () =>
+        val ops = graft.ops.PipelineOps
+        val evalGrams = spark.range(1000000L)
+          .select(concat(lit("eg"), col("id").cast("string")).as("gram"))
+          .localCheckpoint(true)
+        val corpus = spark.range(50000000L)
+          .select(concat(lit("cg"), col("id").cast("string")).as("gram"))
+        for (n <- Seq(1L, 8L, 32L)) {
+          val t0 = System.nanoTime()
+          val pred = ops.bloomPrefilter(evalGrams, estEvalGrams = n * 4000000L)
+          val buildS = (System.nanoTime() - t0) / 1e9
+          val litBytes = org.apache.spark.sql.graftshim.ColumnShim
+            .expression(pred).collectLeaves().collect {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+              b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b.length.toLong
+          }.sum
+          val t1 = System.nanoTime()
+          val kept = corpus.where(pred).count()
+          val probeS = (System.nanoTime() - t1) / 1e9
+          metrics += (s"bloom_build_s_n$n" -> buildS)
+          metrics += (s"bloom_literal_mb_n$n" -> litBytes / 1048576.0)
+          metrics += (s"bloom_probe50m_s_n$n" -> probeS)
+          println(f"SCALE-METRIC bloom_shards n=$n build=$buildS%.1f s " +
+            f"literals=${litBytes / 1048576.0}%.1f MiB probe50m=$probeS%.1f s kept=$kept")
+        }
+        val degraded = ops.bloomPrefilter(evalGrams,
+          estEvalGrams = (ops.BloomShardMaxShards + 1) * 4000000L)
+        require(org.apache.spark.sql.graftshim.ColumnShim.expression(degraded)
+            == org.apache.spark.sql.graftshim.ColumnShim.expression(lit(true)),
+          "past the shard ceiling the prefilter must degrade to keep-all")
+      },
+      // The 3M-key point of the sessionize shape — the fourth corner of
+      // the provider-rule grid (key-set 3M/30M and struct 30M are
+      // measured; the struct shape's small-state behavior decides
+      // whether the latency flip is scale-gated or unconditional).
+      "x_stream_sessionize_3m" -> { () =>
+        val srcDir = s"$dir/stream3m-sess"
+        spark.range(3300000L)
+          .select((col("id") % 3000000L).as("user_id"),
+            expr("timestamp_micros(1700000000000000 + id * 1000)").as("ts"),
+            lit("view").as("event_type"))
+          .repartition(8).write.mode("overwrite").parquet(srcDir)
+        def run(rocks: Boolean): Double = {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", "8")
+          if (rocks) s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ckpt = Files.createTempDirectory("graft-x-sess3m").toString
+          import s2.implicits._
+          val in = s2.readStream
+            .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+            .option("maxFilesPerTrigger", "2").parquet(srcDir)
+            .as[graft.streaming.StreamingArchiver.Event]
+          val t0 = System.nanoTime()
+          val q = graft.streaming.StreamingArchiver
+            .sessionize(in, 30 * 60 * 1000L).toDF()
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val r = run(rocks = true); val h = run(rocks = false)
+        metrics += ("stream_sessionize_3m_hdfs_s" -> h)
+        metrics += ("stream_sessionize_3m_rocksdb_s" -> r)
+        println(f"SCALE-METRIC stream_sessionize_3m hdfs=$h%.1f s rocksdb=$r%.1f s")
+      },
       // The second stateful shape at the 30M-key decade: REAL
       // flatMapGroupsWithState sessionization (the production
       // StreamingArchiver.sessionize kernel, not a dropDuplicates
@@ -932,7 +1016,8 @@ object ScaleSmoke {
         // exit 0. Measured 2026-08: 3M keys, hdfs 6.4 s vs rocksdb 15.4 s.
         extras.filterNot(t =>
           Set("x_stream_dedup_3m_crossover", "x_stream_30m",
-            "x_stream_sessionize_30m", "x_cdc_30m_snapshot")(t._1) &&
+            "x_stream_sessionize_30m", "x_stream_sessionize_3m",
+            "x_cdc_30m_snapshot")(t._1) &&
             only.isEmpty)
     val timings = only.fold(tasks)(ns => tasks.filter(t => ns(t._1))).map {
       case (name, body) =>

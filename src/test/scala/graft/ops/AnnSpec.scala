@@ -297,7 +297,7 @@ class AnnSpec extends SparkSpec {
     val m = AnnOps.ivfSampleModulus(150L, engage, target)
     assert(m == 8L)
     val kept = spark.range(150).toDF("id")
-      .where(pmod(xxhash64(col("id"), lit(0x5A317EL)), lit(m)) === 0L)
+      .where(AnnOps.ivfSampleKeep(col("id"), lit(m)))
       .collect().map(_.getLong(0)).toSet
     assert(kept.size > k, s"kept set must exceed k (got ${kept.size})")
     (0L until 150L).foreach { q =>

@@ -35,6 +35,30 @@ class DedupSpec extends SparkSpec {
       s"flavors diverged: window=${a.length} rows, skewsafe=${b.length} rows")
   }
 
+  test("gram posting-width guard: a degenerate gram fails bounded, named") {
+    import org.apache.spark.sql.functions._
+    // 8 docs sharing one boilerplate head → one gram bucket of width 8;
+    // a cap of 4 must fail THERE with the remedy named, not downstream
+    val docs = spark.range(8).select(col("id").as("doc_id"),
+      concat(lit("all rights reserved by the publisher tail "),
+        col("id").cast("string")).as("text"))
+    val ex = intercept[Exception] {
+      DedupOps.gramPairsOf(docs, maxPosting = 4L).collect()
+    }
+    val msg = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msg.contains("posting list exceeds 4"),
+      s"guard must name the width bound, got: $msg")
+    assert(msg.contains("dedup_ngram_jaccard_capped"),
+      s"guard must point at the capped flavor, got: $msg")
+    // under the cap the same frame streams its exact pair multiset
+    val ok = DedupOps.gramPairsOf(docs, maxPosting = 8L)
+      .select("d1", "d2").collect()
+    assert(ok.length == 8 * 7 / 2,
+      s"width-8 bucket must emit all 28 ordered pairs, got ${ok.length}")
+  }
+
   test("incremental minhash probe equals the gram-index incremental matches") {
     // both flavors sit under the same best-match oracle; pin their direct
     // equality too (candidate mechanism moves work, never reported rows)

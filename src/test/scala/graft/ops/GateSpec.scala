@@ -177,6 +177,34 @@ class GateSpec extends AnyFunSuite {
     assert(StreamingOps.rocksDbStateGate(10000000000L * 100, 100, 4 * gib))
   }
 
+  test("bloom shard law: ⌈est/cap⌉ shards, monotone; dispatch degrades past the ceiling") {
+    val genEst = Gen.chooseNum(1L, 1L << 40)
+    runProp("ceiling-division law", Prop.forAllNoShrink(genEst) { est =>
+      val n = PipelineOps.bloomShardCount(est)
+      n == math.max(1L,
+        (est + PipelineOps.BloomShardItemCap - 1) / PipelineOps.BloomShardItemCap)
+    })
+    runProp("every shard under the aggregate cap", Prop.forAllNoShrink(genEst) {
+      est =>
+        val n = PipelineOps.bloomShardCount(est)
+        est.toDouble / n <= PipelineOps.BloomShardItemCap.toDouble
+    })
+    runProp("monotone in battery size", Prop.forAllNoShrink(genEst, genEst) {
+      (a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        PipelineOps.bloomShardCount(lo) <= PipelineOps.bloomShardCount(hi)
+    })
+    // envelope pins: the fixture tiers and every real battery
+    // (10⁵–10⁶ grams) are single-bloom; the 13M synthetic tier's ~20
+    // shards sit inside the 32-shard ceiling; past 32 × 4M the dispatch
+    // is out of envelope and bloomPrefilter degrades to keep-all
+    assert(PipelineOps.bloomShardCount(1000000L) == 1L)
+    assert(PipelineOps.bloomShardCount(78000000L) == 20L)
+    val edge = PipelineOps.BloomShardMaxShards * PipelineOps.BloomShardItemCap
+    assert(PipelineOps.bloomShardCount(edge) == PipelineOps.BloomShardMaxShards)
+    assert(PipelineOps.bloomShardCount(edge + 1) > PipelineOps.BloomShardMaxShards)
+  }
+
   test("cell width cap: salted sub-cells never exceed the cap; no-op under it") {
     val genW = Gen.frequency(
       4 -> Gen.chooseNum(0L, 4L * AnnOps.IvfCellWidthCap),
