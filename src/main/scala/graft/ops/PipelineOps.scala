@@ -77,20 +77,27 @@ object PipelineOps {
       shardCap: Long = BloomShardItemCap): Long =
     math.max(1L, (estEvalGrams + shardCap - 1) / shardCap)
 
-  /** Bloom-prefilter predicate over a `gram` column: true iff the
-    * gram's shard filter might contain it (false negatives impossible;
+  /** Bloom-prefilter of a corpus frame's `gram` column: keeps rows whose
+    * shard filter might contain the gram (false negatives impossible;
     * false positives are confirm-join traffic, never correctness).
     * Builds ⌈est/cap⌉ filters in ONE grouped aggregate over the eval
-    * side, routing grams by `pmod(xxhash64(gram), n)`; a corpus gram
-    * probes only its own shard via a shard-dispatched CASE of literal
-    * might_contains. n = 1 (every fixture tier) is byte-identical to
-    * the single-filter plan the oracle pins. A shard with no eval
-    * grams builds no filter, and no gram routed there can match, so
-    * the dispatch falls through to false. */
-  private[graft] def bloomPrefilter(evalGrams: org.apache.spark.sql.DataFrame,
+    * side, routing grams by `pmod(xxhash64(gram), n)`. n = 1 (every
+    * fixture tier) is byte-identical to the single-filter plan the
+    * oracle pins. On the sharded path the row's xxhash64 materializes
+    * ONCE as a temp column — both the shard conditions and the taken
+    * branch's might_contain read the attribute, so probe cost is one
+    * hash per row at ANY shard count (the first-cut CASE recomputed
+    * pmod(xxhash64(gram), n) per condition: measured ~12× slower at
+    * n = 8 over a 50M-row probe, `x_bloom_shard_cost`). A shard with
+    * no eval grams builds no filter, and no gram routed there can
+    * match, so the dispatch falls through to false. Past `maxShards`
+    * the prefilter auto-degrades to the identity (the exact confirm
+    * join downstream is the correctness-preserving fallback). */
+  private[graft] def bloomPrefiltered(corpus: org.apache.spark.sql.DataFrame,
+      evalGrams: org.apache.spark.sql.DataFrame,
       estEvalGrams: Long,
       shardCap: Long = BloomShardItemCap,
-      maxShards: Long = BloomShardMaxShards): org.apache.spark.sql.Column = {
+      maxShards: Long = BloomShardMaxShards): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -99,9 +106,9 @@ object PipelineOps {
     if (nShards > maxShards) {
       // envelope guard: past the shard ceiling the plan-literal cost has
       // no lid — degrade to the exact confirm join (prefilter ≡ keep all)
-      println(s"bloomPrefilter: est $estEvalGrams grams need $nShards shards " +
-        s"> $maxShards cap — degrading to the exact confirm join")
-      return lit(true)
+      println(s"bloomPrefiltered: est $estEvalGrams grams need $nShards " +
+        s"shards > $maxShards cap — degrading to the exact confirm join")
+      return corpus
     }
     val gramHash = xxhash64(col("gram"))
     val perShard = math.min(shardCap,
@@ -110,21 +117,25 @@ object PipelineOps {
     def agg = ColumnShim.column(new BloomFilterAggregate(
       ColumnShim.expression(gramHash),
       Literal(perShard), Literal(bitsPerShard)).toAggregateExpression()).as("bf")
-    def might(bf: Array[Byte]) = ColumnShim.column(BloomFilterMightContain(
-      Literal.create(bf, BinaryType), ColumnShim.expression(gramHash)))
+    def might(bf: Array[Byte], value: org.apache.spark.sql.Column) =
+      ColumnShim.column(BloomFilterMightContain(
+        Literal.create(bf, BinaryType), ColumnShim.expression(value)))
     if (nShards <= 1L) {
       val bloom = evalGrams.select(agg).head.getAs[Array[Byte]]("bf")
       require(bloom != null, "decontam_bloom: empty eval set — no bloom built")
-      might(bloom)
+      corpus.where(might(bloom, gramHash))
     } else {
-      val shardOf = pmod(gramHash, lit(nShards)).cast("int")
       val blooms: Map[Int, Array[Byte]] = evalGrams
-        .groupBy(shardOf.as("shard")).agg(agg)
+        .groupBy(pmod(gramHash, lit(nShards)).cast("int").as("shard")).agg(agg)
         .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toMap
       require(blooms.nonEmpty, "decontam_bloom: empty eval set — no bloom built")
-      blooms.foldLeft(lit(false)) { case (acc, (i, bf)) =>
-        when(shardOf === lit(i), might(bf)).otherwise(acc)
+      val h = col("__bloom_h")
+      val dispatch = blooms.foldLeft(lit(false)) { case (acc, (i, bf)) =>
+        when(pmod(h, lit(nShards)).cast("int") === lit(i), might(bf, h))
+          .otherwise(acc)
       }
+      corpus.withColumn("__bloom_h", gramHash)
+        .where(dispatch).drop("__bloom_h")
     }
   }
 
@@ -737,8 +748,8 @@ object PipelineOps {
       // byte-identical to the pre-shard plan the oracle pins.
       val estEvalGrams =
         math.max(1L << 16, Tables.parquetRowCount(s, d, "documents") * 6)
-      val survivors = grams.where(col("doc_id") % 10 =!= 7)
-        .where(bloomPrefilter(evalGrams, estEvalGrams))
+      val survivors = bloomPrefiltered(
+        grams.where(col("doc_id") % 10 =!= 7), evalGrams, estEvalGrams)
       // exact confirm: MERGE pins the no-broadcast scale shape — at
       // fixture size AQE would happily broadcast eval grams, which is
       // exactly the plan this flavor exists to avoid. It must be

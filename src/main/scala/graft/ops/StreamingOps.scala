@@ -50,6 +50,33 @@ object StreamingOps {
     * driver-side arithmetic, GateSpec-pinned. */
   private[graft] val StateHeapBudgetFraction = 0.2
 
+  /** Bytes/key by state SHAPE, and the rewrite-retention factor that
+    * makes the gate shape-aware (r12, verdict ask #3). Key-set state
+    * (dropDuplicates: the key exists, no value) measures ~100 B/key in
+    * the HDFS-backed map; struct-per-key state (fMGWS sessions: a
+    * start/last/count struct) ~150 B. Rewrite-heavy shapes — every
+    * batch `state.update()`s every active key — additionally retain
+    * the PREVIOUS map version alongside the new one in the HDFS-backed
+    * provider (its version chain shares unchanged entries; a full
+    * rewrite shares nothing), so their effective heap mass doubles.
+    * The four measured corners this law reproduces (local envelope,
+    * 16 GiB, 1 executor): key-set 3M and 30M keys stay in-memory and
+    * WIN there (6.4 vs 15.4 s; 19.1 vs 134.5 s — `x_stream_30m`);
+    * struct 3M stays in-memory and wins (4.5 vs 14.4 s,
+    * `x_stream_sessionize_3m`); struct 30M = 30M × 150 B × 2 = 9 GB —
+    * past the 3.4 GB budget — flips to RocksDB, which indeed wins
+    * there on latency (71.0 vs 97.4 s, `x_stream_sessionize_30m`).
+    * The r11 rule would have kept sessionize-30M in-memory and left
+    * 27% on the table; the inversion was memory pressure all along. */
+  private[graft] val KeySetBytesPerKey = 100
+  private[graft] val StructBytesPerKey = 150
+  private[graft] val RewriteRetentionFactor = 2L
+
+  private[graft] def effectiveStateBytes(estKeys: Long, bytesPerKey: Int,
+      rewriteHeavy: Boolean): Long =
+    estKeys * bytesPerKey.toLong *
+      (if (rewriteHeavy) RewriteRetentionFactor else 1L)
+
   private[graft] def rocksDbStateGate(estStateBytes: Long, executors: Int,
       heapBytesPerExecutor: Long): Boolean =
     estStateBytes.toDouble / math.max(1, executors) >
@@ -85,10 +112,16 @@ object StreamingOps {
     * `graft.state.store` = rocksdb|hdfs) always wins for operators who
     * measured their own curve. Returns the provider class it set.
     * `estKeys` is the caller's distinct-key projection (a source
-    * parquet footer row count is an upper bound); ~100 B/key covers the
-    * dedup/session state rows this library keeps. */
+    * parquet footer row count is an upper bound). `bytesPerKey` defaults
+    * to the key-set shape ([[KeySetBytesPerKey]]); struct-per-key
+    * operators pass [[StructBytesPerKey]]. `rewriteHeavy` marks shapes
+    * whose every batch rewrites the active keys' state (fMGWS
+    * sessionization) — their HDFS-backed heap mass doubles via version
+    * retention ([[RewriteRetentionFactor]]); see the shape-law scaladoc
+    * for the four measured corners. */
   def configureStateStore(s: SparkSession, estKeys: Long,
-      bytesPerKey: Int = 100, executors: Option[Int] = None,
+      bytesPerKey: Int = KeySetBytesPerKey, rewriteHeavy: Boolean = false,
+      executors: Option[Int] = None,
       heapBytes: Option[Long] = None): String = {
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -107,7 +140,8 @@ object StreamingOps {
           .getOrElse(1)
         val h = heapBytes.orElse(s.conf.getOption("spark.executor.memory")
           .map(parseMemBytes)).getOrElse(Runtime.getRuntime.maxMemory)
-        stateProviderFor(estKeys * bytesPerKey.toLong, e, h)
+        stateProviderFor(effectiveStateBytes(estKeys, bytesPerKey,
+          rewriteHeavy), e, h)
     }
     s.conf.set("spark.sql.streaming.stateStore.providerClass", chosen)
     chosen

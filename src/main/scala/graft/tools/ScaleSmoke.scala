@@ -878,15 +878,18 @@ object ScaleSmoke {
           .select(concat(lit("cg"), col("id").cast("string")).as("gram"))
         for (n <- Seq(1L, 8L, 32L)) {
           val t0 = System.nanoTime()
-          val pred = ops.bloomPrefilter(evalGrams, estEvalGrams = n * 4000000L)
+          val filtered = ops.bloomPrefiltered(corpus, evalGrams,
+            estEvalGrams = n * 4000000L)
           val buildS = (System.nanoTime() - t0) / 1e9
-          val litBytes = org.apache.spark.sql.graftshim.ColumnShim
-            .expression(pred).collectLeaves().collect {
-            case org.apache.spark.sql.catalyst.expressions.Literal(
-              b: Array[Byte], org.apache.spark.sql.types.BinaryType) => b.length.toLong
-          }.sum
+          val litBytes = filtered.queryExecution.optimizedPlan.collect {
+            case p => p.expressions.flatMap(_.collect {
+              case org.apache.spark.sql.catalyst.expressions.Literal(
+                b: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
+                b.length.toLong
+            })
+          }.flatten.sum
           val t1 = System.nanoTime()
-          val kept = corpus.where(pred).count()
+          val kept = filtered.count()
           val probeS = (System.nanoTime() - t1) / 1e9
           metrics += (s"bloom_build_s_n$n" -> buildS)
           metrics += (s"bloom_literal_mb_n$n" -> litBytes / 1048576.0)
@@ -894,10 +897,9 @@ object ScaleSmoke {
           println(f"SCALE-METRIC bloom_shards n=$n build=$buildS%.1f s " +
             f"literals=${litBytes / 1048576.0}%.1f MiB probe50m=$probeS%.1f s kept=$kept")
         }
-        val degraded = ops.bloomPrefilter(evalGrams,
+        val degraded = ops.bloomPrefiltered(corpus, evalGrams,
           estEvalGrams = (ops.BloomShardMaxShards + 1) * 4000000L)
-        require(org.apache.spark.sql.graftshim.ColumnShim.expression(degraded)
-            == org.apache.spark.sql.graftshim.ColumnShim.expression(lit(true)),
+        require(degraded eq corpus,
           "past the shard ceiling the prefilter must degrade to keep-all")
       },
       // The 3M-key point of the sessionize shape — the fourth corner of

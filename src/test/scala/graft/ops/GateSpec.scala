@@ -175,6 +175,31 @@ class GateSpec extends AnyFunSuite {
     // cluster shape: 10B keys × 100 B = 1 TB state over 100 × 4 GiB
     // executors → 10 GB/executor ≫ the 0.8 GiB budget → RocksDB
     assert(StreamingOps.rocksDbStateGate(10000000000L * 100, 100, 4 * gib))
+    // SHAPE-AWARE corners (r12): the four measured A/B points. Key-set
+    // state (dropDuplicates, ~100 B/key, insert-once) stays in-memory at
+    // 3M and 30M — where the HDFS-backed provider indeed wins (6.4 vs
+    // 15.4 s; 19.1 vs 134.5 s). Struct-per-key rewrite-heavy state
+    // (fMGWS sessions, ~150 B/key, every batch update ⇒ the previous map
+    // version shares nothing and stays retained ⇒ ×2 heap mass) stays
+    // in-memory at 3M (measured win 4.5 vs 14.4 s) but its 30M tier
+    // projects 9 GB — past the 3.4 GB budget — and flips to RocksDB,
+    // which is measured 27% faster there (71.0 vs 97.4 s). The r11
+    // shape-blind rule kept sessionize-30M in-memory; the flip was
+    // memory pressure, not a latency crossover.
+    def eff(keys: Long, bpk: Int, rw: Boolean): Long =
+      StreamingOps.effectiveStateBytes(keys, bpk, rw)
+    val ks = StreamingOps.KeySetBytesPerKey
+    val st = StreamingOps.StructBytesPerKey
+    assert(!StreamingOps.rocksDbStateGate(eff(3000000L, ks, false), 1, 16 * gib))
+    assert(!StreamingOps.rocksDbStateGate(eff(30000000L, ks, false), 1, 16 * gib))
+    assert(!StreamingOps.rocksDbStateGate(eff(3000000L, st, true), 1, 16 * gib))
+    assert(StreamingOps.rocksDbStateGate(eff(30000000L, st, true), 1, 16 * gib))
+    // the factor law itself: rewrite-heavy doubles, never reorders
+    runProp("rewrite factor doubles", Prop.forAllNoShrink(
+      Gen.chooseNum(0L, 1L << 40)) { k =>
+      eff(k, st, true) == 2L * eff(k, st, false) &&
+        eff(k, ks, false) == k * ks
+    })
   }
 
   test("bloom shard law: ⌈est/cap⌉ shards, monotone; dispatch degrades past the ceiling") {
@@ -197,7 +222,7 @@ class GateSpec extends AnyFunSuite {
     // envelope pins: the fixture tiers and every real battery
     // (10⁵–10⁶ grams) are single-bloom; the 13M synthetic tier's ~20
     // shards sit inside the 32-shard ceiling; past 32 × 4M the dispatch
-    // is out of envelope and bloomPrefilter degrades to keep-all
+    // is out of envelope and bloomPrefiltered degrades to keep-all
     assert(PipelineOps.bloomShardCount(1000000L) == 1L)
     assert(PipelineOps.bloomShardCount(78000000L) == 20L)
     val edge = PipelineOps.BloomShardMaxShards * PipelineOps.BloomShardItemCap

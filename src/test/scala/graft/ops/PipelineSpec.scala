@@ -144,11 +144,13 @@ class PipelineSpec extends SparkSpec {
     // 200 eval grams; cap 32 forces ceil(200/32) = 7 hash-routed shards —
     // the production path past Spark's 4M-item BloomFilterAggregate cap
     val evalGrams = (0 until 200).map(i => s"eval gram number $i").toDF("gram")
-    val pred = PipelineOps.bloomPrefilter(evalGrams, estEvalGrams = 200L,
-      shardCap = 32L)
     val probe = ((0 until 200).map(i => s"eval gram number $i") ++
       (0 until 2000).map(i => s"clean corpus gram $i")).toDF("gram")
-    val kept = probe.where(pred).as[String].collect().toSet
+    val filtered = PipelineOps.bloomPrefiltered(probe, evalGrams,
+      estEvalGrams = 200L, shardCap = 32L)
+    assert(filtered.columns.toSeq == Seq("gram"),
+      "the dispatch's temp hash column must not leak into the output")
+    val kept = filtered.as[String].collect().toSet
     // every eval gram must survive its own shard's filter
     (0 until 200).foreach(i => assert(kept(s"eval gram number $i"),
       s"false negative on eval gram $i"))
@@ -156,8 +158,13 @@ class PipelineSpec extends SparkSpec {
     val fp = kept.count(_.startsWith("clean"))
     assert(fp < 100, s"implausible false-positive count $fp of 2000")
     // single-shard path (cap above est) accepts the same eval set
-    val pred1 = PipelineOps.bloomPrefilter(evalGrams, 200L, shardCap = 4096L)
-    assert(probe.where(pred1).count() >= 200L)
+    assert(PipelineOps.bloomPrefiltered(probe, evalGrams, 200L,
+      shardCap = 4096L).count() >= 200L)
+    // past the shard ceiling the prefilter degrades to the identity —
+    // every row flows to the exact confirm join downstream
+    val degraded = PipelineOps.bloomPrefiltered(probe, evalGrams, 200L,
+      shardCap = 32L, maxShards = 4L)
+    assert(degraded eq probe, "degrade must return the corpus unchanged")
   }
 
   test("vocab_coverage: OOV bounded by token counts; vocabulary covers the head") {

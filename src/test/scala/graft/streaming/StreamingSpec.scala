@@ -334,6 +334,18 @@ class StreamingSpec extends SparkSpec {
       executors = Some(100), heapBytes = Some(4L << 30))
     assert(big.contains("RocksDB"))
     assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass") == big)
+    // the struct shape at the same key count flips where key-set state
+    // does not: 30M × 150 B × the rewrite-retention factor projects past
+    // the heap budget on a 16 GiB local session (the measured sessionize
+    // inversion, 71.0 vs 97.4 s)
+    val struct = StreamingOps.configureStateStore(s2, 30000000L,
+      bytesPerKey = StreamingOps.StructBytesPerKey, rewriteHeavy = true,
+      executors = Some(1), heapBytes = Some(16L << 30))
+    assert(struct.contains("RocksDB"))
+    val structSmall = StreamingOps.configureStateStore(s2, 3000000L,
+      bytesPerKey = StreamingOps.StructBytesPerKey, rewriteHeavy = true,
+      executors = Some(1), heapBytes = Some(16L << 30))
+    assert(structSmall.contains("HDFSBacked"))
     // the explicit override always wins over the projection
     sys.props.put("graft.state.store", "hdfs")
     try
