@@ -996,7 +996,16 @@ object TextOps {
     * Docs with fewer than two words have no bigrams and no row. */
   private[graft] def perplexityXent(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // The explicit isNotNull is load-bearing for exchange reuse, not a
+    // semantic filter (doc_id is never null): the lang re-attach join
+    // below makes the optimizer INFER isnotnull(doc_id) into the probe
+    // branch's scan, while the aggregate branches get no such
+    // constraint — the branches' scan filters then differ, the
+    // canonicalized exchange subtrees stop matching, and the corpus
+    // tokenizes + shuffles twice. Stating the filter once here keeps
+    // every branch's subtree identical so the stage cache unifies them.
     val bg = Tables.fan(s, Tables.documents(s, d))
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
         expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
       .select(col("doc_id"), explode(expr(
@@ -1024,13 +1033,24 @@ object TextOps {
     // (ctx lane + join side; exchange reuse does not extend to
     // AGGREGATES, the r11 agreement-matrix lesson) and the scoring lane
     // projected a different column set, defeating exchange reuse.
+    //
+    // The aggregates count doc_id — NOT lit(1) — and that is load-
+    // bearing: ReusedExchange matches CANONICALIZED plans, and column
+    // pruning under a count(1) drops doc_id below the aggregate
+    // branches' exchange, leaving a (w1, w2) exchange that no longer
+    // canonicalizes equal to the probe side's (doc_id, w1, w2) one —
+    // the corpus then tokenizes and shuffles TWICE (24.4 GB + 21.1 GB
+    // at 26M docs, the r12 disk-wall anatomy in
+    // scale_smoke_r12_26m_lm_abort.log.txt). doc_id is never null, so
+    // count(doc_id) ≡ count(1) — it only pins the shared column set.
     val bgP = bg.repartition(col("w1"), col("w2"))
-    val lm = bgP.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val lm = bgP.groupBy(col("w1"), col("w2"))
+      .agg(count(col("doc_id")).as("c12"))
     // context totals c1 = Σ_w2 c12 ≡ bigram-token count per w1,
     // aggregated DIRECTLY off the shared exchange into a VOCAB-sized
     // frame (map-side combine; the shuffle moves vocab × partitions
     // rows) — deriving them from lm re-ran the corpus-bigram aggregate
-    val ctx = bgP.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val ctx = bgP.groupBy(col("w1")).agg(count(col("doc_id")).as("c1"))
     // ctx is vocab-sized: AQE broadcasts it, so lm never re-shuffles
     val lmp = lm.join(ctx, Seq("w1"))
     // the scoring join is FOOTER-GATED like tfidf's dictionary: a sane

@@ -41,6 +41,10 @@ object ScaleSmoke {
     // resource is single-disk headroom, not the 32 cpus (r12: the
     // agreement matrix re-run died on spill at ~80 GB free)
     System.setProperty("spark.io.compression.codec", "zstd")
+    // Backstop for the explicit post-query System.gc() below: long
+    // queries also free driver references mid-flight (AQE stage frames),
+    // and a periodic GC lets the ContextCleaner return that disk early.
+    System.setProperty("spark.cleaner.periodicGC.interval", "90s")
     val spark = ToolSession.create()
     val dir = Files.createTempDirectory("graft-scale-tier").toString
 
@@ -190,8 +194,15 @@ object ScaleSmoke {
     // so the `only` filter applies uniformly. Probes may deposit named
     // quality numbers (recall etc.) into `metrics` for the JSON record.
     val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    def noop(df: org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      // SPARK_GRAFT_DEBUG_PLAN=1: dump the FINAL adaptive plan (the one
+      // with runtime stage reuse resolved — static explain of an AQE
+      // plan shows duplicate exchange subtrees even when the stage
+      // cache later unifies them, so reuse questions need this view)
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_PLAN"))
+        println(df.queryExecution.executedPlan.toString)
+    }
     val extras: Seq[(String, () => Unit)] = Seq(
       // the gated dispatcher ON the skewed corpus — takes the skewsafe
       // branch (gate asserted above); its window sibling on the same
@@ -1027,6 +1038,16 @@ object ScaleSmoke {
         body()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"SCALE $name%-28s $sec%8.2f s")
+        // Release the finished query's shuffle files before the next one
+        // starts: shuffle files live until the ContextCleaner GCs the
+        // dependency, which never happens organically mid-session — the
+        // r12 26M LM sweep died with the PREVIOUS query's 13.5 GB of
+        // shuffle still on disk (scale_smoke_r12_26m_lm_abort.log.txt).
+        // At 26M+ the tier's binding resource is disk headroom, so a
+        // multi-query session must return each query's footprint before
+        // the next accumulates its own. GC is outside the timed window.
+        System.gc()
+        Thread.sleep(3000) // ContextCleaner deletes async post-GC
         name -> sec
     }
 
