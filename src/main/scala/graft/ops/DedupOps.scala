@@ -208,16 +208,55 @@ object DedupOps {
         .as(Seq("band", "bucket")))
   }
 
+  /** Bucket width past which uncapped banded pair generation refuses to
+    * proceed — the [[GramPostingMaxWidth]] rationale on the LSH index: a
+    * bucket of width w is one w-entry aggregation buffer (8 B/entry) and
+    * w² candidate pairs. An LSH bucket this wide means a near-identical
+    * corpus slice; callers wanting to proceed anyway pass `bucketCap`. */
+  private[graft] val LshBucketMaxWidth = 1L << 22
+
   private[graft] def minhashCandidatePairsOf(docs: DataFrame,
       bucketCap: Option[Long] = None): DataFrame = {
-    val banded0 = minhashBanded(docs)
-    val banded = bucketCap.fold(banded0)(c =>
-      graft.operators.InvertedIndex.capBuckets(banded0, Seq("band", "bucket"), c))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // One grouped aggregation per (band, bucket) instead of the banded
+    // self-join — the gramPairsOf shape on the LSH index. The SMJ
+    // self-join sorted the 24-byte banded relation on BOTH join sides in
+    // one stage: 2× corpus-banded sort spill, the stage that exhausted
+    // the 100M tier's disk (scale_smoke_r12_100m abort, stage 22). Here
+    // the identical relation shuffles ONCE into a list aggregate and
+    // each bucket emits its ordered pairs row-locally through two
+    // pipelined generators (no w²-sized array materializes; pair rows
+    // stream exactly as the join's output did). Pair set is identical:
+    // a doc appears at most once per (band, bucket) — one bucket per
+    // band per doc — so CASE-normalized pairs over the posting list are
+    // exactly the join's a.doc_id < b.doc_id output, and the trailing
+    // distinct dedups across bands as before. bucketCap becomes a size
+    // filter on the posting list (≡ InvertedIndex.capBuckets: width is
+    // df of the bucket); uncapped runs carry the width guard so a
+    // degenerate corpus fails bounded and named, not as a w² stage.
+    val posted = minhashBanded(docs)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+    val capped = bucketCap match {
+      case Some(c) => posted.where(size(col("ds")) <= c)
+      case None => posted.withColumn("ds",
+        when(size(col("ds")) > LshBucketMaxWidth, raise_error(concat(
+          lit(s"LSH bucket exceeds $LshBucketMaxWidth docs (band "),
+          col("band").cast("string"), lit(", bucket "),
+          col("bucket").cast("string"),
+          lit("): a near-identical slice this wide makes candidate " +
+            "generation quadratic-infeasible — pass bucketCap " +
+            "(InvertedIndex.capBuckets semantics) to drop degenerate " +
+            "buckets"))))
+          .otherwise(col("ds")))
+    }
+    capped
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "x")))
+      .select(explode(expr(
+        """transform(slice(ds, i + 2, size(ds)), y ->
+          |  CASE WHEN x < y THEN struct(x AS d1, y AS d2)
+          |  ELSE struct(y AS d1, x AS d2) END)""".stripMargin)).as("q"))
+      .select(col("q.d1").as("d1"), col("q.d2").as("d2"))
       .distinct()
   }
 
@@ -282,14 +321,35 @@ object DedupOps {
     * never enter an exchange. Without the prune, both join-backs shuffled
     * every document's shingles (measured ~120 s of dedup_minhash_lsh's
     * 455 s at the 1.3M-doc tier). The candidate subtree is referenced
-    * three times (two id lanes + the pair join), but its final distinct's
-    * exchange is identical in each — Spark's ReuseExchange collapses them
-    * to one execution. */
+    * three times (two id lanes + the pair join) — materialized once via
+    * localCheckpoint below, which also prices the id set so the prune
+    * semi-join can broadcast at plan time (see the in-body note). */
+  /** Pair count up to which the candidate id set broadcasts to the
+    * shingle semi-join (ids ≤ 2×pairs; 2²³ pairs ⇒ ≤16M ids ≈ a ~256 MB
+    * hashed relation — comfortable for the 48g driver and any executor
+    * tier this library targets). Past it the semi-join falls back to the
+    * shuffled shape, which stays correct at any candidate mass. */
+  private[graft] val VerifyBroadcastMaxPairs = 1L << 23
+
   private[graft] def verifyCandidatesOf(docs: DataFrame,
       cands: DataFrame): DataFrame = {
-    val c = cands.select(col("d1"), col("d2"))
-    val ids = c.select(col("d1").as("doc_id"))
+    // The pair relation is vanishing-fraction-sized but its lineage is
+    // the entire candidate index build, and it is consumed three times
+    // below (two id lanes + the pair join): localCheckpoint materializes
+    // it once (the r11 multi-consumer rule) and releases the upstream
+    // index exchange for cleanup mid-query. Decisive at the 100M tier:
+    // the id-set semi-join must broadcast AT PLAN TIME — AQE's runtime
+    // demotion decides only after materializing both sides, so the
+    // corpus (doc_id, text) exchange (17.2 GB, stage 19 of the
+    // scale_smoke_r12_100m abort) hit disk even though the join then
+    // executed as a broadcast. With the pair count known from the
+    // checkpoint, the tiny side gets an explicit hint and the corpus
+    // side streams map-side with no exchange at all.
+    val c = cands.select(col("d1"), col("d2")).localCheckpoint()
+    val nPairs = c.count() // counts checkpointed partitions — no recompute
+    val ids0 = c.select(col("d1").as("doc_id"))
       .union(c.select(col("d2").as("doc_id"))).distinct()
+    val ids = if (nPairs <= VerifyBroadcastMaxPairs) broadcast(ids0) else ids0
     val sh = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), wordShingles("text").as("sh"))
     c.join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
@@ -394,7 +454,19 @@ object DedupOps {
         |      FROM documents GROUP BY source, text) t
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       documents(s, d)
-        .groupBy(col("source"), col("text"))
+        // group on a 128-bit content digest, never the text: with the
+        // text as the grouping key the whole corpus rides the exchange
+        // and the aggregate sort-spills corpus-sized (measured 17.1 GB
+        // shuffle + 17.2 GB spill at the 100M tier — the 6× over-linear
+        // point in scale_smoke_r12_100m; digest keys moved ~1 GB). Two
+        // independent xxhash64 lanes (the literal prefix reseeds) put
+        // collision odds at ~n²·2⁻¹²⁸; the oracle stays text-keyed, so
+        // the hash-green gate IS the collision check (the bigram-LM
+        // hash-keying precedent in TextOps.perplexityXent).
+        .select(col("source"), col("doc_id"),
+          xxhash64(col("text")).as("h1"),
+          xxhash64(lit("dedup_exact#lane2"), col("text")).as("h2"))
+        .groupBy(col("source"), col("h1"), col("h2"))
         .agg(min(col("doc_id")).as("keep_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
