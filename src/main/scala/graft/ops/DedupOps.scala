@@ -216,7 +216,8 @@ object DedupOps {
   private[graft] val LshBucketMaxWidth = 1L << 22
 
   private[graft] def minhashCandidatePairsOf(docs: DataFrame,
-      bucketCap: Option[Long] = None): DataFrame = {
+      bucketCap: Option[Long] = None,
+      maxBucket: Long = LshBucketMaxWidth): DataFrame = {
     // One grouped aggregation per (band, bucket) instead of the banded
     // self-join — the gramPairsOf shape on the LSH index. The SMJ
     // self-join sorted the 24-byte banded relation on BOTH join sides in
@@ -240,8 +241,8 @@ object DedupOps {
     val capped = bucketCap match {
       case Some(c) => posted.where(size(col("ds")) <= c)
       case None => posted.withColumn("ds",
-        when(size(col("ds")) > LshBucketMaxWidth, raise_error(concat(
-          lit(s"LSH bucket exceeds $LshBucketMaxWidth docs (band "),
+        when(size(col("ds")) > maxBucket, raise_error(concat(
+          lit(s"LSH bucket exceeds $maxBucket docs (band "),
           col("band").cast("string"), lit(", bucket "),
           col("bucket").cast("string"),
           lit("): a near-identical slice this wide makes candidate " +
@@ -332,7 +333,8 @@ object DedupOps {
   private[graft] val VerifyBroadcastMaxPairs = 1L << 23
 
   private[graft] def verifyCandidatesOf(docs: DataFrame,
-      cands: DataFrame): DataFrame = {
+      cands: DataFrame,
+      broadcastMaxPairs: Long = VerifyBroadcastMaxPairs): DataFrame = {
     // The pair relation is vanishing-fraction-sized but its lineage is
     // the entire candidate index build, and it is consumed three times
     // below (two id lanes + the pair join): localCheckpoint materializes
@@ -349,7 +351,7 @@ object DedupOps {
     val nPairs = c.count() // counts checkpointed partitions — no recompute
     val ids0 = c.select(col("d1").as("doc_id"))
       .union(c.select(col("d2").as("doc_id"))).distinct()
-    val ids = if (nPairs <= VerifyBroadcastMaxPairs) broadcast(ids0) else ids0
+    val ids = if (nPairs <= broadcastMaxPairs) broadcast(ids0) else ids0
     val sh = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), wordShingles("text").as("sh"))
     c.join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")

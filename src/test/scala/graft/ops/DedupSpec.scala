@@ -59,6 +59,52 @@ class DedupSpec extends SparkSpec {
       s"width-8 bucket must emit all 28 ordered pairs, got ${ok.length}")
   }
 
+  test("lsh bucket-width guard: a degenerate corpus fails bounded, named") {
+    import org.apache.spark.sql.functions._
+    // 8 exact-duplicate docs: every band's bucket has width 8. Uncapped
+    // pair generation must fail AT the posting aggregate with the remedy
+    // named — never as an unkillable w² pair stage.
+    val docs = spark.range(8).select(col("id").as("doc_id"),
+      lit("the same document body repeated verbatim across the corpus").as("text"))
+    val ex = intercept[Exception] {
+      DedupOps.minhashCandidatePairsOf(docs, maxBucket = 4L).collect()
+    }
+    val msg = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msg.contains("LSH bucket exceeds 4"),
+      s"guard must name the width bound, got: $msg")
+    assert(msg.contains("bucketCap"),
+      s"guard must point at the capped path, got: $msg")
+    // under the guard the same frame emits the full normalized pair set
+    val ok = toPairs(DedupOps.minhashCandidatePairsOf(docs, maxBucket = 8L))
+    assert(ok == (for (i <- 0L until 8L; j <- i + 1 until 8L) yield (i, j)).toSet,
+      s"width-8 buckets must emit all 28 ordered pairs, got ${ok.size}")
+    // and bucketCap (capBuckets semantics, fused as a posting-size
+    // filter) drops the degenerate buckets instead of failing
+    assert(DedupOps.minhashCandidatePairsOf(docs,
+      bucketCap = Some(4L), maxBucket = 4L).count() == 0)
+  }
+
+  test("verify id-set broadcast gate: hinted under the pair bound, shuffled past it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.range(6).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+        col("id").cast("string")).as("text"))
+    val cands = Seq((0L, 1L), (2L, 3L)).toDF("d1", "d2")
+    val bc = DedupOps.verifyCandidatesOf(docs, cands) // 2 pairs ≤ bound
+    val sh = DedupOps.verifyCandidatesOf(docs, cands, broadcastMaxPairs = 1L)
+    // plan pin: the id semi-join carries the broadcast hint exactly when
+    // the measured pair count sits under the bound
+    assert(bc.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "under the bound the id set must be broadcast-hinted")
+    assert(!sh.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "past the bound the semi-join must keep the shuffled shape")
+    // semantic pin: the gate moves work, never rows
+    assert(bc.collect().toSeq == sh.collect().toSeq)
+  }
+
   test("incremental minhash probe equals the gram-index incremental matches") {
     // both flavors sit under the same best-match oracle; pin their direct
     // equality too (candidate mechanism moves work, never reported rows)
