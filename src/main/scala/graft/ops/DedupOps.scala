@@ -276,13 +276,27 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("est_jac"))
   }
 
-  /** SimHash candidate pairs (d1 < d2) with hamming distance: 64-bit
-    * bit-vote signatures, candidates from 16-bit chunk collisions.
-    * Token-less documents are excluded — their signature would be the
-    * degenerate all-zeros value (every such doc would pair with every
-    * other at hamming 0), and the oracle's per-token unnest never sees
-    * them either. */
-  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+  /** SimHash candidate pairs (d1 < d2) with hamming distance, already cut
+    * at `maxHamming`: 64-bit bit-vote signatures, candidates from 16-bit
+    * chunk collisions. Token-less documents are excluded — their signature
+    * would be the degenerate all-zeros value (every such doc would pair
+    * with every other at hamming 0), and the oracle's per-token unnest
+    * never sees them either.
+    *
+    * Scale shape: the in-bucket pair stream is quadratic in bucket width
+    * (~N²·4/2¹⁷ emitted rows corpus-wide — 3×10¹¹ at 100M docs), so the
+    * hamming filter MUST run before the distinct: filter-then-distinct and
+    * distinct-then-filter commute (hamming is a function of the pair), but
+    * only the former keeps the quadratic stream inside the join's codegen
+    * stage — survivors of the ≤ maxHamming cut are the only rows that ever
+    * reach an exchange. The residual cost is pair-generation CPU, which a
+    * cluster parallelizes; past ~1B docs the published remedy is wider
+    * combination keys (Manku, Jain & Sarma, WWW'07 §3 — more blocks, key
+    * on (b−k)-block combinations), which trades the probabilistic 4–6
+    * hamming band's collision distribution and so would be a gated,
+    * documented semantics change rather than a plan fix. */
+  private[graft] def simhashCandidates(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame = {
     val sigs = Tables.fan(s, documents(s, d))
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("toks"))
@@ -296,10 +310,9 @@ object DedupOps {
     a.join(b, col("a.chunk") === col("b.chunk") &&
             col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-              col("a.sig").as("s1"), col("b.sig").as("s2"))
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
       .distinct()
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
-      .select(col("d1"), col("d2"), col("hamming"))
   }
 
   /** Exact-Jaccard verification of a candidate pair set: join each side to
@@ -695,8 +708,7 @@ object DedupOps {
     // SQL with HUGEINT mod-2^64 arithmetic, making this hash-defined op
     // exactly cross-engine-checked instead of rows-only.
     Q("dedup_simhash", simhashOracleSql) { (s, d) =>
-      simhashCandidates(s, d)
-        .where(col("hamming") <= 6)
+      simhashCandidates(s, d, maxHamming = 6)
         .orderBy(col("d1"), col("d2"))
     },
 
@@ -1220,7 +1232,7 @@ object DedupOps {
       val cp = gp
         .where(col("inter").cast("double") / least(col("sz1"), col("sz2")) >= 0.8)
         .select(col("d1"), col("d2"), lit("con").as("m"))
-      val sp = simhashCandidates(s, d).where(col("hamming") <= 6)
+      val sp = simhashCandidates(s, d, maxHamming = 6)
         .select(col("d1"), col("d2"), lit("sim").as("m"))
       jp.unionAll(cp).unionAll(sp)
         .groupBy(col("d1"), col("d2"))
