@@ -67,10 +67,20 @@ object PipelineOps {
     * `Broadcasting large task binary` scale the 13M decontam tier
     * already survived (~20 shards / ~160 MB) with margin, and enough
     * for a 128M-gram battery (≫ any real eval suite: 10⁵–10⁶ grams).
-    * Past it the prefilter AUTO-DEGRADES to `true` — every row flows to
-    * the exact confirm semi-join, which is the correctness-preserving
-    * fallback by construction (the bloom only ever prunes). */
+    * Past it the prefilter AUTO-DEGRADES to the narrow-lane exact hash
+    * intersection (see [[bloomPrefiltered]]) — correctness-preserving
+    * by construction at every tier (prefilters only ever prune
+    * non-matches). */
   private[graft] val BloomShardMaxShards = 32L
+
+  /** Ceiling on the degrade path's broadcast probe: the matched-hash
+    * set (corpus grams ∩ eval grams, by 8-byte hash) broadcasts only
+    * at or under this many entries — 32M × ~40 B/entry of hashed
+    * relation ≈ 1.3 GB, comfortable under common 8–16 GB executors.
+    * The gate reads the MEASURED intersection count, not an estimate:
+    * the narrow intersection is materialized (and priced) before the
+    * decision, the repo's probe-gated idiom. */
+  private[graft] val BloomDegradeProbeMaxHashes = 32000000L
 
   /** ⌈est/cap⌉ — the shard-count law, split out for GateSpec. */
   private[graft] def bloomShardCount(estEvalGrams: Long,
@@ -91,13 +101,27 @@ object PipelineOps {
     * n = 8 over a 50M-row probe, `x_bloom_shard_cost`). A shard with
     * no eval grams builds no filter, and no gram routed there can
     * match, so the dispatch falls through to false. Past `maxShards`
-    * the prefilter auto-degrades to the identity (the exact confirm
-    * join downstream is the correctness-preserving fallback). */
+    * the prefilter degrades to the NARROW-LANE exact path: intersect
+    * the two sides' 8-byte gram hashes (neither exchange carries a
+    * string — the r12 26M probe showed the naive keep-all degrade dies
+    * on single-box disk exactly because the downstream confirm then
+    * ships every corpus gram STRING), then gate on the MEASURED
+    * intersection size: at or under `maxProbeHashes` the matched set
+    * broadcasts and the corpus is probed map-side (zero corpus
+    * shuffle — contamination being the exception is the decontam
+    * contract, so this is the expected branch); past it, identity —
+    * the shuffled string confirm is then genuinely a cluster-scale
+    * plan (per-node exchange share 1/N). Hash equality is implied by
+    * string equality, so the prefilter keeps every true match at any
+    * tier; false positives are 64-bit collisions, confirmed away
+    * downstream. */
   private[graft] def bloomPrefiltered(corpus: org.apache.spark.sql.DataFrame,
       evalGrams: org.apache.spark.sql.DataFrame,
       estEvalGrams: Long,
       shardCap: Long = BloomShardItemCap,
-      maxShards: Long = BloomShardMaxShards): org.apache.spark.sql.DataFrame = {
+      maxShards: Long = BloomShardMaxShards,
+      maxProbeHashes: Long = BloomDegradeProbeMaxHashes)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -105,10 +129,22 @@ object PipelineOps {
     val nShards = bloomShardCount(estEvalGrams, shardCap)
     if (nShards > maxShards) {
       // envelope guard: past the shard ceiling the plan-literal cost has
-      // no lid — degrade to the exact confirm join (prefilter ≡ keep all)
+      // no lid — take the narrow-lane exact degrade described above
+      val matched = corpus.select(xxhash64(col("gram")).as("__bloom_h"))
+        .distinct()
+        .join(evalGrams.select(xxhash64(col("gram")).as("__bloom_h"))
+          .distinct(), Seq("__bloom_h"), "left_semi")
+        .localCheckpoint(true)
+      val nMatched = matched.count()
       println(s"bloomPrefiltered: est $estEvalGrams grams need $nShards " +
-        s"shards > $maxShards cap — degrading to the exact confirm join")
-      return corpus
+        s"shards > $maxShards cap — exact hash degrade, $nMatched matched " +
+        (if (nMatched <= maxProbeHashes) "(broadcast probe)"
+         else "(past probe cap: identity, exact confirm join does the work)"))
+      return if (nMatched <= maxProbeHashes) {
+        corpus.withColumn("__bloom_h", xxhash64(col("gram")))
+          .join(broadcast(matched), Seq("__bloom_h"), "left_semi")
+          .drop("__bloom_h")
+      } else corpus
     }
     val gramHash = xxhash64(col("gram"))
     val perShard = math.min(shardCap,

@@ -872,6 +872,47 @@ object ScaleSmoke {
         metrics += ("stream_dedup_30m_rocksdb_s" -> r)
         println(f"SCALE-METRIC stream_dedup_30m hdfs=$h%.1f s rocksdb=$r%.1f s")
       },
+      // The 100M-key point of the key-set shape — where the shape-aware
+      // gate's 20%-heap memory bound projects the FLIP to RocksDB
+      // (100M × ~100 B × 2 retained versions ≈ 20 GB ≫ the budget)
+      // while the measured 30M corner still had in-memory winning 7×.
+      // Both providers run so the point validates or falsifies the
+      // bound: if the HDFS-backed map still wins here, the flip
+      // threshold is set too low and the gate law must move. RocksDB
+      // runs FIRST so its number survives an in-memory heap death
+      // (which would itself be the measurement). 110M events dedup to
+      // 100M keys over micro-batches.
+      "x_stream_dedup_100m" -> { () =>
+        val srcDir = s"$dir/stream100m"
+        spark.range(110000000L)
+          .select((col("id") % 100000000L).as("key"),
+            expr("timestamp_micros(1700000000000000 + id * 100)").as("ts"))
+          .repartition(32).write.mode("overwrite").parquet(srcDir)
+        def run(rocks: Boolean): Double = {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", "8")
+          if (rocks) s2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ckpt = Files.createTempDirectory("graft-x-stream100m").toString
+          val in = s2.readStream.schema("key LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "8").parquet(srcDir)
+          val t0 = System.nanoTime()
+          val q = in.dropDuplicates("key")
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val r = run(rocks = true)
+        metrics += ("stream_dedup_100m_rocksdb_s" -> r)
+        println(f"SCALE-METRIC stream_dedup_100m rocksdb=$r%.1f s")
+        val h = run(rocks = false)
+        metrics += ("stream_dedup_100m_hdfs_s" -> h)
+        println(f"SCALE-METRIC stream_dedup_100m hdfs=$h%.1f s rocksdb=$r%.1f s")
+      },
       // Task-binary cost curve of the sharded-bloom dispatch (r11
       // verdict ask #6): force n ∈ {8, 32} real 8-MiB shards (the est
       // drives per-shard sizing, so a 1M-gram build exercises
@@ -908,10 +949,21 @@ object ScaleSmoke {
           println(f"SCALE-METRIC bloom_shards n=$n build=$buildS%.1f s " +
             f"literals=${litBytes / 1048576.0}%.1f MiB probe50m=$probeS%.1f s kept=$kept")
         }
+        // past the shard ceiling: the exact hash degrade on DISJOINT
+        // corpora must measure an (expected-)empty intersection, take
+        // the broadcast probe, and keep nothing — 50M × 1M pairs at
+        // 2⁻⁶⁴ collision rate is ~3e-6 expected survivors
+        val t2 = System.nanoTime()
         val degraded = ops.bloomPrefiltered(corpus, evalGrams,
           estEvalGrams = (ops.BloomShardMaxShards + 1) * 4000000L)
-        require(degraded eq corpus,
-          "past the shard ceiling the prefilter must degrade to keep-all")
+        require(!(degraded eq corpus),
+          "under the probe cap the degrade must prefilter, not keep all")
+        val keptDeg = degraded.count()
+        val degradeS = (System.nanoTime() - t2) / 1e9
+        metrics += ("bloom_degrade_probe50m_s" -> degradeS)
+        println(f"SCALE-METRIC bloom_degrade probe50m=$degradeS%.1f s kept=$keptDeg")
+        require(keptDeg == 0L,
+          s"disjoint corpora must keep nothing through the hash degrade, saw $keptDeg")
       },
       // The 3M-key point of the sessionize shape — the fourth corner of
       // the provider-rule grid (key-set 3M/30M and struct 30M are

@@ -160,11 +160,26 @@ class PipelineSpec extends SparkSpec {
     // single-shard path (cap above est) accepts the same eval set
     assert(PipelineOps.bloomPrefiltered(probe, evalGrams, 200L,
       shardCap = 4096L).count() >= 200L)
-    // past the shard ceiling the prefilter degrades to the identity —
-    // every row flows to the exact confirm join downstream
+    // past the shard ceiling the prefilter degrades to the exact
+    // hash-intersection path: the matched set here (200 grams) is under
+    // the probe cap, so the broadcast probe keeps exactly the eval
+    // grams (hash equality ⊇ string equality; no 64-bit collisions in
+    // a 2200-string universe) and no identity short-circuit fires
     val degraded = PipelineOps.bloomPrefiltered(probe, evalGrams, 200L,
       shardCap = 32L, maxShards = 4L)
-    assert(degraded eq probe, "degrade must return the corpus unchanged")
+    assert(!(degraded eq probe), "under the probe cap the degrade must prefilter")
+    assert(degraded.columns.toSeq == Seq("gram"),
+      "the degrade's temp hash column must not leak into the output")
+    val keptDeg = degraded.as[String].collect().toSet
+    assert(keptDeg == (0 until 200).map(i => s"eval gram number $i").toSet,
+      "hash degrade must keep exactly the matching grams")
+    // past the probe cap as well, the degrade is the identity — the
+    // shuffled string confirm downstream is then the (cluster-scale)
+    // fallback
+    val identity = PipelineOps.bloomPrefiltered(probe, evalGrams, 200L,
+      shardCap = 32L, maxShards = 4L, maxProbeHashes = 10L)
+    assert(identity eq probe,
+      "past the probe cap the degrade must return the corpus unchanged")
   }
 
   test("vocab_coverage: OOV bounded by token counts; vocabulary covers the head") {
