@@ -73,6 +73,18 @@ object GraftExtensions {
         "block_rep_stats(tokens) - struct(n_blocks, dup_blocks, blk_chars, dup_chars, " +
           "top_gram, top_gram_n) block-grain repetition stats"),
       (args: Seq[Expression]) => TextStats.BlockRepStats(args.head)),
+    (FunctionIdentifier("ws_tokens"),
+      info("ws_tokens",
+        "ws_tokens(s) - whitespace tokens; = regexp_extract_all(s, '\\S+', 0)"),
+      (args: Seq[Expression]) => Tokenize.WsTokens(args.head)),
+    (FunctionIdentifier("alpha_runs"),
+      info("alpha_runs",
+        "alpha_runs(s) - [a-z]+ runs; = regexp_extract_all(s, '[a-z]+', 0)"),
+      (args: Seq[Expression]) => Tokenize.AlphaRuns(args.head)),
+    (FunctionIdentifier("count_alpha"),
+      info("count_alpha",
+        "count_alpha(s) - [A-Za-z] char count; = size(regexp_extract_all(s, '[A-Za-z]', 0))"),
+      (args: Seq[Expression]) => Tokenize.CountAlpha(args.head)),
   )
 
   /** Idempotently register the functions into an existing session. */

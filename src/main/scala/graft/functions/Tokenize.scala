@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenizers replacing `regexp_extract_all` in the hot paths.
+  *
+  * The two tokenize shapes the whole text/dedup lane is built on —
+  * `regexp_extract_all(text, '\S+', 0)` (whitespace tokens) and
+  * `regexp_extract_all(lower(text), '[a-z]+', 0)` (letter runs) — spend
+  * their time in java.util.regex: one Matcher state machine step per
+  * char, one String allocation per match, one UTF8String re-encode per
+  * match. Both patterns are single-byte-class runs, so a direct scan
+  * over the UTF8String's bytes produces the identical token sequence
+  * with zero per-match allocations (tokens are offset/length slices of
+  * one shared byte array).
+  *
+  * Exactness argument (TokenizeSpec pins it property-style against the
+  * regexp originals):
+  *   - Java's `\s` (no UNICODE_CHARACTER_CLASS, which Spark does not
+  *     enable) is exactly [ \t\n\x0B\f\r] — six ASCII code points. In
+  *     UTF-8, bytes < 0x80 appear ONLY as those ASCII chars (multi-byte
+  *     chars consist solely of bytes ≥ 0x80), so maximal byte runs
+  *     delimited by those six byte values are exactly the regex's
+  *     maximal char runs, and byte-range slices decode to the same
+  *     strings. Non-ASCII whitespace (U+00A0, U+2028…) is NOT `\s` to
+  *     Java and not a break here either.
+  *   - `[a-z]+` / `[A-Za-z]` are ASCII classes; same byte-run argument.
+  *
+  * Same expression discipline as [[VectorOps]]: `doGenCode` emits a
+  * static-kernel call, so the surrounding projection stays one
+  * whole-stage-codegen span; no CodegenFallback, no UDF.
+  */
+object Tokenize {
+
+  private final val WS_MAX = 0x20 // candidate whitespace bytes are <= ' '
+
+  @inline private def isWs(b: Byte): Boolean =
+    // ' ' 0x20, '\t' 0x09, '\n' 0x0A, '' 0x0B, '\f' 0x0C, '\r' 0x0D
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** Maximal runs of non-[ \t\n\x0B\f\r] bytes, as UTF8String slices over
+    * one shared byte array — ≡ regexp_extract_all(s, '\\S+', 0). */
+  def wsTokensKernel(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    // count tokens first: exact-sized output array, no growth copies
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        cnt += 1
+        i += 1
+        while (i < n && !isWs(b(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](cnt)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && !isWs(b(i))) i += 1
+        out(j) = UTF8String.fromBytes(b, start, i - start)
+        j += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  @inline private def isLowerAlpha(b: Byte): Boolean = b >= 'a' && b <= 'z'
+
+  /** Maximal runs of [a-z] bytes — ≡ regexp_extract_all(s, '[a-z]+', 0).
+    * Callers pass `lower(text)` exactly as the regexp sites did. */
+  def alphaRunsKernel(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (isLowerAlpha(b(i))) {
+        cnt += 1
+        i += 1
+        while (i < n && isLowerAlpha(b(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](cnt)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (isLowerAlpha(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && isLowerAlpha(b(i))) i += 1
+        out(j) = UTF8String.fromBytes(b, start, i - start)
+        j += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of [A-Za-z] bytes — ≡ size(regexp_extract_all(s, '[A-Za-z]', 0))
+    * without materializing one single-char string per letter. */
+  def countAlphaKernel(s: UTF8String): Int = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  private def checkString(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"$name requires string, got $other")
+    }
+
+  /** ≡ regexp_extract_all(child, '\\S+', 0); same ArrayType(StringType)
+    * (containsNull = true) as RegExpExtractAll so downstream schema
+    * nullability — and therefore every contract-output schema — is
+    * byte-identical to the regexp plan's. */
+  case class WsTokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      wsTokensKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.wsTokensKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): WsTokens =
+      copy(child = newChild)
+    override def prettyName: String = "ws_tokens"
+  }
+
+  /** ≡ regexp_extract_all(child, '[a-z]+', 0). */
+  case class AlphaRuns(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      alphaRunsKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.alphaRunsKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): AlphaRuns =
+      copy(child = newChild)
+    override def prettyName: String = "alpha_runs"
+  }
+
+  /** ≡ size(regexp_extract_all(child, '[A-Za-z]', 0)) for non-null input. */
+  case class CountAlpha(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      countAlphaKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.countAlphaKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): CountAlpha =
+      copy(child = newChild)
+    override def prettyName: String = "count_alpha"
+  }
+
+  def ws_tokens(s: Column): Column =
+    ColumnShim.column(WsTokens(ColumnShim.expression(s)))
+
+  def alpha_runs(s: Column): Column =
+    ColumnShim.column(AlphaRuns(ColumnShim.expression(s)))
+
+  def count_alpha(s: Column): Column =
+    ColumnShim.column(CountAlpha(ColumnShim.expression(s)))
+}

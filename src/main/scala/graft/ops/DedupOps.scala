@@ -23,7 +23,7 @@ object DedupOps {
     * expression; contents mirror the DuckDB oracle's DISTINCT grams). */
   private def wordShingles(textCol: String): Column =
     graft.functions.VectorOps.word_ngrams(
-      expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"), 5)
+      graft.functions.Tokenize.ws_tokens(col(textCol)), 5)
 
   /** Exact-Jaccard near-dup pairs (d1 < d2, jac ≥ 0.5) via inverted-index
     * self-join on word 5-grams. Shuffles 8-byte gram hashes, not gram
@@ -184,7 +184,7 @@ object DedupOps {
   private def minhashSigs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.VectorOps.minhash_shingled(
-        expr("regexp_extract_all(text, '\\\\S+', 0)"), 5, MinhashNHash).as("sig"))
+        graft.functions.Tokenize.ws_tokens(col("text")), 5, MinhashNHash).as("sig"))
 
   /** Candidate PAIRS only, (d1, d2) distinct — the shape both production
     * consumers (dedup_minhash_lsh's exact verify, curation_pipeline)
@@ -299,7 +299,7 @@ object DedupOps {
       maxHamming: Int = 6): DataFrame = {
     val sigs = Tables.fan(s, documents(s, d))
       .select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '\\\\S+', 0)").as("toks"))
+        graft.functions.Tokenize.ws_tokens(lower(col("text"))).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), SimHash64.simhash64(col("toks")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),

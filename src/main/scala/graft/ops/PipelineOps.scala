@@ -195,7 +195,7 @@ object PipelineOps {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksCol = toks.getOrElse(
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+        size(graft.functions.Tokenize.ws_tokens(col("text"))).cast("long"))
       .as("toks")
     val twoPhase = forceTwoPhase || packTwoPhaseGate(s, d)
     val binned =
@@ -318,7 +318,7 @@ object PipelineOps {
       // unnest semantics (no words → no rows → absent from the join).
       Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
-          word_rep_stats(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("st"))
+          word_rep_stats(graft.functions.Tokenize.ws_tokens(col("text"))).as("st"))
         .select(col("doc_id"), col("st.n_bg").as("n_bg"),
           col("st.topc").as("topc"), col("st.total").as("total"),
           col("st.n_distinct").as("n_distinct"))
@@ -537,7 +537,7 @@ object PipelineOps {
         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
         |  CAST(coalesce(sum(doc_id) FILTER (WHERE keep), 0) AS BIGINT) AS keep_id_sum
         |FROM mask GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val wa = expr("regexp_extract_all(text, '\\\\S+', 0)")
+      val wa = graft.functions.Tokenize.ws_tokens(col("text"))
       val masked = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"), col("text"),
           size(wa).as("nw"),
@@ -699,7 +699,7 @@ object PipelineOps {
         |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
       val grams = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"),
-          explode(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 8)).as("gram"))
+          explode(word_ngrams(graft.functions.Tokenize.ws_tokens(col("text")), 8)).as("gram"))
       val evalGrams = grams.where(col("doc_id") % 10 === 7)
         .select(col("gram")).distinct()
       val contam = grams.where(col("doc_id") % 10 =!= 7)
@@ -762,7 +762,7 @@ object PipelineOps {
       import org.apache.spark.sql.types.BinaryType
       val grams = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"),
-          explode(word_ngrams(expr("regexp_extract_all(text, '\\\\S+', 0)"), 8)).as("gram"))
+          explode(word_ngrams(graft.functions.Tokenize.ws_tokens(col("text")), 8)).as("gram"))
       val evalGrams = grams.where(col("doc_id") % 10 === 7)
         .select(col("gram")).distinct()
       // The bloom build is SIZED from the documents footer row count
@@ -830,7 +830,7 @@ object PipelineOps {
         |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
       val toks = Tables.fan(s, documents(s, d))
         .select(col("source"),
-          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("wd"))
+          explode(graft.functions.Tokenize.ws_tokens(col("text"))).as("wd"))
       val vocab = toks.groupBy(col("wd")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("wd")).limit(16)
         .select(col("wd"), lit(1).as("in_vocab"))
@@ -883,7 +883,7 @@ object PipelineOps {
       // hash-green gate IS the collision check)
       val toks = Tables.fan(s, documents(s, d))
         .select(col("doc_id"), col("source"),
-          explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("ws"))
+          explode(graft.functions.Tokenize.ws_tokens(col("text"))).as("ws"))
         .select(col("doc_id"), col("source"), xxhash64(col("ws")).as("w"))
       // BOTH unigram models in ONE aggregate over the raw token stream
       // (map-side combine ⇒ the shuffle moves vocab × partitions rows,

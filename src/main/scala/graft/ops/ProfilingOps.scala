@@ -434,7 +434,7 @@ object ProfilingOps {
         |  CAST(1 AS BOOLEAN) AS est_ge_true
         |FROM wc ORDER BY n DESC, word LIMIT 10""".stripMargin) { (s, d) =>
       val words = Tables.fan(s, documents(s, d))
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .select(explode(graft.functions.Tokenize.alpha_runs(lower(col("text"))))
           .as("word"))
       val wc = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
       // probe jobs: the sketch aggregate + the exact top-10 are

@@ -42,7 +42,7 @@ object TextOps {
     val extra = carry.map(col)
     docs
       .select(Seq(col("doc_id"), col("source"), col("text"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa")) ++ extra: _*)
+        graft.functions.Tokenize.alpha_runs(lower(col("text"))).as("wa")) ++ extra: _*)
       .withColumn("nw", size(col("wa")))
       .withColumn("swf", when(col("nw") === 0, 0.0).otherwise(
         size(expr("""filter(wa, x -> array_contains(
@@ -52,7 +52,7 @@ object TextOps {
         expr("aggregate(wa, 0, (a, x) -> a + length(x))").cast("double")
           / col("nw")))
       .withColumn("af", when(length(col("text")) === 0, 0.0).otherwise(
-        size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("double")
+        graft.functions.Tokenize.count_alpha(col("text")).cast("double")
           / length(col("text"))))
       .select(Seq(col("doc_id"), col("source"), col("text"),
         (lit(10.0) * col("swf") + lit(5.0) * col("af")
@@ -108,7 +108,7 @@ object TextOps {
       d: String): Seq[String] =
     bpeMergeCache.computeIfAbsent((s, d), { case (s, d) =>
       Tables.fan(s, Tables.documents(s, d))
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("wd"))
+        .select(explode(graft.functions.Tokenize.alpha_runs(lower(col("text")))).as("wd"))
         .where(length(col("wd")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(wd) - 1), u -> substr(wd, u, 2))")).as("pair"))
@@ -182,7 +182,7 @@ object TextOps {
       documents(s, d).select(
           col("doc_id"),
           length(col("text")).as("n_char"),
-          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_tok"),
+          size(graft.functions.Tokenize.ws_tokens(col("text"))).as("n_tok"),
           (length(col("text")) -
             length(regexp_replace(col("text"), "[.,!?;:]", "")))
             .cast("long").as("n_punct"),
@@ -276,10 +276,10 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(
           col("doc_id"),
-          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("ws_tokens"),
+          size(graft.functions.Tokenize.ws_tokens(col("text"))).as("ws_tokens"),
           size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
             .as("bpeish_tokens"),
-          size(array_distinct(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+          size(array_distinct(graft.functions.Tokenize.alpha_runs(lower(col("text")))))
             .as("distinct_words"),
           length(col("text")).as("n_chars"),
           length(expr("replace(text, ' ', '')")).as("nosp_len"))
@@ -437,7 +437,7 @@ object TextOps {
         |  row_number() OVER (ORDER BY count(*) DESC, pair) AS rank
         |FROM pairs GROUP BY pair ORDER BY rank LIMIT 20""".stripMargin) { (s, d) =>
       Tables.fan(s, documents(s, d))
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("wd"))
+        .select(explode(graft.functions.Tokenize.alpha_runs(lower(col("text")))).as("wd"))
         .where(length(col("wd")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(wd) - 1), u -> substr(wd, u, 2))")).as("pair"))
@@ -482,7 +482,7 @@ object TextOps {
       val enc = bpeEncodeSql(bpeMergeList(s, d), "x")
       Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("wa"))
+          graft.functions.Tokenize.alpha_runs(lower(col("text"))).as("wa"))
         .select(col("doc_id"),
           size(col("wa")).cast("long").as("n_words"),
           expr("aggregate(wa, 0L, (a, x) -> a + length(x))").as("n_chars"),
@@ -522,7 +522,7 @@ object TextOps {
         |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),
-          expr("regexp_extract_all(text, '\\\\S+', 0)").as("wa"))
+          graft.functions.Tokenize.ws_tokens(col("text")).as("wa"))
         .withColumn("n", size(col("wa")).cast("long"))
         // n = 0 guard: sequence(1, 0) DESCENDS in Spark and element_at
         // would fault under ANSI — an empty doc short-circuits to no
@@ -1007,7 +1007,7 @@ object TextOps {
     val bg = Tables.fan(s, Tables.documents(s, d))
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+        graft.functions.Tokenize.ws_tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(expr(
         // ordered bigrams WITH multiplicity (word_ngrams dedups, so not
         // usable here); the If guards sequence() against size < 2
@@ -1115,7 +1115,7 @@ object TextOps {
       forceShuffle: Boolean = false): org.apache.spark.sql.DataFrame = {
     val docs = Tables.fan(s, documents(s, d))
     val terms = docs.select(col("doc_id"),
-      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      explode(graft.functions.Tokenize.alpha_runs(lower(col("text")))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val smallCorpus = !forceShuffle && tfidfBroadcastGate(s, d)

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Tokenize
+
+/** The native tokenizers must be EXACTLY regexp_extract_all's output —
+  * every dedup/text/curation kernel's oracle hash rides on that. Pinned
+  * two ways: a fixed adversarial corpus (every Java-\s char, non-\s
+  * Unicode whitespace, astral chars, empty/whitespace-only strings, runs
+  * at both ends) and a ScalaCheck sweep over random Unicode strings.
+  */
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val adversarial = Seq(
+    "",
+    " ",
+    "\t\n\u000B\f\r ",                       // all six Java-\s chars
+    "a",
+    " a ",
+    "one two  three\tfour\nfive\rsix\fseven\u000Beight",
+    " nbsp is not java ws",  // NBSP/LS are \S to Java
+    "café naïve 你好世界",  // multi-byte chars
+    "emoji 😀mid😀 token",        // astral (surrogate pair)
+    "ABC xyz MiXeD09 a1b2c3",
+    "trailing space ",
+    " leading",
+    "a\u0000b",                              // NUL is \S to Java
+    "Ångström ärgern Ödipus",
+    ("wrap " * 200).trim                     // long doc
+  )
+
+  test("ws_tokens == regexp_extract_all(s, '\\S+', 0) on adversarial corpus") {
+    val df = adversarial.toDF("t")
+      .select(col("t"),
+        Tokenize.ws_tokens(col("t")).as("k"),
+        expr("regexp_extract_all(t, '\\\\S+', 0)").as("r"))
+    val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("alpha_runs == regexp_extract_all(lower(s), '[a-z]+', 0) on adversarial corpus") {
+    val df = adversarial.toDF("t")
+      .select(col("t"),
+        Tokenize.alpha_runs(lower(col("t"))).as("k"),
+        expr("regexp_extract_all(lower(t), '[a-z]+', 0)").as("r"))
+    val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("count_alpha == size(regexp_extract_all(s, '[A-Za-z]', 0))") {
+    val df = adversarial.toDF("t")
+      .select(col("t"),
+        Tokenize.count_alpha(col("t")).as("k"),
+        size(expr("regexp_extract_all(t, '[A-Za-z]', 0)")).as("r"))
+    val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("null input returns null, like the regexp original") {
+    val df = Seq[Option[String]](None, Some("a b")).toDF("t")
+      .select(Tokenize.ws_tokens(col("t")).as("k"),
+        expr("regexp_extract_all(t, '\\\\S+', 0)").as("r"))
+    val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("property: kernels equal regexp on random unicode strings") {
+    // strings mixing ASCII whitespace, letters, digits, and arbitrary
+    // Unicode (incl. astral); evaluated through the same Catalyst path
+    val ch = Gen.frequency(
+      4 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      6 -> Gen.alphaChar, 2 -> Gen.numChar,
+      2 -> Gen.oneOf(' ', 'é', '你', ' '),
+      1 -> Gen.oneOf("😀".toSeq))
+    val str = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, ch).map(_.mkString))
+    val prop = Prop.forAllNoShrink(Gen.listOfN(40, str)) { ss =>
+      val df = ss.toDF("t").select(
+        Tokenize.ws_tokens(col("t")).as("kw"),
+        expr("regexp_extract_all(t, '\\\\S+', 0)").as("rw"),
+        Tokenize.alpha_runs(lower(col("t"))).as("ka"),
+        expr("regexp_extract_all(lower(t), '[a-z]+', 0)").as("ra"),
+        Tokenize.count_alpha(col("t")).as("kc"),
+        size(expr("regexp_extract_all(t, '[A-Za-z]', 0)")).as("rc"))
+      val bad = df.where(not(col("kw") <=> col("rw")) ||
+        not(col("ka") <=> col("ra")) || not(col("kc") <=> col("rc"))).collect()
+      Prop(bad.isEmpty) :| bad.mkString("; ")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
