@@ -15,6 +15,47 @@ import org.apache.spark.sql.functions._
 object ScalarOps {
   import Tables._
 
+  /** Exact interpolated percentiles of `df.col(valueCol)` as a 1-row frame
+    * `pcts: array<double>` — the distributed twin of the `percentile`
+    * aggregate, same definition to the bit (pinned in ApproxSpec):
+    * for pct p over N non-null values, pos = p·(N−1); result =
+    * v[floor(pos)] when floor = ceil, else
+    * (ceil−pos)·v[floor] + (pos−floor)·v[ceil] with v the 0-based sorted
+    * multiset. Shape: a codegen'd value-count aggregate (parallel), one
+    * single-partition window over the DISTINCT values carrying only a
+    * running count, and a conditional-min bracket aggregate — vs the
+    * Percentile aggregate's final-task merge of a value→count OpenHashMap
+    * that grows with DISTINCT cardinality (the measured single-task wall
+    * in f_approx_agg, and an OOM at data scale). */
+  private[graft] def exactPercentiles(df: org.apache.spark.sql.DataFrame,
+      valueCol: String, pcts: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(col(valueCol).as("v")).where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("freq"))
+    val cum = vc.withColumn("cum", sum(col("freq")).over(Window.orderBy(col("v"))))
+    val n = vc.agg(sum(col("freq")).as("n"))
+    val withN = cum.crossJoin(broadcast(n))
+    // per pct: bracket rows (cum−freq ≤ idx < cum) hold v[idx]; exactly one
+    // row matches each index, so min() extracts it in one pass over all pcts
+    val brackets = pcts.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        min(when(col("cum") - col("freq") <= floor(pos) &&
+          col("cum") > floor(pos), col("v"))).as(s"lo$i"),
+        min(when(col("cum") - col("freq") <= ceil(pos) &&
+          col("cum") > ceil(pos), col("v"))).as(s"hi$i"),
+        first(col("n")).as(s"n$i"))
+    }
+    val agg = withN.agg(brackets.head, brackets.tail: _*)
+    val outs = pcts.zipWithIndex.map { case (p, i) =>
+      val pos = lit(p) * (col(s"n$i") - 1).cast("double")
+      when(floor(pos) === ceil(pos), col(s"lo$i"))
+        .otherwise((ceil(pos).cast("double") - pos) * col(s"lo$i") +
+          (pos - floor(pos).cast("double")) * col(s"hi$i"))
+    }
+    agg.select(array(outs: _*).as("pcts"))
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("f_string_funcs",
@@ -233,20 +274,30 @@ object ScalarOps {
         .agg(count(lit(1)).as("exact_orders"))
       val exP = li.select(col("l_partkey")).distinct()
         .agg(count(lit(1)).as("exact_parts"))
-      // both percentile PAIRS ride one aggregation buffer each (array
-      // percentiles): one QuantileSummaries sketch and one value-count
-      // map instead of two of each
+      // The exact quartiles come from SqlKernels.exactPercentiles, not the
+      // `percentile` aggregate: Percentile is a TypedImperativeAggregate
+      // whose value->count OpenHashMap is merged by ONE final task —
+      // l_extendedprice is ~97% distinct, so that task inserted ~583k
+      // boxed doubles (stage-profiled at 1.8-2.5 s of this query's 3.5 s,
+      // single-task). The kernel's value-count pre-aggregate + cumulative
+      // window computes the identical interpolation (ApproxSpec pins
+      // bit-equality against percentile() on random multisets) with the
+      // heavy lifting in parallel codegen'd aggregates; at scale it is
+      // also the shape that survives high-cardinality inputs — the
+      // single-task map merge grows with distinct values, the window
+      // holds only a running sum.
       li.agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)).as("pa"),
-          expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("pe"))
+            array(lit(0.5), lit(0.95)), lit(1000)).as("pa"))
         .select(col("approx_orders"), col("approx_parts"),
           element_at(col("pa"), 1).as("p50_approx"),
-          element_at(col("pa"), 2).as("p95_approx"),
-          element_at(col("pe"), 1).as("p25_exact"),
-          element_at(col("pe"), 2).as("p75_exact"))
+          element_at(col("pa"), 2).as("p95_approx"))
+        .crossJoin(broadcast(
+          exactPercentiles(li, "l_extendedprice", Seq(0.25, 0.75))
+            .select(element_at(col("pcts"), 1).as("p25_exact"),
+              element_at(col("pcts"), 2).as("p75_exact"))))
         .crossJoin(broadcast(exO)).crossJoin(broadcast(exP))
         .select(col("exact_orders"), col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders")) / col("exact_orders")

@@ -18,6 +18,25 @@ class ApproxSpec extends SparkSpec {
     assert(r.getAs[Boolean]("p95_above_p50"))
   }
 
+  test("exactPercentiles == percentile() bit-for-bit on random multisets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // duplicates, negatives, non-round doubles, sizes that put every pct
+    // on and off integer positions (incl. n = 1 and n = 4k+1 edges)
+    for (n <- Seq(1, 2, 3, 5, 100, 101, 1237)) {
+      val vals = Seq.fill(n)(
+        math.floor(rnd.nextDouble() * 40 - 20) + rnd.nextInt(4) * 0.25)
+      val df = vals.toDF("x")
+      val want = df.agg(expr(
+        "percentile(x, array(0.25D, 0.5D, 0.75D, 0.99D))").as("p"))
+        .head().getSeq[Double](0)
+      val got = ScalarOps.exactPercentiles(df, "x", Seq(0.25, 0.5, 0.75, 0.99))
+        .head().getSeq[Double](0)
+      assert(got == want, s"n=$n got=$got want=$want")
+    }
+  }
+
   test("raw HLL estimate tracks exact count on a bigger column too") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
