@@ -34,9 +34,11 @@ object DedupClustering {
     // symmetrizing union references it twice
     val p = pairs.select(col("d1").cast("long").as("d1"),
       col("d2").cast("long").as("d2")).localCheckpoint(true)
+    // LAZY checkpoint: the edges.count() below materializes it in the same
+    // job — an eager checkpoint would run one extra job for the same rows
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .union(p.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     if (edges.count() <= smallGraphThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -67,11 +69,15 @@ object DedupClustering {
         val mins = sym.groupBy(col("src"))
           .agg(min(col("dst")).as("mnd"))
           .select(col("src"), least(col("src"), col("mnd")).as("m"))
-        sym.join(mins, "src")
-          .where(col("dst") > col("src"))
+        // dst > src cut BEFORE the join (halves the probe side — the min
+        // relation still sees the full symmetric set); no trailing
+        // distinct: smallStar re-orients and distincts first thing, and
+        // its groupBy-min is duplicate-invariant, so the extra exchange
+        // bought nothing — one shuffle of the edge relation saved per
+        // round at every scale
+        sym.where(col("dst") > col("src")).join(mins, "src")
           .select(col("dst").as("src"), col("m").as("dst"))
           .where(col("src") =!= col("dst"))
-          .distinct()
       }
 
       // small-star(u): orient big→small, m = min of u's smaller
@@ -104,12 +110,17 @@ object DedupClustering {
          if (r.isNullAt(2)) "0" else r.getDecimal(2).toString)
       }
 
+      // each round's checkpoint is LAZY: the checksum action that
+      // immediately follows materializes it, so a round costs ONE job
+      // (contract + checksum) instead of two — at fixture scale the
+      // per-round job floor is most of this operator's wall, and at data
+      // scale one materialization of the same rows replaces two
       var cur = edges.where(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var prev = (-1L, "", "")
       var sig = checksum(cur)
       while (sig != prev) {
-        cur = smallStar(largeStar(cur)).localCheckpoint(true)
+        cur = smallStar(largeStar(cur)).localCheckpoint(false)
         prev = sig
         sig = checksum(cur)
       }
