@@ -120,6 +120,77 @@ object Tokenize {
     cnt
   }
 
+  /** One-pass classifier word stats over lower(text): struct(nw, n_stop,
+    * sum_len) with nw = count of [a-z]+ runs, n_stop = runs equal to one
+    * of the 8 classifier stopwords, sum_len = Σ run lengths. Fuses the
+    * alpha_runs array + interpreted filter(array_contains)/aggregate
+    * lambdas the quality classifier evaluated PER WORD into one byte
+    * scan; integer results, so the downstream IEEE feature arithmetic
+    * (and the z threshold theorem) is untouched. sum_len mirrors the
+    * ANSI `aggregate(wa, 0, (a, x) -> a + length(x))` it replaces:
+    * addExact so a (physically impossible) overflow still fails loudly
+    * instead of wrapping. */
+  def qualityWordStatsKernel(s: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var nw = 0
+    var nStop = 0
+    var sumLen = 0
+    var i = 0
+    while (i < n) {
+      if (isLowerAlpha(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && isLowerAlpha(b(i))) i += 1
+        val len = i - start
+        nw += 1
+        sumLen = Math.addExact(sumLen, len)
+        // stopwords: the, a, of, and, to, in, is, it
+        val hit = len match {
+          case 1 => b(start) == 'a'
+          case 2 =>
+            val c0 = b(start); val c1 = b(start + 1)
+            (c0 == 'o' && c1 == 'f') || (c0 == 't' && c1 == 'o') ||
+            (c0 == 'i' && (c1 == 'n' || c1 == 's' || c1 == 't'))
+          case 3 =>
+            val c0 = b(start); val c1 = b(start + 1); val c2 = b(start + 2)
+            (c0 == 't' && c1 == 'h' && c2 == 'e') ||
+            (c0 == 'a' && c1 == 'n' && c2 == 'd')
+          case _ => false
+        }
+        if (hit) nStop += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, nStop, sumLen))
+  }
+
+  private val qualityStructType = StructType(Seq(
+    StructField("nw", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("sum_len", IntegerType, nullable = false)))
+
+  /** struct(nw, n_stop, sum_len) classifier word stats over lower(text). */
+  case class QualityWordStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = qualityStructType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      qualityWordStatsKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.qualityWordStatsKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): QualityWordStats =
+      copy(child = newChild)
+    override def prettyName: String = "quality_word_stats"
+  }
+
+  def quality_word_stats(s: Column): Column =
+    ColumnShim.column(QualityWordStats(ColumnShim.expression(s)))
+
   private def checkString(dt: DataType, name: String): TypeCheckResult =
     dt match {
       case StringType => TypeCheckResult.TypeCheckSuccess

@@ -40,17 +40,20 @@ object TextOps {
       carry: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val extra = carry.map(col)
+    // one fused kernel pass (quality_word_stats) supplies the integer
+    // word features the filter/aggregate HOF lambdas used to recompute
+    // per word, interpreted; the IEEE feature divisions and the z
+    // multiply-add chain below are UNCHANGED, so the cross-engine
+    // bit-identity theorem this classifier's consumers rely on holds
     docs
       .select(Seq(col("doc_id"), col("source"), col("text"),
-        graft.functions.Tokenize.alpha_runs(lower(col("text"))).as("wa")) ++ extra: _*)
-      .withColumn("nw", size(col("wa")))
+        graft.functions.Tokenize.quality_word_stats(lower(col("text")))
+          .as("qs")) ++ extra: _*)
+      .withColumn("nw", col("qs.nw"))
       .withColumn("swf", when(col("nw") === 0, 0.0).otherwise(
-        size(expr("""filter(wa, x -> array_contains(
-                    |  array('the','a','of','and','to','in','is','it'), x))"""
-          .stripMargin)).cast("double") / col("nw")))
+        col("qs.n_stop").cast("double") / col("nw")))
       .withColumn("mwl", when(col("nw") === 0, 0.0).otherwise(
-        expr("aggregate(wa, 0, (a, x) -> a + length(x))").cast("double")
-          / col("nw")))
+        col("qs.sum_len").cast("double") / col("nw")))
       .withColumn("af", when(length(col("text")) === 0, 0.0).otherwise(
         graft.functions.Tokenize.count_alpha(col("text")).cast("double")
           / length(col("text"))))

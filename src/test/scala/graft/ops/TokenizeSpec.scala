@@ -30,6 +30,7 @@ class TokenizeSpec extends SparkSpec {
     " leading",
     "a\u0000b",                              // NUL is \S to Java
     "Ångström ärgern Ödipus",
+    "the a of and to in is it that these its toe ant ii tt aa", // stopword edges
     ("wrap " * 200).trim                     // long doc
   )
 
@@ -65,6 +66,24 @@ class TokenizeSpec extends SparkSpec {
       .select(Tokenize.ws_tokens(col("t")).as("k"),
         expr("regexp_extract_all(t, '\\\\S+', 0)").as("r"))
     val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("quality_word_stats == the regexp+HOF classifier features") {
+    val df = adversarial.toDF("t")
+      .select(col("t"),
+        Tokenize.quality_word_stats(lower(col("t"))).as("qs"),
+        expr("regexp_extract_all(lower(t), '[a-z]+', 0)").as("wa"))
+      .select(
+        col("qs.nw").as("knw"), size(col("wa")).as("rnw"),
+        col("qs.n_stop").as("kst"),
+        size(expr("""filter(wa, x -> array_contains(
+                    |  array('the','a','of','and','to','in','is','it'), x))"""
+          .stripMargin)).as("rst"),
+        col("qs.sum_len").as("ksl"),
+        expr("aggregate(wa, 0, (a, x) -> a + length(x))").as("rsl"))
+    val bad = df.where(not(col("knw") <=> col("rnw")) ||
+      not(col("kst") <=> col("rst")) || not(col("ksl") <=> col("rsl"))).collect()
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
