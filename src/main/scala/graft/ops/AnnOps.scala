@@ -643,6 +643,11 @@ object AnnOps {
         val cents = e
           .where(col("vec_id") >= 5 && col("vec_id") < lit(5L + kCells))
           .select(col("vec_id").as("cid"), col("v").as("cv"))
+        // both consumers (assignment rn=1, probes rn<=nprobe) re-ran the
+        // score+window subtree — rn <= nprobe covers both, and the pruned
+        // relation is 2 narrow rows/vector, so checkpoint it once (the
+        // multi-consumer rule); fixture-gated branch, so no scale-tier
+        // memory profile changes
         val ranked = e.select(col("vec_id"), col("v"))
           .crossJoin(broadcast(cents))
           .select(col("vec_id"), col("cid"),
@@ -650,6 +655,9 @@ object AnnOps {
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
               .orderBy(col("cs").desc, col("cid").desc)))
+          .where(col("rn") <= math.max(nprobe, 1))
+          .select(col("vec_id"), col("cid"), col("rn"))
+          .localCheckpoint(true)
         val assigned = ranked.where(col("rn") === 1)
           .select(col("vec_id"), col("cid").as("cell"))
           .join(e, Seq("vec_id"))

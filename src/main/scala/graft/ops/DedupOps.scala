@@ -846,6 +846,13 @@ object DedupOps {
       // nearest centroid: map-side argmax over the broadcast centroid set —
       // the K candidate rows per vector collapse in partial aggregation, so
       // the shuffle carries one row per vector, not K
+      // THREE consumers read the assignment (both pair-join sides and the
+      // final rollup lane) — and the rollup joins on vec_id while the pair
+      // join shuffles by cell, so exchange reuse cannot cover it and the
+      // assignment AGGREGATE re-ran for the rollup (the r11 rule:
+      // exchange reuse does not extend to aggregates). Checkpoint once;
+      // SER level because the artifact carries the vectors (the subdoc
+      // flagship's discipline for heavy-payload checkpoints).
       val asg = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
           (dot_d(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
@@ -854,6 +861,8 @@ object DedupOps {
                     struct(col("cos"), (-col("cid")).as("neg"))).as("best"))
         .select(col("vec_id"), col("best.cid").as("cell"),
                 col("best.v").as("v"), col("best.nrm").as("nrm"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val a = asg.as("a"); val b = asg.as("b")
       val dups = a.join(b,
           col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
