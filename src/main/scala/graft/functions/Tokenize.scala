@@ -191,6 +191,121 @@ object Tokenize {
   def quality_word_stats(s: Column): Column =
     ColumnShim.column(QualityWordStats(ColumnShim.expression(s)))
 
+  /** Ordered bigram HASH pairs over the \S+ tokens of `s`, with
+    * multiplicity: struct(w1, w2) where wX = xxhash64(token) (XXH64,
+    * seed 42 — the xxhash64() SQL function's hash, computed over the
+    * token's bytes in place). Fuses the LM lane's tokenize → transform
+    * (interpreted per-token lambda building struct(w[u-1], w[u]) string
+    * pairs) → xxhash64 × 2 chain into one byte scan that hashes each
+    * token ONCE — no token array, no string-pair structs, half the hash
+    * work. Fewer than two tokens ⇒ empty array, like the CASE guard it
+    * replaces. */
+  def wsBigramHashesKernel(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        cnt += 1
+        i += 1
+        while (i < n && !isWs(b(i))) i += 1
+      } else i += 1
+    }
+    if (cnt < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](cnt - 1)
+    var j = 0
+    var prev = 0L
+    var first = true
+    i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && !isWs(b(i))) i += 1
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+            + start, i - start, 42L)
+        if (!first) {
+          out(j) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](prev, h))
+          j += 1
+        }
+        prev = h
+        first = false
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val bigramStructType = ArrayType(StructType(Seq(
+    StructField("w1", LongType, nullable = false),
+    StructField("w2", LongType, nullable = false))), containsNull = false)
+
+  /** array<struct<w1,w2>> of xxhash64'd adjacent \S+ token pairs. */
+  case class WsBigramHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = bigramStructType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      wsBigramHashesKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.wsBigramHashesKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): WsBigramHashes =
+      copy(child = newChild)
+    override def prettyName: String = "ws_bigram_hashes"
+  }
+
+  def ws_bigram_hashes(s: Column): Column =
+    ColumnShim.column(WsBigramHashes(ColumnShim.expression(s)))
+
+  /** Rolling polynomial fingerprint: left fold (acc·31 + codepoint) mod
+    * 1e9+7 from seed 7 over the string's code points — ≡ the
+    * aggregate(split(text, ''), 7L, (acc, c) -> (acc·31 + ascii(c)) %
+    * 1000000007) chain, which materialized one single-char string and
+    * one interpreted lambda call PER CHARACTER. Java's split("") yields
+    * [""] for the empty string and ascii("") is 0, so empty input takes
+    * exactly one fold step with c = 0 (TokenizeSpec pins it). acc stays
+    * < 1e9+7, so acc·31 + cp fits a long with no overflow. */
+  def polyFingerprintKernel(s: UTF8String): Long = {
+    val M = 1000000007L
+    var acc = 7L
+    val str = s.toString
+    if (str.isEmpty) return (acc * 31) % M
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % M
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** long rolling fingerprint of a string's code points (seed 7, ×31,
+    * mod 1e9+7). */
+  case class PolyFingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      polyFingerprintKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.polyFingerprintKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+      copy(child = newChild)
+    override def prettyName: String = "poly_fingerprint"
+  }
+
+  def poly_fingerprint(s: Column): Column =
+    ColumnShim.column(PolyFingerprint(ColumnShim.expression(s)))
+
   private def checkString(dt: DataType, name: String): TypeCheckResult =
     dt match {
       case StringType => TypeCheckResult.TypeCheckSuccess

@@ -302,11 +302,13 @@ object TextOps {
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // poly_fingerprint = the same fold in one code-point scan; the old
+      // aggregate(split(text,'')) chain paid one single-char string and
+      // one interpreted lambda call per character (TokenizeSpec pins
+      // kernel == chain, incl. the empty-string [""]·ascii=0 step)
       documents(s, d).select(
           col("doc_id"),
-          expr("""aggregate(split(text, ''), cast(7 as bigint),
-                 |          (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
-            .as("fp"),
+          graft.functions.Tokenize.poly_fingerprint(col("text")).as("fp"),
           length(col("text")).as("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -1007,26 +1009,22 @@ object TextOps {
     // canonicalized exchange subtrees stop matching, and the corpus
     // tokenizes + shuffles twice. Stating the filter once here keeps
     // every branch's subtree identical so the stage cache unifies them.
+    // ws_bigram_hashes fuses tokenize → per-token bigram lambda →
+    // xxhash64 × 2 into one byte scan hashing each token once (ordered
+    // bigrams WITH multiplicity — word_ngrams dedups, so not usable
+    // here). Keyed on xxhash64 of each side, not the word strings — the
+    // dsir_importance gram-index trick (PipelineOps): every consumer
+    // shuffles 8-byte (h1, h2) longs instead of ~35-byte word pairs.
+    // Collisions at real vocabs are ~2⁻⁴⁸-scale — immaterial; the
+    // oracle stays string-keyed and the hash-green gate IS the
+    // collision check. `lang` deliberately does NOT ride the bigram
+    // rows (~16 UnsafeRow bytes on ~60 rows/doc through the corpus
+    // exchange) — it re-attaches to the 1-row-per-doc result below.
     val bg = Tables.fan(s, Tables.documents(s, d))
       .where(col("doc_id").isNotNull)
-      .select(col("doc_id"),
-        graft.functions.Tokenize.ws_tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(expr(
-        // ordered bigrams WITH multiplicity (word_ngrams dedups, so not
-        // usable here); the If guards sequence() against size < 2
-        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
-          "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
-        "ELSE array() END")).as("b"))
-      // keyed on xxhash64 of each side, not the word strings — the
-      // dsir_importance gram-index trick (PipelineOps): every consumer
-      // shuffles 8-byte (h1, h2) longs instead of ~35-byte word pairs.
-      // Collisions at real vocabs are ~2⁻⁴⁸-scale — immaterial; the
-      // oracle stays string-keyed and the hash-green gate IS the
-      // collision check. `lang` deliberately does NOT ride the bigram
-      // rows (~16 UnsafeRow bytes on ~60 rows/doc through the corpus
-      // exchange) — it re-attaches to the 1-row-per-doc result below.
-      .select(col("doc_id"),
-        xxhash64(col("b.w1")).as("w1"), xxhash64(col("b.w2")).as("w2"))
+      .select(col("doc_id"), explode(
+        graft.functions.Tokenize.ws_bigram_hashes(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // ONE corpus-bigram exchange, shared by all three consumers (LM,
     // context totals, scoring join): the explicit repartition on the
     // join key pre-satisfies each consumer's required distribution, so

@@ -87,6 +87,38 @@ class TokenizeSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("ws_bigram_hashes == tokenize->transform->xxhash64 chain") {
+    // positional comparison (collect_list order is not guaranteed):
+    // pos-explode both forms and full-outer join on (string, position)
+    val base = adversarial.distinct.toDF("t")
+    val k = base.select(col("t"),
+        posexplode_outer(Tokenize.ws_bigram_hashes(col("t"))))
+      .toDF("t", "p", "kb")
+    val r = base.select(col("t"), Tokenize.ws_tokens(col("t")).as("w"))
+      .select(col("t"), posexplode_outer(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "u -> struct(w[u - 1] AS w1, w[u] AS w2)) " +
+        "ELSE array() END")))
+      .toDF("t", "p", "b")
+      .select(col("t"), col("p"),
+        when(col("b").isNotNull, struct(xxhash64(col("b.w1")).as("w1"),
+          xxhash64(col("b.w2")).as("w2"))).as("rb"))
+    val bad = k.join(r, Seq("t", "p"), "full_outer")
+      .where(not(col("kb") <=> col("rb"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("poly_fingerprint == aggregate(split(text,''), 7, poly31 mod 1e9+7)") {
+    val df = adversarial.toDF("t")
+      .select(col("t"),
+        Tokenize.poly_fingerprint(col("t")).as("k"),
+        expr("""aggregate(split(t, ''), cast(7 as bigint),
+               |          (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""
+          .stripMargin).as("r"))
+    val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("property: kernels equal regexp on random unicode strings") {
     // strings mixing ASCII whitespace, letters, digits, and arbitrary
     // Unicode (incl. astral); evaluated through the same Catalyst path
