@@ -48,7 +48,12 @@ object RelationalOps {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      lineitem(s, d)
+      // fan: the fixture scan is 3 partitions and every row pays five
+      // DECIMAL multiply/sum aggregate updates — CPU-bound map work the
+      // conditional repartition spreads across the session's cores (a
+      // no-op on real multi-file input); the filter still pushes to the
+      // scan (predicate pushdown crosses RepartitionOperation)
+      Tables.fan(s, lineitem(s, d))
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -86,7 +91,7 @@ object RelationalOps {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
       (s, d) =>
-        lineitem(s, d)
+        Tables.fan(s, lineitem(s, d))
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
                count(lit(1)).as("n"))
@@ -431,7 +436,7 @@ object RelationalOps {
         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
         |) t GROUP BY var ORDER BY var""".stripMargin) { (s, d) =>
-      lineitem(s, d)
+      Tables.fan(s, lineitem(s, d))
         .unpivot(
           ids = Array(col("l_orderkey")),
           values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),

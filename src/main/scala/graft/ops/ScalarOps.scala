@@ -174,7 +174,10 @@ object ScalarOps {
         |  CAST(max(CAST(nested->>'$.e.k' AS INT)) AS INT) AS k_max_nested,
         |  CAST(sum(CAST(nested->>'$.u' AS BIGINT)) AS BIGINT) AS u_sum
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      events(s, d)
+      // fan: two parse_json calls per row on a 1-file fixture scan —
+      // JSON-parse CPU the conditional repartition spreads (no-op on
+      // splittable multi-file input)
+      Tables.fan(s, events(s, d))
         .select(col("event_type"),
           expr("parse_json(props)").as("v"),
           expr("""parse_json(concat('{"u":', cast(user_id as string),
@@ -424,7 +427,11 @@ object ScalarOps {
         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val dq = col("l_quantity").cast("decimal(18,2)")
       val dp = col("l_extendedprice").cast("decimal(18,2)")
-      val base = lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      // fan: five DECIMAL(18,2) product aggregates per row on a 3-partition
+      // fixture scan — spread the map-side partials across the cores (the
+      // exact decimal sums are associative, so partitioning cannot change
+      // them; the built-in stddev/corr feed tolerance booleans only)
+      val base = Tables.fan(s, lineitem(s, d)).groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("n"),
         sum(dq).cast("double").as("sx"),
         sum(dq * dq).cast("double").as("sxx"),
