@@ -211,4 +211,74 @@ object TextStats {
 
   def block_rep_stats(tokens: Column): Column =
     ColumnShim.column(BlockRepStats(ColumnShim.expression(tokens)))
+
+  private val entropyStructType = StructType(Seq(
+    StructField("n_elems", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+
+  /** Per-document char-entropy sufficient statistics in ONE pass:
+    * n_elems (code-point count), n_distinct (distinct code points), and
+    * s = Σ over distinct code points of
+    * decimal30_12(cnt·ln cnt) summed exactly and cast back to double —
+    * term-for-term the explode(split(text,'')) → groupBy(doc, c) →
+    * groupBy(doc) plan it replaces, which shuffled one row per DISTINCT
+    * (doc, char) and exploded one row per CHARACTER first. The decimal
+    * quantization mirrors Spark's double→DECIMAL(30,12) cast
+    * (BigDecimal.valueOf shortest-repr, HALF_UP at scale 12), the exact
+    * decimal sum is associative like the aggregate it replaces, ln is
+    * the same java.lang.Math.log, and the final cast is
+    * BigDecimal.doubleValue — so the query's rounded entropy is
+    * bit-identical (RepetitionSpec pins kernel == chain). Per-doc state
+    * is one code-point→count map, bounded by document length — the
+    * WordRepStats memory class. */
+  def charEntropyStatsKernel(s: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val str = s.toString
+    // split('') on the empty string yields [""] — one empty-string
+    // element with count 1 and term 1·ln(1) = 0, not zero elements
+    if (str.isEmpty)
+      return new GenericInternalRow(Array[Any](1L, 1L, 0.0))
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = java.math.BigDecimal.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      val term = c.toDouble * java.lang.Math.log(c.toDouble)
+      acc = acc.add(java.math.BigDecimal.valueOf(term)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    new GenericInternalRow(Array[Any](n, counts.size.toLong, acc.doubleValue()))
+  }
+
+  /** struct(n_elems, n_distinct, s) char-entropy statistics of a string. */
+  case class CharEntropyStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = entropyStructType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"char_entropy_stats requires string, got $other")
+    }
+    override def nullSafeEval(input: Any): Any =
+      charEntropyStatsKernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextStats.charEntropyStatsKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+      copy(child = newChild)
+    override def prettyName: String = "char_entropy_stats"
+  }
+
+  def char_entropy_stats(s: Column): Column =
+    ColumnShim.column(CharEntropyStats(ColumnShim.expression(s)))
 }

@@ -334,14 +334,17 @@ object TextOps {
         |SELECT doc_id, n_elems, n_distinct,
         |  round(ln(CAST(n_elems AS DOUBLE)) - s / n_elems, 4) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // char_entropy_stats folds the explode(split(text,'')) →
+      // groupBy(doc, c) → groupBy(doc) plan (one exploded row per
+      // CHARACTER, one shuffled row per distinct (doc, char)) into a
+      // single per-doc kernel pass — the query becomes a pure
+      // projection with NO shuffle at any scale; the decimal/ln
+      // arithmetic is replicated term-for-term (RepetitionSpec pins it)
       Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), explode(expr("split(text, '')")).as("c"))
-        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_elems"),
-             count(lit(1)).as("n_distinct"),
-             sum((col("cnt").cast("double") * log(col("cnt").cast("double")))
-               .cast("decimal(30,12)")).cast("double").as("s"))
+        .select(col("doc_id"),
+          graft.functions.TextStats.char_entropy_stats(col("text")).as("es"))
+        .select(col("doc_id"), col("es.n_elems").as("n_elems"),
+          col("es.n_distinct").as("n_distinct"), col("es.s").as("s"))
         .select(col("doc_id"), col("n_elems"), col("n_distinct"),
           round(log(col("n_elems").cast("double")) - col("s") / col("n_elems"), 4)
             .as("entropy"))

@@ -179,4 +179,28 @@ class RepetitionSpec extends SparkSpec {
       assert(r.getString(5) == md5hex(clean), s"md5 doc ${r.getLong(0)}")
     }
   }
+
+  test("char_entropy_stats == the explode/groupBy decimal chain, bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq("", "a", "aa", "ab", "hello world", "\u00e9\u00e9x",
+      "\ud83d\ude00\ud83d\ude00a", "the quick brown fox " * 20,
+      "\t\n mixed 123 !?", "z" * 500)
+    val df = texts.toDF("text")
+    val kernel = df.select(col("text"),
+        graft.functions.TextStats.char_entropy_stats(col("text")).as("es"))
+      .select(col("text"), col("es.n_elems").as("kn"),
+        col("es.n_distinct").as("kd"), col("es.s").as("ks"))
+    val chain = df
+      .select(col("text"), explode(expr("split(text, '')")).as("c"))
+      .groupBy(col("text"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("text"))
+      .agg(sum(col("cnt")).as("rn"), count(lit(1)).as("rd"),
+        sum((col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .cast("decimal(30,12)")).cast("double").as("rs"))
+    val bad = kernel.join(chain, Seq("text"))
+      .where(not(col("kn") <=> col("rn")) || not(col("kd") <=> col("rd")) ||
+        not(col("ks") <=> col("rs"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
 }
