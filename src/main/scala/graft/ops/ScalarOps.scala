@@ -21,20 +21,70 @@ object ScalarOps {
     * for pct p over N non-null values, pos = p·(N−1); result =
     * v[floor(pos)] when floor = ceil, else
     * (ceil−pos)·v[floor] + (pos−floor)·v[ceil] with v the 0-based sorted
-    * multiset. Shape: a codegen'd value-count aggregate (parallel), one
-    * single-partition window over the DISTINCT values carrying only a
-    * running count, and a conditional-min bracket aggregate — vs the
-    * Percentile aggregate's final-task merge of a value→count OpenHashMap
-    * that grows with DISTINCT cardinality (the measured single-task wall
-    * in f_approx_agg, and an OOM at data scale). */
+    * multiset. Shape: a codegen'd value-count aggregate (parallel), a
+    * RANGE-PARTITIONED two-pass running count over the DISTINCT values
+    * (within-bucket window + per-bucket offsets — no single task ever
+    * holds more than one bucket's values), and a conditional-min bracket
+    * aggregate — vs the Percentile aggregate's final-task merge of a
+    * value→count OpenHashMap that grows with DISTINCT cardinality (the
+    * measured single-task wall in f_approx_agg, and an OOM at data
+    * scale). The r12 shape kept ONE partition-less window task over all
+    * distinct values; this splits it: bucket(v) is a monotone map built
+    * from min/max (exact integer offsets, so bucketed running count ≡
+    * the global one, see inline notes), and the only remaining
+    * single-partition window runs over the B bucket-total rows, B fixed
+    * by parallelism, never by data. */
   private[graft] def exactPercentiles(df: org.apache.spark.sql.DataFrame,
       valueCol: String, pcts: Seq[Double]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The value-count relation feeds THREE consumers (the stats pass, the
+    // bucket-offset pass, the windowed main pass) and exchange reuse does
+    // not cover aggregates (the r11 rule) — checkpoint it once, lazily:
+    // the stats broadcast job is the first action and materializes it.
     val vc = df.select(col(valueCol).as("v")).where(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("freq"))
-    val cum = vc.withColumn("cum", sum(col("freq")).over(Window.orderBy(col("v"))))
-    val n = vc.agg(sum(col("freq")).as("n"))
-    val withN = cum.crossJoin(broadcast(n))
+      .localCheckpoint(false)
+    // Monotone range bucket from (vmin, vmax): for v1 ≤ v2,
+    // bucket(v1) ≤ bucket(v2) — each step of the otherwise-branch chain
+    // (subtract a constant, divide by a positive constant, multiply by a
+    // positive constant, floor, clamp) is weakly monotone under IEEE
+    // rounding. Degenerate inputs degrade to FEWER effective buckets,
+    // never to a wrong order: v = vmin pins bucket 0 before any float
+    // math (covers vmin = −Inf, whose ratio is NaN); a NaN ratio from
+    // v = +Inf clamps to the last bucket (NaN propagates through
+    // greatest, least picks the finite bound), where +Inf — the largest
+    // value — belongs; NaN values group last in Spark ordering and land
+    // in the last bucket explicitly. The clamp runs in double space
+    // BEFORE the int cast (ANSI: casting NaN/overflow throws). B scales
+    // with the session's parallelism (4× for spread, guide §2.5), never
+    // with data.
+    val nBuckets = math.max(32,
+      4 * df.sparkSession.sparkContext.defaultParallelism)
+    val stats = vc.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      sum(col("freq")).as("n"))
+    val bucket =
+      when(isnan(col("v")), lit(nBuckets - 1))
+        .when(col("v") === col("vmin"), lit(0))
+        .otherwise(least(greatest(
+          floor((col("v") - col("vmin")) / (col("vmax") - col("vmin"))
+            * nBuckets), lit(0.0)), lit((nBuckets - 1).toDouble))
+          .cast("int"))
+    val withB = vc.crossJoin(broadcast(stats)).withColumn("b", bucket)
+    // pass 1: per-bucket totals → exclusive running offsets. B rows total;
+    // the constant partition key (pmod(b,1) ≡ 0, but not foldable — a
+    // lit(0) would be constant-folded back to the partition-less path)
+    // keeps WindowExec's input bounded by the bucket count, not the data.
+    val offW = Window.partitionBy(pmod(col("b"), lit(1))).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("b")).agg(sum(col("freq")).as("bt"))
+      .select(col("b"), coalesce(sum(col("bt")).over(offW), lit(0L)).as("off"))
+    // pass 2: within-bucket running count + the bucket's offset — exact
+    // long arithmetic, so cum is bit-identical to the global window's.
+    val withN = withB
+      .withColumn("cum",
+        sum(col("freq")).over(Window.partitionBy(col("b")).orderBy(col("v"))))
+      .join(broadcast(offs), Seq("b"))
+      .withColumn("cum", col("cum") + col("off"))
     // per pct: bracket rows (cum−freq ≤ idx < cum) hold v[idx]; exactly one
     // row matches each index, so min() extracts it in one pass over all pcts
     val brackets = pcts.zipWithIndex.flatMap { case (p, i) =>
@@ -277,7 +327,7 @@ object ScalarOps {
         .agg(count(lit(1)).as("exact_orders"))
       val exP = li.select(col("l_partkey")).distinct()
         .agg(count(lit(1)).as("exact_parts"))
-      // The exact quartiles come from SqlKernels.exactPercentiles, not the
+      // The exact quartiles come from ScalarOps.exactPercentiles, not the
       // `percentile` aggregate: Percentile is a TypedImperativeAggregate
       // whose value->count OpenHashMap is merged by ONE final task —
       // l_extendedprice is ~97% distinct, so that task inserted ~583k

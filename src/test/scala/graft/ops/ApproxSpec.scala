@@ -37,6 +37,31 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentiles bucket map survives degenerate value ranges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the r13 range-bucketed running count must stay bit-equal to
+    // percentile() when the monotone bucket map degrades: all-equal
+    // values (vmax = vmin), ±Infinity endpoints (NaN ratios), ranges
+    // whose width overflows to Inf, and tiny n with many empty buckets
+    val cases = Seq(
+      Seq.fill(7)(3.25),                                     // one distinct value
+      Seq(Double.NegativeInfinity, -1.0, 0.0, 2.5, 2.5),     // -Inf = vmin
+      Seq(-4.0, 0.5, Double.PositiveInfinity),               // +Inf = vmax
+      Seq(Double.NegativeInfinity, 1.0, Double.PositiveInfinity),
+      Seq(-1.7e308, 0.0, 1.2e308, 1.2e308),                  // width overflows
+      Seq(42.0))                                             // n = 1
+    for (vals <- cases) {
+      val df = vals.toDF("x")
+      val want = df.agg(expr(
+        "percentile(x, array(0.25D, 0.5D, 0.75D, 0.99D))").as("p"))
+        .head().getSeq[Double](0)
+      val got = ScalarOps.exactPercentiles(df, "x", Seq(0.25, 0.5, 0.75, 0.99))
+        .head().getSeq[Double](0)
+      assert(got == want, s"vals=$vals got=$got want=$want")
+    }
+  }
+
   test("raw HLL estimate tracks exact count on a bigger column too") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
