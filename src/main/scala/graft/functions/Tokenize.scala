@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,8 +37,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage-codegen span; no CodegenFallback, no UDF.
   */
 object Tokenize {
-
-  private final val WS_MAX = 0x20 // candidate whitespace bytes are <= ' '
 
   @inline private def isWs(b: Byte): Boolean =
     // ' ' 0x20, '\t' 0x09, '\n' 0x0A, '' 0x0B, '\f' 0x0C, '\r' 0x0D
@@ -305,6 +303,102 @@ object Tokenize {
 
   def poly_fingerprint(s: Column): Column =
     ColumnShim.column(PolyFingerprint(ColumnShim.expression(s)))
+
+  /** struct(n_chars, n_tokens) of a word array under a learned BPE merge
+    * list: n_chars = Σ length(word), n_tokens = Σ length(encode(word))
+    * where encode applies each merge in rank order as a greedy
+    * left-to-right non-overlapping replace of its 2-char pair with the
+    * 1-char marker 'A'+rank — the exact semantics of the nested
+    * `replace(replace(..., p1, 'A'), p2, 'B')` expression chain it
+    * replaces (which allocated one UTF8String per word PER MERGE STEP
+    * inside an interpreted `aggregate` lambda; TokenizeSpec pins
+    * equality). Character counts are code points (non-continuation
+    * bytes), ≡ Spark's length(); merge pairs are ASCII by construction
+    * ([a-z] pairs, enforced below), and a byte-level replace of an ASCII
+    * pair equals the char-level replace on any valid UTF-8 (continuation
+    * bytes are ≥ 0x80 and never match). A null ELEMENT nulls the whole
+    * result, exactly like `length(null)` poisoning the fold — unreachable
+    * from alpha_runs input, pinned anyway. */
+  def bpeCountsKernel(arr: ArrayData, pairs: Array[Array[Byte]],
+      markers: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val nw = arr.numElements()
+    var nChars = 0L
+    var nToks = 0L
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w < nw) {
+      if (arr.isNullAt(w)) return null
+      val b = arr.getUTF8String(w).getBytes
+      var i = 0
+      var nc = 0L
+      while (i < b.length) { if ((b(i) & 0xC0) != 0x80) nc += 1; i += 1 }
+      nChars += nc
+      if (b.length > buf.length)
+        buf = new Array[Byte](math.max(b.length, buf.length * 2))
+      System.arraycopy(b, 0, buf, 0, b.length)
+      var len = b.length
+      var p = 0
+      while (p < pairs.length) {
+        val pa = pairs(p)(0); val pb = pairs(p)(1); val m = markers(p)
+        var out = 0
+        var k = 0
+        while (k < len) {
+          if (k + 1 < len && buf(k) == pa && buf(k + 1) == pb) {
+            buf(out) = m; out += 1; k += 2
+          } else { buf(out) = buf(k); out += 1; k += 1 }
+        }
+        len = out
+        p += 1
+      }
+      var j = 0
+      var ec = 0L
+      while (j < len) { if ((buf(j) & 0xC0) != 0x80) ec += 1; j += 1 }
+      nToks += ec
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nToks))
+  }
+
+  private val bpeStructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  /** struct(n_chars, n_tokens) BPE-encode counts over a word array. */
+  case class BpeCounts(child: Expression, merges: Seq[String])
+      extends UnaryExpression {
+    require(merges.length <= 26 &&
+        merges.forall(m => m.length == 2 && m.forall(c => c >= 'a' && c <= 'z')),
+      s"bpe_counts merges must be 2-char [a-z] pairs, got $merges")
+    override def dataType: DataType = bpeStructType
+    override def nullable: Boolean = true // a null element nulls the fold
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"bpe_counts requires array<string>, got $other")
+    }
+    @transient private lazy val pairBytes: Array[Array[Byte]] =
+      merges.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    @transient private lazy val markerBytes: Array[Byte] =
+      merges.indices.map(i => ('A' + i).toByte).toArray
+    override def nullSafeEval(input: Any): Any =
+      bpeCountsKernel(input.asInstanceOf[ArrayData], pairBytes, markerBytes)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val ps = ctx.addReferenceObj("bpePairs", pairBytes, "byte[][]")
+      val ms = ctx.addReferenceObj("bpeMarkers", markerBytes, "byte[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.Tokenize.bpeCountsKernel($a, $ps, $ms);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeCounts =
+      copy(child = newChild)
+    override def prettyName: String = "bpe_counts"
+  }
+
+  def bpe_counts(words: Column, merges: Seq[String]): Column =
+    ColumnShim.column(BpeCounts(ColumnShim.expression(words), merges))
 
   private def checkString(dt: DataType, name: String): TypeCheckResult =
     dt match {

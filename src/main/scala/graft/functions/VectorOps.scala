@@ -230,6 +230,80 @@ object VectorOps {
     }
   }
 
+  /** Distinct xxhash64 values of the space-joined word n-grams, fused:
+    * replaces word_ngrams → explode → xxhash64 (one UTF8String alloc per
+    * gram, one String alloc per dedup-set entry, one hash expression per
+    * exploded row) with a single byte-level pass that builds each gram's
+    * UTF-8 bytes in a reused buffer and hashes them directly — the hash
+    * is bit-identical to Spark's `xxhash64(gram_string)` (seed 42 over
+    * the same bytes; TokenizeSpec pins it). Dedup is BY HASH VALUE where
+    * word_ngrams deduped by string — the same 64-bit-injectivity class
+    * the gram-pair consumers already accept everywhere else (posting
+    * lists group by gh across the whole corpus, where a cross-doc
+    * collision merges two different grams; an intra-doc collision is
+    * strictly rarer, ~m²/2⁶⁵ per doc). Output order is the first-seen
+    * gram order; every consumer feeds order-invariant aggregates. */
+  case class GramHashes(child: Expression, gram: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"gram_hashes requires array<string>, got $other")
+    }
+    override def nullSafeEval(input: Any): Any =
+      gramHashesKernel(input.asInstanceOf[ArrayData], gram)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.gramHashesKernel($a, $gram);")
+    override protected def withNewChildInternal(newChild: Expression): GramHashes =
+      copy(child = newChild)
+    override def prettyName: String = "gram_hashes"
+  }
+
+  def gramHashesKernel(arr: ArrayData, gram: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      // null tokens render as "" — the word_ngrams kernel's rule
+      toks(i) =
+        if (arr.isNullAt(i)) Array.emptyByteArray
+        else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val grams = math.max(n - gram + 1, if (n > 0) 1 else 0)
+    var buf = new Array[Byte](64)
+    // first-seen-order dedup set of the 64-bit hashes
+    val seen = new java.util.LinkedHashSet[java.lang.Long](grams * 2)
+    var g = 0
+    while (g < grams) {
+      var len = 0
+      var k = g
+      val end = math.min(g + gram, n)
+      while (k < end) {
+        val t = toks(k)
+        val need = len + t.length + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (k > g) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length)
+        len += t.length
+        k += 1
+      }
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L))
+      g += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode+reconstruct in one native pass: for each
     * subspace, pick the codeword minimizing ‖sub − cw‖² (expanded as
     * ‖sub‖² − 2·sub·cw + ‖cw‖², every sum a left-to-right fold, ties to
@@ -312,6 +386,9 @@ object VectorOps {
 
   def word_ngrams(tokens: Column, gram: Int): Column =
     ColumnShim.column(WordNGrams(ColumnShim.expression(tokens), gram))
+
+  def gram_hashes(tokens: Column, gram: Int): Column =
+    ColumnShim.column(GramHashes(ColumnShim.expression(tokens), gram))
 
   def minhash_shingled(tokens: Column, gram: Int, nHash: Int): Column =
     ColumnShim.column(MinHashShingled(ColumnShim.expression(tokens), gram, nHash))

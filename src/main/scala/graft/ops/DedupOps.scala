@@ -25,6 +25,22 @@ object DedupOps {
     graft.functions.VectorOps.word_ngrams(
       graft.functions.Tokenize.ws_tokens(col(textCol)), 5)
 
+  /** The deduped 5-gram HASH set (xxhash64 of each distinct shingle) in
+    * one fused pass — the candidate-generation twin of [[wordShingles]]
+    * for every consumer that immediately hashed the grams anyway
+    * (r12 deferred item #3): no gram string is materialized, each token's
+    * bytes are copied once per window instead of once per alloc chain
+    * (UTF8String gram → exploded row → xxhash64). Dedup is by hash value
+    * — identical to dedup-by-string up to the same 64-bit collisions the
+    * downstream posting-list groupBys already tolerate (their groupBy(gh)
+    * merges cross-doc collisions, a strictly larger surface).
+    * verifyCandidatesOf keeps [[wordShingles]]: its intersection verifies
+    * against full gram STRING sets, the truth anchor of every reported
+    * pair. */
+  private def shingleHashes(textCol: String): Column =
+    graft.functions.VectorOps.gram_hashes(
+      graft.functions.Tokenize.ws_tokens(col(textCol)), 5)
+
   /** Exact-Jaccard near-dup pairs (d1 < d2, jac ≥ 0.5) via inverted-index
     * self-join on word 5-grams. Shuffles 8-byte gram hashes, not gram
     * strings (xxhash64 collisions are ~2⁻⁶⁵·n² — immaterial); each doc's
@@ -64,10 +80,10 @@ object DedupOps {
     // AnnOps' id-pack pattern: ids ≥ 2⁴³ or shingle sets ≥ 2²⁰ fail
     // loudly, never silently corrupt a pair.
     val g = docs
-      .select(col("doc_id"), wordShingles("text").as("sh"))
+      .select(col("doc_id"), shingleHashes("text").as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
-              explode(col("sh")).as("gram"))
-      .select(xxhash64(col("gram")).as("gh"),
+              explode(col("sh")).as("gh"))
+      .select(col("gh"),
         when(col("doc_id") < 0 || col("doc_id") >= (1L << 43) ||
             col("sz") >= (1L << 20),
           raise_error(concat(
@@ -146,8 +162,7 @@ object DedupOps {
   private def cappedGramCandidates(s: SparkSession, d: String,
       cap: Long): DataFrame = {
     val g = Tables.fan(s, documents(s, d))
-      .select(col("doc_id"), explode(wordShingles("text")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .select(col("doc_id"), explode(shingleHashes("text")).as("gh"))
     val capped = graft.operators.InvertedIndex.capBuckets(g, Seq("gh"), cap)
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
@@ -918,10 +933,9 @@ object DedupOps {
       // existing corpus from the new batch
       val thr = (documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1) / 2
       val g = Tables.fan(s, documents(s, d))
-        .select(col("doc_id"), wordShingles("text").as("sh"))
+        .select(col("doc_id"), shingleHashes("text").as("sh"))
         .select(col("doc_id"), size(col("sh")).as("sz"),
-                explode(col("sh")).as("gram"))
-        .select(col("doc_id"), col("sz"), xxhash64(col("gram")).as("gh"))
+                explode(col("sh")).as("gh"))
       val n = g.where(col("doc_id") >= thr)
         .select(col("doc_id").as("d_new"), col("sz").as("szn"), col("gh"))
       val o = g.where(col("doc_id") < thr)

@@ -628,10 +628,13 @@ object PipelineOps {
          |SELECT source, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, d) =>
-      val enc = graft.ops.TextOps.bpeEncodeSql(
-        graft.ops.TextOps.bpeMergeList(s, d), "x")
+      // one bpe_counts kernel pass per doc replaces the interpreted
+      // nested-replace aggregate lambda (and its regexp tokenize) — the
+      // r12 deferred item #6; TokenizeSpec pins the encode semantics
       packedBins(s, d, forceTwoPhase = false, toks = Some(
-        expr(s"aggregate(regexp_extract_all(lower(text), '[a-z]+', 0), 0L, (a, x) -> a + length($enc))")))
+        graft.functions.Tokenize.bpe_counts(
+          graft.functions.Tokenize.alpha_runs(lower(col("text"))),
+          graft.ops.TextOps.bpeMergeList(s, d)).getField("n_tokens")))
     },
 
     // Deterministic global corpus shuffle — the "shuffle the training data"

@@ -487,14 +487,19 @@ object TextOps {
         |  CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(n_chars - n_tokens AS BIGINT) AS n_merged
         |FROM enc ORDER BY doc_id LIMIT 500""".stripMargin) { (s, d) =>
-      val enc = bpeEncodeSql(bpeMergeList(s, d), "x")
+      // the encode itself runs as one kernel pass per doc (bpe_counts):
+      // the previous nested-replace `aggregate` lambda allocated one
+      // UTF8String per word PER MERGE RANK, interpreted — the measured
+      // dominant cost of this query (r12 deferred item #6)
       Tables.fan(s, documents(s, d))
         .select(col("doc_id"),
           graft.functions.Tokenize.alpha_runs(lower(col("text"))).as("wa"))
         .select(col("doc_id"),
           size(col("wa")).cast("long").as("n_words"),
-          expr("aggregate(wa, 0L, (a, x) -> a + length(x))").as("n_chars"),
-          expr(s"aggregate(wa, 0L, (a, x) -> a + length($enc))").as("n_tokens"))
+          graft.functions.Tokenize.bpe_counts(col("wa"), bpeMergeList(s, d))
+            .as("bc"))
+        .select(col("doc_id"), col("n_words"),
+          col("bc.n_chars").as("n_chars"), col("bc.n_tokens").as("n_tokens"))
         .withColumn("n_merged", col("n_chars") - col("n_tokens"))
         .orderBy(col("doc_id")).limit(500)
     },

@@ -108,6 +108,23 @@ class TokenizeSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("gram_hashes == xxhash64 over word_ngrams, set-equal (dedup by hash)") {
+    // the fused kernel dedups by hash where word_ngrams dedups by string;
+    // absent an intra-doc 64-bit collision (none in any test corpus) the
+    // SETS are equal — compare after sorting, and pin sizes too, over
+    // every gram width the ops use plus edges (n < gram, empty, 1 token)
+    for (g <- Seq(2, 3, 5)) {
+      val df = adversarial.toDF("t")
+        .select(col("t"),
+          sort_array(graft.functions.VectorOps.gram_hashes(
+            Tokenize.ws_tokens(col("t")), g)).as("k"),
+          sort_array(transform(graft.functions.VectorOps.word_ngrams(
+            Tokenize.ws_tokens(col("t")), g), x => xxhash64(x))).as("r"))
+      val bad = df.where(not(col("k") <=> col("r"))).collect()
+      assert(bad.isEmpty, s"gram=$g: " + bad.mkString("; "))
+    }
+  }
+
   test("poly_fingerprint == aggregate(split(text,''), 7, poly31 mod 1e9+7)") {
     val df = adversarial.toDF("t")
       .select(col("t"),
@@ -116,6 +133,25 @@ class TokenizeSpec extends SparkSpec {
                |          (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""
           .stripMargin).as("r"))
     val bad = df.where(not(col("k") <=> col("r"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("bpe_counts == nested-replace aggregate chain") {
+    // merge list exercising overlap ("aa" on runs), chaining ("ab" then a
+    // pair over the residue), and markers never re-merging; compare the
+    // kernel against the exact expression chain it replaces
+    val merges = Seq("aa", "ab", "he", "in", "it", "of", "th", "to")
+    val enc = graft.ops.TextOps.bpeEncodeSql(merges, "x")
+    val corpus = adversarial ++ Seq(
+      "aaa aaaa ababab abab", "the theme thine with it", "zzz")
+    val df = corpus.toDF("t")
+      .select(col("t"), Tokenize.alpha_runs(lower(col("t"))).as("wa"))
+      .select(col("t"),
+        Tokenize.bpe_counts(col("wa"), merges).as("bc"),
+        expr("aggregate(wa, 0L, (a, x) -> a + length(x))").as("rc"),
+        expr(s"aggregate(wa, 0L, (a, x) -> a + length($enc))").as("rt"))
+    val bad = df.where(not(col("bc.n_chars") <=> col("rc")) ||
+      not(col("bc.n_tokens") <=> col("rt"))).collect()
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
