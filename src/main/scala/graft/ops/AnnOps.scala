@@ -980,11 +980,14 @@ object AnnOps {
       l2Metric: Boolean): Array[(Long, Array[Double])] = {
       val m = math.max(1L, nRows / (50L * kCells))
       // corpus-narrow (≤ ~50·K rows) and consumed 1 + iters times — the
-      // packedBins rule says materialize once, not rescan per iteration
+      // packedBins rule says materialize once, not rescan per iteration.
+      // LAZY: the seed collect() right below is the materializing action
+      // (TakeOrdered runs every partition), so the eager flavor's extra
+      // job bought nothing
       val sample = e
         .where(pmod(xxhash64(col("vec_id")), lit(m)) === lit(0L))
         .select(col("vec_id"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // seeds: the K hash-smallest sample vectors — pseudorandom spread
       // over the corpus, deterministic, no data-order dependence
       var cents: Array[(Long, Array[Double])] = sample
@@ -1318,8 +1321,11 @@ object AnnOps {
     // neighbor_id silently corrupt — fail loudly instead. The check
     // rides the corpus-sized assigned relation (one predicate per
     // vector), never the nprobe·N²/K pair stream.
-    // Ids must fit the pack BEFORE the checkpoint materializes them, so
-    // a bad corpus fails at plan time, not mid-pair-stage.
+    // Ids must fit the pack BEFORE any pair work: the checkpoint is LAZY
+    // (r13) and materializes in the planning probe's head() two lines
+    // down — a plain action, still strictly before the pair stage, so a
+    // bad corpus fails in the probe, and the eager flavor's dedicated
+    // materialization job is gone.
     val cellsNarrow = assigned
       .withColumn("vec_id",
         when(assert_true(
@@ -1327,7 +1333,7 @@ object AnnOps {
             concat(lit(s"vec_id outside the $idBits-bit knn id pack: "),
               col("vec_id").cast("string"))).isNull,
           col("vec_id")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Two-stage defense against hot cells, decided by one planning
     // probe (per-cell counts + a max over the narrow checkpoint —
     // never a recompute of the assignment); under the thresholds
@@ -1373,7 +1379,9 @@ object AnnOps {
         val thinned = cellsNarrow.join(mods, Seq("cell"), "left_outer")
           .where(col("m").isNull || ivfSampleKeep(col("vec_id"), col("m")))
           .drop("m")
-          .localCheckpoint(true) // narrow (16 B/row): feeds recount + join
+          // narrow (16 B/row): feeds recount + join; LAZY — the recount's
+          // head() below materializes it in the same job
+          .localCheckpoint(false)
         val c2 = thinned.groupBy(col("cell")).agg(count(lit(1)).as("cw"))
         (thinned, c2, c2.agg(max(col("cw"))).head.getLong(0))
       }

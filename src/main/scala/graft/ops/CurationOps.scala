@@ -220,9 +220,16 @@ object CurationOps {
       // the compact UnsafeRow bytes and spill to disk cleanly — the
       // corpus-NARROW checkpoints elsewhere keep the fast default;
       // text-bearing artifacts take MEMORY_AND_DISK_SER.
+      // LAZY checkpoint (r13): the first action in the chain — the
+      // candidate checkpoint's count() inside verifyCandidatesOf, a
+      // plain action, never a broadcast job — materializes the rewrite
+      // while computing the candidates, instead of paying a dedicated
+      // materialization job plus one extra full read-back of the
+      // artifact. Boundary, storage level, and the 13M-tier
+      // SER-unrolling rationale are unchanged.
       runPipeline(
         DedupOps.paragraphRewrittenDocs(Tables.fan(s, documents(s, d)))
-          .localCheckpoint(true,
+          .localCheckpoint(false,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
         carryChars = true)
     },

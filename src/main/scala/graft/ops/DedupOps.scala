@@ -375,8 +375,12 @@ object DedupOps {
     // executed as a broadcast. With the pair count known from the
     // checkpoint, the tiny side gets an explicit hint and the corpus
     // side streams map-side with no exchange at all.
-    val c = cands.select(col("d1"), col("d2")).localCheckpoint()
-    val nPairs = c.count() // counts checkpointed partitions — no recompute
+    // LAZY checkpoint: the count() right below is the materializing
+    // action (one job computes + caches + counts, where eager paid a
+    // materialization job AND a count job over the same rows); the
+    // count is a plain action, so no broadcast-timeout exposure
+    val c = cands.select(col("d1"), col("d2")).localCheckpoint(false)
+    val nPairs = c.count()
     val ids0 = c.select(col("d1").as("doc_id"))
       .union(c.select(col("d2").as("doc_id"))).distinct()
     val ids = if (nPairs <= broadcastMaxPairs) broadcast(ids0) else ids0
