@@ -339,8 +339,14 @@ object TextOps {
       // CHARACTER, one shuffled row per distinct (doc, char)) into a
       // single per-doc kernel pass — the query becomes a pure
       // projection with NO shuffle at any scale; the decimal/ln
-      // arithmetic is replicated term-for-term (RepetitionSpec pins it)
+      // arithmetic is replicated term-for-term (RepetitionSpec pins it).
+      // NULL-text docs are dropped explicitly (ADVICE r12): the old
+      // explode chain and the oracle's unnest emit no row for them,
+      // while the null-propagating kernel would emit a null-stats row —
+      // no-op on the (null-free) fixtures, identical row-set semantics
+      // if nulls ever appear.
       Tables.fan(s, documents(s, d))
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           graft.functions.TextStats.char_entropy_stats(col("text")).as("es"))
         .select(col("doc_id"), col("es.n_elems").as("n_elems"),
