@@ -304,6 +304,65 @@ object Tokenize {
   def poly_fingerprint(s: Column): Column =
     ColumnShim.column(PolyFingerprint(ColumnShim.expression(s)))
 
+  /** All adjacent character-pair CODES (c₀·256 + c₁) of the [a-z]+ runs
+    * of `s`, with multiplicity, in one byte scan — ≡ the BPE trainer's
+    * explode(alpha_runs) → explode(transform(sequence, substr)) chain
+    * (which materialized every word string, ran one interpreted lambda
+    * per word, and allocated one 2-char UTF8String per pair). Codes are
+    * order-isomorphic to the pair strings (equal-length ASCII: byte
+    * order = lexicographic order), so grouping/ordering by code equals
+    * grouping/ordering by pair; consumers rebuild the 20 surviving
+    * strings AFTER their top-k. Runs shorter than 2 contribute nothing,
+    * exactly like the len ≥ 2 filter. */
+  def alphaPairCodesKernel(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (isLowerAlpha(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && isLowerAlpha(b(i))) i += 1
+        cnt += i - start - 1
+      } else i += 1
+    }
+    val out = new Array[Any](cnt)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (isLowerAlpha(b(i))) {
+        i += 1
+        while (i < n && isLowerAlpha(b(i))) {
+          out(j) = (b(i - 1) & 0xFF) * 256 + (b(i) & 0xFF)
+          j += 1
+          i += 1
+        }
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** array<int> of adjacent [a-z] pair codes over lower(text). */
+  case class AlphaPairCodes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child.dataType, prettyName)
+    override def nullSafeEval(input: Any): Any =
+      alphaPairCodesKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Tokenize.alphaPairCodesKernel($a);")
+    override protected def withNewChildInternal(newChild: Expression): AlphaPairCodes =
+      copy(child = newChild)
+    override def prettyName: String = "alpha_pair_codes"
+  }
+
+  def alpha_pair_codes(s: Column): Column =
+    ColumnShim.column(AlphaPairCodes(ColumnShim.expression(s)))
+
   /** struct(n_chars, n_tokens) of a word array under a learned BPE merge
     * list: n_chars = Σ length(word), n_tokens = Σ length(encode(word))
     * where encode applies each merge in rank order as a greedy

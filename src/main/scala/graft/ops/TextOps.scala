@@ -450,15 +450,21 @@ object TextOps {
         |SELECT pair, count(*) AS n,
         |  row_number() OVER (ORDER BY count(*) DESC, pair) AS rank
         |FROM pairs GROUP BY pair ORDER BY rank LIMIT 20""".stripMargin) { (s, d) =>
+      // one byte-scan kernel emits 16-bit pair CODES (order-isomorphic to
+      // the 2-char pair strings), so the corpus-wide aggregate groups and
+      // sorts 4-byte ints; the 20 surviving strings rebuild after top-k —
+      // replaces explode(words) → interpreted per-word lambda →
+      // explode(pair strings)
       Tables.fan(s, documents(s, d))
-        .select(explode(graft.functions.Tokenize.alpha_runs(lower(col("text")))).as("wd"))
-        .where(length(col("wd")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(wd) - 1), u -> substr(wd, u, 2))")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .select(explode(
+          graft.functions.Tokenize.alpha_pair_codes(lower(col("text"))))
+          .as("pc"))
+        .groupBy(col("pc")).agg(count(lit(1)).as("n"))
         // top-k BEFORE numbering (TakeOrdered over the alphabet²-bounded
         // aggregate); row_number then runs on 20 rows, not the full table
-        .orderBy(col("n").desc, col("pair")).limit(20)
+        .orderBy(col("n").desc, col("pc")).limit(20)
+        .select(expr("chr(pc div 256) || chr(pc % 256)").as("pair"),
+          col("n"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("pair"))))

@@ -136,6 +136,26 @@ class TokenizeSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("alpha_pair_codes == the exploded substr pair chain, as multisets") {
+    val corpus = adversarial ++ Seq("ab", "a", "", "abc def-gh", "aa aa")
+    val kernel = corpus.toDF("t")
+      .select(col("t"),
+        explode(Tokenize.alpha_pair_codes(lower(col("t")))).as("pc"))
+      .select(col("t"), expr("chr(pc div 256) || chr(pc % 256)").as("pair"))
+      .groupBy(col("t"), col("pair")).agg(count(lit(1)).as("kn"))
+    val ref = corpus.toDF("t")
+      .select(col("t"),
+        explode(Tokenize.alpha_runs(lower(col("t")))).as("wd"))
+      .where(length(col("wd")) >= 2)
+      .select(col("t"), explode(expr(
+        "transform(sequence(1, length(wd) - 1), u -> substr(wd, u, 2))"))
+        .as("pair"))
+      .groupBy(col("t"), col("pair")).agg(count(lit(1)).as("rn"))
+    val bad = kernel.join(ref, Seq("t", "pair"), "full_outer")
+      .where(not(col("kn") <=> col("rn"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("bpe_counts == nested-replace aggregate chain") {
     // merge list exercising overlap ("aa" on runs), chaining ("ab" then a
     // pair over the residue), and markers never re-merging; compare the
