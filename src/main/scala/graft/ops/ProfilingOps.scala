@@ -436,7 +436,16 @@ object ProfilingOps {
       val words = Tables.fan(s, documents(s, d))
         .select(explode(graft.functions.Tokenize.alpha_runs(lower(col("text"))))
           .as("word"))
+      // the word-count aggregate feeds BOTH the exact-top-10 probe collect
+      // and the contract frame — without a checkpoint each re-runs the
+      // corpus tokenize+groupBy (the r11 aggregate-reuse rule). LAZY: the
+      // probe collect materializes it. vocab-sized (bounded), so safe to
+      // hold at any corpus scale — `words` itself is deliberately NOT
+      // checkpointed: one row per corpus token is a corpus-sized artifact
+      // (the sketch pass and the count pass are distinct aggregations and
+      // genuinely need two passes)
       val wc = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
       // probe jobs: the sketch aggregate + the exact top-10 are
       // planning-sized collects; the CONTRACT frame below recomputes the
       // top-10 distributedly so the gate checks the distributed aggregate
