@@ -39,11 +39,15 @@ object ScalarOps {
     import org.apache.spark.sql.expressions.Window
     // The value-count relation feeds THREE consumers (the stats pass, the
     // bucket-offset pass, the windowed main pass) and exchange reuse does
-    // not cover aggregates (the r11 rule) — checkpoint it once, lazily:
-    // the stats broadcast job is the first action and materializes it.
+    // not cover aggregates (the r11 rule) — checkpoint it once, EAGERLY:
+    // its first consumer is the stats BROADCAST job, and a lazy
+    // checkpoint would put the full scan+aggregate inside
+    // spark.sql.broadcastTimeout at data scale (the r12 shape had exactly
+    // that exposure via broadcast(n) over an unmaterialized vc; the eager
+    // job removes it — the broadcasts now collect from cached blocks).
     val vc = df.select(col(valueCol).as("v")).where(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // Monotone range bucket from (vmin, vmax): for v1 ≤ v2,
     // bucket(v1) ≤ bucket(v2) — each step of the otherwise-branch chain
     // (subtract a constant, divide by a positive constant, multiply by a
